@@ -1,0 +1,205 @@
+"""Segment-store BM25 top-k executor with block-max pruning (SURVEY.md §3.3).
+
+Query trace (mirrors the reference flow semantic_search.py:39-114,
+re-expressed over the segment store):
+
+  query terms → dictionary probe (partition-pruned scan of terms/)
+             → partition-pruned scan of segments/ (only the query terms'
+               partition_ids reach the parquet reader: PushedFilters)
+             → Arrow UDF per slice: decode blob → exact BM25 partial scores
+               (doc_len from the blob; N/avgdl broadcast as literals)
+               with block-max pruning against a threshold θ
+             → groupBy(doc_id).sum → TakeOrderedAndProject(k)
+             → broadcast join doc_meta for enrichment (J4)
+
+Pruning correctness (exactness proof, tested vs exhaustive):
+θ is a LOWER bound on the true k-th best total score (from exactly scoring
+the single highest-impact term's postings). A posting (d, t) is dropped
+only when score_t(d) + Σ_{t'≠t} global_ub(t') < θ — which implies d's total
+score < θ, so d cannot be in the top-k; and any true top-k doc (total ≥ θ)
+is never pruned anywhere, so its sum stays exact. Block-level: a whole
+block is skipped when ub_t(block) + Σ_{t'≠t} global_ub(t') < θ, with
+ub_t(block) = idf_t · tf_norm(max_tf, dl=min_dl) (score is increasing in tf
+and decreasing in dl, so the corner is a valid bound).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    BLOCK_SIZE,
+    BM25_B,
+    BM25_K1,
+    DEFAULT_TOP_K,
+    INDEX_PARTITIONS,
+    SCORE_ROUND_DECIMALS,
+)
+
+
+def _idf(df: float, n: float) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _tf_norm(tf, dl, avgdl, k1=BM25_K1, b=BM25_B):
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def probe_dictionary(
+    spark: SparkSession, index_dir: str, terms: list[str], n_partitions: int = INDEX_PARTITIONS
+) -> dict[str, dict]:
+    """term → {df, cf, partition_id}; partition-pruned scan of terms/."""
+    terms = sorted(set(terms))
+    qt = spark.createDataFrame([(t,) for t in terms], "term string").withColumn(
+        "partition_id", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int")
+    )
+    pids = sorted({r["partition_id"] for r in qt.select("partition_id").distinct().collect()})
+    tdict = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .filter(F.col("partition_id").isin(pids) & F.col("term").isin(terms))
+        .collect()
+    )
+    return {r["term"]: {"df": r["df"], "cf": r["cf"], "partition_id": r["partition_id"]} for r in tdict}
+
+
+def topk_segments(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    prune: bool = True,
+    n_partitions: int = INDEX_PARTITIONS,
+) -> DataFrame:
+    """(rank, doc_id, score) from the compressed segment store."""
+    stats = load_stats(index_dir)
+    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    info = probe_dictionary(spark, index_dir, terms, n_partitions)
+    matched = sorted(info)
+    if not matched:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+
+    idf = {t: _idf(float(info[t]["df"]), n) for t in matched}
+    # global per-term upper bound: tf→∞ limit of tf_norm is (k1+1); tighter:
+    # computed per slice from block maxima below. For the cross-term rest_ub
+    # we use the conservative idf·(k1+1).
+    global_ub = {t: idf[t] * (k1 + 1.0) for t in matched}
+
+    theta = 0.0
+    if prune and len(matched) > 1:
+        theta = _theta_from_best_term(spark, index_dir, info, idf, k, k1, b, avgdl)
+
+    pids = sorted({info[t]["partition_id"] for t in matched})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+    )
+
+    idf_b = dict(idf)
+    ub_sum = sum(global_ub.values())
+    rest_ub = {t: ub_sum - global_ub[t] for t in matched}
+
+    def score_slices(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            out_docs, out_scores = [], []
+            for term, blob, bm in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
+                t_idf = idf_b[term]
+                t_rest = rest_ub[term]
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if theta > 0.0 and bm is not None and len(bm) > 0:
+                    # block-level skip: ub(block) + rest < θ ⇒ drop block
+                    bmax = np.asarray([(e["max_tf"], e["min_dl"]) for e in bm], dtype=np.float64)
+                    blk_ub = t_idf * _tf_norm(bmax[:, 0], bmax[:, 1], avgdl, k1, b)
+                    keep_blk = (blk_ub + t_rest) >= theta
+                    if not keep_blk.all():
+                        blk_idx = np.arange(doc_ids.size) // BLOCK_SIZE
+                        mask = keep_blk[blk_idx]
+                        doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+                if doc_ids.size == 0:
+                    continue
+                scores = t_idf * _tf_norm(
+                    tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
+                )
+                if theta > 0.0:
+                    mask = (scores + t_rest) >= theta
+                    doc_ids, scores = doc_ids[mask], scores[mask]
+                out_docs.append(doc_ids)
+                out_scores.append(scores)
+            if out_docs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_docs),
+                        "partial": np.concatenate(out_scores),
+                    }
+                )
+
+    partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
+    scored = partials.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _theta_from_best_term(
+    spark: SparkSession,
+    index_dir: str,
+    info: dict[str, dict],
+    idf: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> float:
+    """Exact scores of the highest-ub term's postings → k-th best = θ.
+
+    These single-term scores are lower bounds on total scores, so the k-th
+    largest is a valid (conservative) threshold. Costs one pruned scan of
+    one term's slices — and the chosen term is the highest-idf (RAREST)
+    one, so its posting list is the smallest in the query.
+
+    A rounding-quantum margin (10^-SCORE_ROUND_DECIMALS) is subtracted so a
+    pruned doc can never tie the k-th kept doc after 6-decimal rounding and
+    win the ascending-doc_id tiebreak — keeps pruned output bit-identical
+    to the exhaustive path.
+    """
+    best = max(idf, key=lambda t: idf[t] * (k1 + 1.0))
+    pid = info[best]["partition_id"]
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "segments"))
+        .filter((F.col("partition_id") == pid) & (F.col("term") == best))
+        .select("blob")
+        .collect()
+    )
+    from .compress import decode_postings
+
+    scores: list[np.ndarray] = []
+    for r in rows:
+        _, tfs, dls = decode_postings(bytes(r["blob"]))
+        scores.append(idf[best] * _tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b))
+    if not scores:
+        return 0.0
+    allsc = np.concatenate(scores)
+    if allsc.size < k:
+        return 0.0
+    theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
+    return theta - 10.0 ** (-SCORE_ROUND_DECIMALS)

@@ -1,0 +1,301 @@
+"""Segment store: compressed posting slices + term dictionary + catalog.
+
+Build topology (SURVEY.md §4 item 2, north_star skew requirement):
+
+  corpus
+    → tokenize (Arrow UDF) → explode → groupBy(term, doc_id, dl).count()
+      [one shuffle; map-side combine; doc_len derived in the same pass, no join]
+    → term df/cf stats (dictionary)
+    → heavy-hitter detection: df > HEAVY_DF_FRACTION·N  (broadcast join back)
+    → salt: heavy terms split into HEAVY_SALT_FANOUT doc_id RANGE slices,
+      light terms → single slice 0. Range (not hash) salting keeps slices
+      internally sorted AND mutually ordered, so multi-slice posting lists
+      are the concatenation of slices in slice_id order — the two-phase
+      merge is embarrassingly parallel and query-side reads need no re-sort.
+    → groupBy(term, slice_id): sort_array(collect_list(struct(doc_id,tf,dl)))
+      [second shuffle — bounded per-group size = df/fanout by construction]
+    → Arrow-batched encode UDF: delta+varbyte blob + block-max metadata
+    → write parquet partitioned by partition_id = pmod(xxhash64(term), P)
+      [query-side partition pruning on the dictionary probe]
+
+Heavy terms stay as MULTIPLE slice rows in storage (they are re-merged
+logically at query time and physically by compact_segments) — a single
+10^11-posting blob row would be unreadable by one task; slices keep both
+build and query parallel. Per-partition lineage/counters land in catalog/.
+
+Resumability: each epoch writes only partitions missing from catalog/;
+crash between epochs → rerun skips committed partitions (anti-join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..config import (
+    BLOCK_SIZE,
+    HEAVY_DF_FRACTION,
+    HEAVY_SALT_FANOUT,
+    INDEX_PARTITIONS,
+)
+from ..functions.tokenize import tokens_udf
+from .compress import block_max, encode_postings
+
+_ENC_TYPE = T.StructType(
+    [
+        T.StructField("blob", T.BinaryType()),
+        T.StructField(
+            "block_max",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("upper_doc", T.LongType()),
+                        T.StructField("max_tf", T.IntegerType()),
+                        T.StructField("min_dl", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@pandas_udf(_ENC_TYPE)
+def _encode_udf(plists: pd.Series) -> pd.DataFrame:
+    """array<struct<doc_id,tf,dl>> (sorted) → (blob, block_max).
+
+    Outer loop is per TERM-SLICE (one iteration per posting list); inner
+    work is numpy over the whole list — the applyInPandas idiom without the
+    per-group shuffle overhead.
+    """
+    blobs, bms = [], []
+    for plist in plists:
+        arr = np.asarray([(p["doc_id"], p["tf"], p["dl"]) for p in plist], dtype=np.int64)
+        doc_ids, tfs, dls = arr[:, 0], arr[:, 1], arr[:, 2]
+        blobs.append(encode_postings(doc_ids, tfs, dls))
+        bms.append(block_max(doc_ids, tfs, dls, BLOCK_SIZE))
+    return pd.DataFrame({"blob": blobs, "block_max": bms})
+
+
+def postings_with_dl(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_id, tf, dl) in one pass — dl from size(tokens), no join."""
+    return (
+        corpus.withColumn("tokens", tokens_udf(F.col("content")))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size("tokens").cast("int").alias("dl"),
+            F.explode("tokens").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def term_dictionary(postings_dl: DataFrame, n_partitions: int = INDEX_PARTITIONS) -> DataFrame:
+    return postings_dl.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+    ).withColumn("partition_id", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int"))
+
+
+def build_slices(
+    postings_dl: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    max_doc_id: int,
+    heavy_df_fraction: float = HEAVY_DF_FRACTION,
+    fanout: int = HEAVY_SALT_FANOUT,
+    n_partitions: int = INDEX_PARTITIONS,
+) -> DataFrame:
+    """Salted slice build → (term, slice_id, df_slice, cf_slice, blob, block_max, partition_id)."""
+    threshold = max(1, int(heavy_df_fraction * n_docs))
+    heavy = term_dict.filter(F.col("df") > threshold).select("term").withColumn(
+        "is_heavy", F.lit(True)
+    )
+    salted = (
+        postings_dl.join(F.broadcast(heavy), "term", "left")
+        .withColumn(
+            # doc_id RANGE slice via double math (monotone ⇒ ranges disjoint;
+            # int64 multiply would overflow for hash-derived doc_ids).
+            # Engine invariant: doc_id ∈ [0, 2^62).
+            "slice_id",
+            F.when(
+                F.col("is_heavy").isNotNull(),
+                F.least(
+                    F.lit(fanout - 1),
+                    F.floor(
+                        F.col("doc_id").cast("double") / F.lit(float(max_doc_id + 1)) * fanout
+                    ),
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_heavy")
+    )
+    slices = salted.groupBy("term", "slice_id").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
+        F.count(F.lit(1)).alias("df_slice"),
+        F.sum("tf").alias("cf_slice"),
+    )
+    enc = _encode_udf(F.col("plist"))
+    return slices.select(
+        "term",
+        "slice_id",
+        "df_slice",
+        "cf_slice",
+        enc["blob"].alias("blob"),
+        enc["block_max"].alias("block_max"),
+        F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
+    )
+
+
+def collection_stats_row(doc_meta: DataFrame) -> dict:
+    r = doc_meta.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_len").alias("total_terms"),
+    ).collect()[0]
+    return {
+        "n_docs": int(r["n_docs"]),
+        "avgdl": float(r["avgdl"]),
+        "max_doc_id": int(r["max_doc_id"]),
+        "total_terms": int(r["total_terms"]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# persistent index with per-partition catalog + resume
+# ---------------------------------------------------------------------------
+
+def _catalog_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "catalog")
+
+
+def committed_partitions(spark: SparkSession, index_dir: str) -> set[int]:
+    path = _catalog_path(index_dir)
+    try:
+        cat = spark.read.parquet(path)
+    except Exception:
+        return set()
+    return {r["partition_id"] for r in cat.select("partition_id").distinct().collect()}
+
+
+def write_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    n_partitions: int = INDEX_PARTITIONS,
+    only_partitions: set[int] | None = None,
+    epoch: int = 0,
+) -> dict:
+    """Build (or resume) the segment index at index_dir.
+
+    Layout:
+      index_dir/terms/      term dictionary (partitioned by partition_id)
+      index_dir/segments/   compressed slices (partitioned by partition_id)
+      index_dir/doc_meta/   doc_id, doc_len, sha256 (+repo/path/lang)
+      index_dir/stats.json  n_docs, avgdl, max_doc_id
+      index_dir/catalog/    per-partition lineage + counters (append-only)
+
+    Resume: partitions already in catalog/ are skipped; `only_partitions`
+    restricts an epoch (used by tests to simulate a mid-build crash).
+    """
+    from .postings import doc_meta as build_doc_meta
+
+    done = committed_partitions(spark, index_dir)
+    all_parts = set(range(n_partitions))
+    todo = sorted((all_parts - done) & (only_partitions or all_parts))
+    t0 = time.perf_counter()
+
+    if not done:  # first epoch also writes doc_meta + stats
+        meta = build_doc_meta(corpus, id_col=id_col)
+        meta.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta"))
+        stats = collection_stats_row(spark.read.parquet(os.path.join(index_dir, "doc_meta")))
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+    else:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+
+    if todo:
+        pdl = postings_with_dl(corpus, id_col=id_col)
+        tdict = term_dictionary(pdl, n_partitions)
+        part_filter = F.col("partition_id").isin(todo)
+        tdict_w = tdict.filter(part_filter)
+        tdict_w.write.mode("append").partitionBy("partition_id").parquet(
+            os.path.join(index_dir, "terms")
+        )
+        slices = build_slices(
+            pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
+        ).filter(part_filter)
+        slices.write.mode("append").partitionBy("partition_id").parquet(
+            os.path.join(index_dir, "segments")
+        )
+        # per-partition counters from the committed data (ground truth)
+        seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+            F.col("partition_id").isin(todo)
+        )
+        cat = seg.groupBy("partition_id").agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_slice").alias("n_postings"),
+            F.sum(F.length("blob")).alias("bytes"),
+        ).select(
+            F.concat(F.lit("seg-"), F.col("partition_id").cast("string")).alias("segment_id"),
+            "partition_id",
+            "n_terms",
+            "n_postings",
+            "bytes",
+            F.lit(epoch).cast("int").alias("checkpoint_epoch"),
+            F.lit(f"build@epoch={epoch};src=corpus").alias("lineage"),
+        )
+        cat.write.mode("append").parquet(_catalog_path(index_dir))
+
+    return {
+        "built_partitions": todo,
+        "skipped_partitions": sorted(done),
+        "elapsed_sec": time.perf_counter() - t0,
+        **stats,
+    }
+
+
+def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Two-phase merge demonstrator: fold each term's range slices into one
+    blob (slice ranges are disjoint & ordered ⇒ decode-concat-encode, no
+    re-sort). Returns the compacted slices DataFrame (one row per term)."""
+    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .compress import decode_postings
+
+        grp = pdf.sort_values("slice_id")
+        ds, ts, ls = [], [], []
+        for blob in grp["blob"]:
+            d, t, l = decode_postings(bytes(blob))
+            ds.append(d), ts.append(t), ls.append(l)
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        l = np.concatenate(ls)
+        return pd.DataFrame(
+            {
+                "term": [grp["term"].iloc[0]],
+                "slice_id": [0],
+                "df_slice": [int(d.size)],
+                "cf_slice": [int(t.sum())],
+                "blob": [encode_postings(d, t, l)],
+                "block_max": [block_max(d, t, l)],
+                "partition_id": [int(grp["partition_id"].iloc[0])],
+            }
+        )
+
+    # groupBy(term).applyInPandas guarantees all of a term's slices arrive in
+    # one group regardless of Arrow batch splits (unlike mapInPandas)
+    return seg.groupBy("term").applyInPandas(merge, schema=seg.schema)

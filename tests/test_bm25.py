@@ -17,7 +17,7 @@ QUERIES = {
 
 @pytest.fixture(scope="module")
 def indexed(spark, corpus):
-    c = corpus.withColumn("doc_id", F.xxhash64("repo", "path"))
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
     post = P.build_postings(c).cache()
     meta = P.doc_meta(c).cache()
     post.count(), meta.count()
@@ -25,7 +25,7 @@ def indexed(spark, corpus):
 
 
 def _brute_oracle(spark, corpus):
-    rows = corpus.withColumn("doc_id", F.xxhash64("repo", "path")).select("doc_id", "content").collect()
+    rows = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))).select("doc_id", "content").collect()
     return BruteForceBM25({r["doc_id"]: r["content"] for r in rows})
 
 
@@ -54,7 +54,7 @@ def test_topk_multi_matches_single(spark, indexed):
 def test_doc_meta_invariants(spark, corpus, indexed):
     _, post, meta = indexed
     # sha256 invariant: doc_meta hash equals sha2 of corpus content (input_hint)
-    c = corpus.withColumn("doc_id", F.xxhash64("repo", "path")).withColumn(
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))).withColumn(
         "h", F.sha2("content", 256)
     )
     bad = meta.join(c.select("doc_id", "h"), "doc_id").filter(F.col("h") != F.col("content_sha256")).count()

@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from contextinator_spark.operators import bm25, bm25_segments, postings as P, segments as S
+from contextinator_spark.oracle import BruteForceBM25
+
+QUERIES = {
+    1: ["auth", "token"],
+    2: ["def"],                        # heavy hitter → salted slices
+    3: ["import", "return", "class"],  # all heavy
+    4: ["zzz_no_such_term"],
+    5: ["authuser5", "indexquery", "def"],  # rare + heavy mix
+}
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    res = S.write_index(spark, c, d)
+    assert res["built_partitions"] == list(range(32))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _brute(spark, corpus):
+    rows = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))).select("doc_id", "content").collect()
+    return BruteForceBM25({r["doc_id"]: r["content"] for r in rows})
+
+
+def test_heavy_terms_are_sliced(spark, index_dir):
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    slices_per_term = seg.groupBy("term").count()
+    heavy = slices_per_term.filter(F.col("count") > 1).count()
+    assert heavy > 0, "expected heavy-hitter terms ('def', 'import') to be salted into slices"
+    # slices of one term hold disjoint, ordered doc ranges
+    d = seg.filter(F.col("term") == "def").orderBy("slice_id").collect()
+    assert len(d) > 1
+    from contextinator_spark.operators.compress import decode_postings
+
+    prev_max = -1
+    for r in d:
+        ids, _, _ = decode_postings(bytes(r["blob"]))
+        assert ids[0] > prev_max
+        assert np.all(np.diff(ids) > 0)
+        prev_max = int(ids[-1])
+
+
+def test_segment_topk_rank_identical(spark, corpus, index_dir):
+    oracle = _brute(spark, corpus)
+    for qid, terms in QUERIES.items():
+        got = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
+        ]
+        exp = oracle.topk(terms, k=10)
+        assert got == [(r, d, pytest.approx(s, abs=1e-6)) for r, d, s in exp], f"q{qid}"
+
+
+def test_pruned_equals_exhaustive(spark, index_dir):
+    for qid, terms in QUERIES.items():
+        pruned = bm25_segments.topk_segments(spark, index_dir, terms, k=10, prune=True).collect()
+        exhaustive = bm25_segments.topk_segments(spark, index_dir, terms, k=10, prune=False).collect()
+        assert [tuple(r) for r in pruned] == [tuple(r) for r in exhaustive], f"q{qid}"
+
+
+def test_postings_invariants(spark, index_dir):
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    tdict = spark.read.parquet(f"{index_dir}/terms")
+    # sum of slice df/cf == dictionary df/cf
+    agg = seg.groupBy("term").agg(F.sum("df_slice").alias("df2"), F.sum("cf_slice").alias("cf2"))
+    bad = tdict.join(agg, "term").filter((F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2")))
+    assert bad.count() == 0
+    # catalog counters match committed postings
+    cat = spark.read.parquet(f"{index_dir}/catalog")
+    total_cat = cat.agg(F.sum("n_postings")).collect()[0][0]
+    total_seg = seg.agg(F.sum("df_slice")).collect()[0][0]
+    assert total_cat == total_seg
+
+
+def test_resume_after_partial_build(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_resume"))
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    r1 = S.write_index(spark, c, d, only_partitions=set(range(10)), epoch=0)
+    assert r1["built_partitions"] == list(range(10))
+    # simulated crash; resume builds only the rest
+    r2 = S.write_index(spark, c, d, epoch=1)
+    assert r2["built_partitions"] == list(range(10, 32))
+    assert r2["skipped_partitions"] == list(range(10))
+    # identical query results vs a clean one-shot index
+    full = str(tmp_path_factory.mktemp("index_full"))
+    S.write_index(spark, c, full)
+    for terms in QUERIES.values():
+        a = [tuple(r) for r in bm25_segments.topk_segments(spark, d, terms, k=10).collect()]
+        b = [tuple(r) for r in bm25_segments.topk_segments(spark, full, terms, k=10).collect()]
+        assert a == b
+    # catalog records both epochs with monotone counters
+    cat = spark.read.parquet(f"{d}/catalog")
+    assert cat.select("checkpoint_epoch").distinct().count() == 2
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(full, ignore_errors=True)
+
+
+def test_compaction_preserves_postings(spark, index_dir):
+    compacted = S.compact_segments(spark, index_dir)
+    assert compacted.groupBy("term").count().filter(F.col("count") > 1).count() == 0
+    from contextinator_spark.operators.compress import decode_postings
+
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    row = compacted.filter(F.col("term") == "def").collect()[0]
+    ids_c, tfs_c, _ = decode_postings(bytes(row["blob"]))
+    orig = seg.filter(F.col("term") == "def").orderBy("slice_id").collect()
+    ids_o = np.concatenate([decode_postings(bytes(r["blob"]))[0] for r in orig])
+    tfs_o = np.concatenate([decode_postings(bytes(r["blob"]))[1] for r in orig])
+    assert np.array_equal(ids_c, ids_o)
+    assert np.array_equal(tfs_c, tfs_o)
+
+
+def test_segment_executor_matches_dataframe_executor(spark, corpus, index_dir):
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    post = P.build_postings(c)
+    meta = P.doc_meta(c)
+    for terms in QUERIES.values():
+        a = [tuple(r) for r in bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()]
+        b = [tuple(r) for r in bm25.topk(post, meta, terms, k=10).collect()]
+        assert a == b
