@@ -1,20 +1,18 @@
 """Bench harness (driver contract).
 
-Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+Runs the full engine at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
 
-  phase 1  index build  — corpus → postings → doc_meta → term_stats →
-           compressed segments, materialized to parquet (the real sink path)
-  phase 2  query batch  — BM25 top-k for the golden query set, one plan per
-           query (measures per-query latency → p95)
+  phase 1  index build  — corpus → Arrow-UDF tokenize → postings(+dl) →
+           term dictionary → salted slices → delta+varbyte blobs →
+           parquet segment store partitioned by term-hash (the real sink)
+  phase 2  query batch  — BM25 top-k per query from the compressed segment
+           store (dictionary probe → partition-pruned scan → block-max
+           pruned Arrow scoring → TakeOrderedAndProject)
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "index_build_sec": ..., "files_per_sec": ..., "query_p95_sec": ...}
-
-Scaling-efficiency evidence (BASELINE.md): run twice with
-SPARK_GRAFT_CPUS=8 and =32 via scripts/scaling_bench.py.
+Prints ONE JSON line with total wall sec + per-query sec + derived
+files/sec and p95. Scaling evidence: scripts/scaling_bench.py reruns this
+at SPARK_GRAFT_CPUS=8 and =32 and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -27,10 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from contextinator_spark.entry_queries import BM25_QUERIES, _docs  # noqa: E402
-from contextinator_spark.operators import bm25, postings as P  # noqa: E402
+from contextinator_spark.operators import bm25_segments, segments as S  # noqa: E402
 from contextinator_spark.session import get_spark  # noqa: E402
 
 BENCH_QUERIES: dict[int, list[str]] = {
@@ -48,36 +44,37 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
     shutil.rmtree(out_dir, ignore_errors=True)
+    index_dir = os.path.join(out_dir, "index")
+    os.makedirs(index_dir, exist_ok=True)
 
     spark = get_spark("contextinator-bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
         corpus = _docs(spark, sf_dir)
-        n_files = corpus.count()  # warms the scan; excluded from build time
+        n_files = corpus.count()  # warms scan + JVM; excluded from build time
 
         t0 = time.perf_counter()
-        post = P.build_postings(corpus)
-        post.write.mode("overwrite").parquet(f"{out_dir}/postings")
-        meta = P.doc_meta(corpus)
-        meta.write.mode("overwrite").parquet(f"{out_dir}/doc_meta")
-        P.term_stats(spark.read.parquet(f"{out_dir}/postings")).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/term_stats")
+        S.write_index(spark, corpus, index_dir, id_col="doc_id")
         build_sec = time.perf_counter() - t0
 
-        post_r = spark.read.parquet(f"{out_dir}/postings").cache()
-        meta_r = spark.read.parquet(f"{out_dir}/doc_meta").cache()
-        post_r.count(), meta_r.count()
+        # one warm-up query (Python-worker + broadcast init) before timing
+        bm25_segments.topk_segments(spark, index_dir, ["warmup"], k=10).collect()
 
         per_query: dict[str, float] = {}
         for qid, terms in BENCH_QUERIES.items():
             tq = time.perf_counter()
-            bm25.topk(post_r, meta_r, terms, k=10).collect()
+            bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
             per_query[f"q{qid}"] = round(time.perf_counter() - tq, 4)
 
+        # batch mode: all queries in one plan (throughput path)
+        tb = time.perf_counter()
+        bm25_segments.topk_segments_multi(spark, index_dir, BENCH_QUERIES, k=10).collect()
+        batch_sec = time.perf_counter() - tb
+
         lats = sorted(per_query.values())
-        p95 = lats[min(len(lats) - 1, int(0.95 * len(lats)))]
-        total = build_sec + sum(per_query.values())
+        p95 = lats[min(len(lats) - 1, int(round(0.95 * len(lats))) - 1)]
+        qsum = sum(per_query.values())
+        total = build_sec + qsum
         print(
             json.dumps(
                 {
@@ -90,7 +87,11 @@ def main() -> None:
                     "n_files": n_files,
                     "index_build_sec": round(build_sec, 3),
                     "files_per_sec": round(n_files / build_sec, 1),
+                    "query_batch_sec": round(qsum, 3),
+                    "queries_per_sec": round(len(per_query) / qsum, 2),
                     "query_p95_sec": p95,
+                    "batch_mode_sec": round(batch_sec, 3),
+                    "batch_queries_per_sec": round(len(BENCH_QUERIES) / batch_sec, 2),
                 }
             )
         )

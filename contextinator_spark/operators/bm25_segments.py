@@ -60,12 +60,16 @@ def load_stats(index_dir: str) -> dict:
 def probe_dictionary(
     spark: SparkSession, index_dir: str, terms: list[str], n_partitions: int = INDEX_PARTITIONS
 ) -> dict[str, dict]:
-    """term → {df, cf, partition_id}; partition-pruned scan of terms/."""
+    """term → {df, cf, partition_id}; partition-pruned scan of terms/.
+
+    partition_ids are computed driver-side with the pure-Python XXH64 twin
+    (functions/xxhash.py, Spark-identical by test) — zero Spark jobs spent
+    on pruning; the only job is the pruned parquet read itself.
+    """
+    from ..functions.xxhash import term_partition
+
     terms = sorted(set(terms))
-    qt = spark.createDataFrame([(t,) for t in terms], "term string").withColumn(
-        "partition_id", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int")
-    )
-    pids = sorted({r["partition_id"] for r in qt.select("partition_id").distinct().collect()})
+    pids = sorted({term_partition(t, n_partitions) for t in terms})
     tdict = (
         spark.read.parquet(os.path.join(index_dir, "terms"))
         .filter(F.col("partition_id").isin(pids) & F.col("term").isin(terms))
@@ -99,7 +103,10 @@ def topk_segments(
     global_ub = {t: idf[t] * (k1 + 1.0) for t in matched}
 
     theta = 0.0
-    if prune and len(matched) > 1:
+    # the θ pass costs one extra job — only worth it when the candidate set
+    # is big enough for pruning to pay (heavy lists), so gate on total df
+    total_df = sum(info[t]["df"] for t in matched)
+    if prune and len(matched) > 1 and total_df > 50 * k:
         theta = _theta_from_best_term(spark, index_dir, info, idf, k, k1, b, avgdl)
 
     pids = sorted({info[t]["partition_id"] for t in matched})
@@ -157,6 +164,72 @@ def topk_segments(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "score")
+    )
+
+
+def topk_segments_multi(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, list[str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_partitions: int = INDEX_PARTITIONS,
+) -> DataFrame:
+    """Batch executor: (query_id, rank, doc_id, score) for many queries in
+    ONE plan — one dictionary probe for the union of terms, one pruned
+    segment scan, per-query windows. This is the throughput path; per-query
+    `topk_segments` is the latency path."""
+    stats = load_stats(index_dir)
+    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    info = probe_dictionary(spark, index_dir, all_terms, n_partitions)
+    matched = sorted(info)
+    if not matched:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    idf = {t: _idf(float(info[t]["df"]), n) for t in matched}
+    term_queries = {
+        t: [qid for qid, ts in queries.items() if t in set(ts)] for t in matched
+    }
+    pids = sorted({info[t]["partition_id"] for t in matched})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+    )
+
+    def score_slices(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            qids_out, docs_out, scores_out = [], [], []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if doc_ids.size == 0:
+                    continue
+                scores = idf[term] * _tf_norm(
+                    tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
+                )
+                for qid in term_queries[term]:
+                    qids_out.append(np.full(doc_ids.size, qid, dtype=np.int32))
+                    docs_out.append(doc_ids)
+                    scores_out.append(scores)
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qids_out),
+                        "doc_id": np.concatenate(docs_out),
+                        "partial": np.concatenate(scores_out),
+                    }
+                )
+
+    partials = seg.mapInPandas(score_slices, schema="query_id int, doc_id long, partial double")
+    scored = partials.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 

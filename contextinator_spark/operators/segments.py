@@ -227,8 +227,10 @@ def write_index(
             stats = json.load(f)
 
     if todo:
-        pdl = postings_with_dl(corpus, id_col=id_col)
-        tdict = term_dictionary(pdl, n_partitions)
+        # persist the tokenized postings: dictionary + slices both consume it
+        # (without this, the Arrow tokenize UDF + explode + agg run twice)
+        pdl = postings_with_dl(corpus, id_col=id_col).persist()
+        tdict = term_dictionary(pdl, n_partitions).persist()
         part_filter = F.col("partition_id").isin(todo)
         tdict_w = tdict.filter(part_filter)
         tdict_w.write.mode("append").partitionBy("partition_id").parquet(
@@ -240,6 +242,8 @@ def write_index(
         slices.write.mode("append").partitionBy("partition_id").parquet(
             os.path.join(index_dir, "segments")
         )
+        pdl.unpersist()
+        tdict.unpersist()
         # per-partition counters from the committed data (ground truth)
         seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
             F.col("partition_id").isin(todo)

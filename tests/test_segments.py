@@ -129,3 +129,16 @@ def test_segment_executor_matches_dataframe_executor(spark, corpus, index_dir):
         a = [tuple(r) for r in bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()]
         b = [tuple(r) for r in bm25.topk(post, meta, terms, k=10).collect()]
         assert a == b
+
+
+def test_multi_executor_matches_single(spark, index_dir):
+    multi = bm25_segments.topk_segments_multi(spark, index_dir, QUERIES, k=10).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, terms in QUERIES.items():
+        single = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), f"q{qid}"
