@@ -51,6 +51,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         corpus = _docs(spark, sf_dir)
+        # SPARK_GRAFT_AMPLIFY=A replicates the corpus A× with distinct
+        # doc_ids (deterministic) so scaling runs are compute-dominated
+        # rather than fixed-overhead-dominated; A=1 (default) = raw table.
+        amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1"))
+        if amplify > 1:
+            from pyspark.sql import functions as F
+
+            corpus = corpus.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
+            ).withColumn(
+                "doc_id", F.col("doc_id") * amplify + F.col("rep")
+            ).drop("rep")
         n_files = corpus.count()  # warms scan + JVM; excluded from build time
 
         t0 = time.perf_counter()

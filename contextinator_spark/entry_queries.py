@@ -164,6 +164,265 @@ SELECT CAST(qid AS INT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score FR
 
 
 # ---------------------------------------------------------------------------
+# dedup family (SURVEY.md A1 + brief's training-data-pipeline ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "content_sha256", "n_duplicates")
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_bands, minhash_signature
+
+    return lsh_bands(minhash_signature(_docs(spark, sf_dir)))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import lsh_bands, minhash_candidate_pairs, minhash_signature
+
+    return minhash_candidate_pairs(lsh_bands(minhash_signature(_docs(spark, sf_dir))))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+JACCARD_MIN = 0.05
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_MIN)
+
+
+COSINE_MIN = 0.9
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=COSINE_MIN)
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import knn_brute
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_brute(emb, [float(x) for x in qv], k=10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_stats import lang_scores
+
+    return lang_scores(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_stats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_stats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pre-pass: terms whose df exceeds 5% of N (north_star)."""
+    post = _docs_postings(spark, sf_dir)
+    stats = P.term_stats(post)
+    n = _docs(spark, sf_dir).count()
+    return stats.filter(F.col("df") > int(0.05 * n)).select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fs-core query modes (grep / line-range / symbol)
+# ---------------------------------------------------------------------------
+
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.grep import grep_lines
+
+    return grep_lines(_docs(spark, sf_dir), GREP_PATTERN)
+
+
+def q_line_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.grep import line_range
+
+    return line_range(_docs(spark, sf_dir), 1, 2)
+
+
+def q_symbol_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.grep import symbol_filter
+
+    return symbol_filter(
+        _docs(spark, sf_dir), contains="spark", equals={"lang": "en"}
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL for the families above (DuckDB dialect, exact mirrors)
+# ---------------------------------------------------------------------------
+SQL_TOKS_CTE = f"toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)"
+SQL_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+    "ELSE [] END AS shingles FROM toks)"
+)
+
+
+def _sql_bands_with() -> str:
+    from .config import MINHASH_BAND_SIZE, MINHASH_NUM_PERM
+
+    sigs = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{p}:' || s))) AS sig_{p}"
+        for p in range(MINHASH_NUM_PERM)
+    )
+    n_bands = MINHASH_NUM_PERM // MINHASH_BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, CAST({j} AS INT) AS band_idx, md5(concat_ws('|', {cols})) AS band_val FROM sig".format(
+            j=j,
+            cols=", ".join(f"sig_{j * MINHASH_BAND_SIZE + r}" for r in range(MINHASH_BAND_SIZE)),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+WITH {SQL_TOKS_CTE}, {SQL_SHINGLES_CTE},
+sig AS (SELECT doc_id, {sigs} FROM sh WHERE len(shingles) > 0),
+bands AS ({band_rows})
+"""
+
+
+def sql_minhash_bands() -> str:
+    return _sql_bands_with() + "SELECT doc_id, band_idx, band_val FROM bands"
+
+
+def sql_minhash_pairs() -> str:
+    return _sql_bands_with() + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+def sql_simhash() -> str:
+    return f"""
+WITH {SQL_TOKS_CTE},
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks WHERE len(toks) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+bits AS (
+  SELECT doc_id, b,
+         sum(tf * (CASE WHEN (('0x' || substr(md5(term), 1, 16))::UBIGINT >> b) & 1 = 1
+                        THEN 1 ELSE -1 END)) AS w
+  FROM tf CROSS JOIN range(64) AS r(b) GROUP BY doc_id, b)
+SELECT doc_id,
+       lower(lpad(to_hex(CAST(sum(CASE WHEN w >= 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT)), 16, '0')) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH {SQL_TOKS_CTE}, {SQL_SHINGLES_CTE},
+s AS (SELECT DISTINCT doc_id, unnest(shingles) AS sng FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM s a JOIN s b ON a.sng = b.sng AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, CAST(round(i / (x.n + y.n - i), 6) AS DOUBLE) AS jaccard
+FROM inter JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+WHERE round(i / (x.n + y.n - i), 6) >= {JACCARD_MIN}
+"""
+
+
+SQL_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+def sql_cosine_pairs() -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(round({SQL_COS}, 6) AS DOUBLE) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({SQL_COS}, 6) >= {COSINE_MIN}
+"""
+
+
+def sql_knn_brute() -> str:
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id, cos
+FROM (SELECT e.vec_id, CAST(round({cos}, 6) AS DOUBLE) AS cos FROM embeddings e CROSS JOIN q)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def sql_lang_id() -> str:
+    from .functions.text_stats import STOPWORDS
+
+    vals = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{w}'" for w in ws))
+        for lang, ws in sorted(STOPWORDS.items())
+    )
+    return f"""
+WITH {SQL_TOKS_CTE},
+scores AS (
+  SELECT doc_id, l.lang,
+         len(list_filter(toks, x -> list_contains(l.words, x))) AS score
+  FROM toks CROSS JOIN (VALUES {vals}) AS l(lang, words))
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess,
+       CAST(score AS INT) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM scores)
+WHERE rn = 1
+"""
+
+
+def sql_quality() -> str:
+    from .functions.text_stats import STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH {SQL_TOKS_CTE},
+q AS (SELECT d.doc_id, d.text, t.toks,
+             length(d.text) AS n_chars, len(t.toks) AS n_tokens,
+             length(regexp_replace(lower(d.text), '[^a-z0-9_ ]', '', 'g')) AS alnum,
+             length(array_to_string(t.toks, '')) AS tok_chars,
+             len(list_filter(t.toks, x -> list_contains([{en}], x))) AS sw
+      FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(round((n_chars - alnum) / n_chars, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(sw / n_tokens, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(tok_chars / n_tokens, 6) AS DOUBLE) AS mean_token_len,
+       CAST(round(n_chars / 4.0, 6) AS DOUBLE) AS token_estimate
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -182,5 +441,64 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             q_grep_count,
             f"SELECT source, CAST(count(*) AS BIGINT) AS n_matching FROM documents "
             f"WHERE regexp_matches(text, '{GREP_PATTERN}') GROUP BY source",
+        ),
+        "dedup_exact": (
+            q_dedup_exact,
+            """
+SELECT doc_id, content_sha256, n_duplicates FROM (
+  SELECT doc_id, sha256(text) AS content_sha256,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY sha256(text)) - 1 AS BIGINT) AS n_duplicates
+  FROM documents) WHERE rn = 1
+""",
+        ),
+        "minhash_bands": (q_minhash_bands, sql_minhash_bands()),
+        "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
+        "simhash": (q_simhash, sql_simhash()),
+        "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
+        "cosine_pairs": (q_cosine_pairs, sql_cosine_pairs()),
+        "knn_brute": (q_knn_brute, sql_knn_brute()),
+        "lang_id": (q_lang_id, sql_lang_id()),
+        "quality": (q_quality, sql_quality()),
+        "fingerprint": (
+            q_fingerprint,
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents",
+        ),
+        "heavy_hitters": (
+            q_heavy_hitters,
+            f"""
+WITH post AS ({SQL_POSTINGS})
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM post GROUP BY term
+HAVING count(*) > (SELECT CAST(floor(count(*) * 0.05) AS BIGINT) FROM documents)
+""",
+        ),
+        "grep_lines": (
+            q_grep_lines,
+            f"""
+SELECT doc_id, CAST(e['line_no'] AS INT) AS line_no, e['line'] AS line
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(lines)),
+                               i -> {{'line_no': i, 'line': lines[i]}})) AS e
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents))
+WHERE regexp_matches(e['line'], '{GREP_PATTERN}')
+""",
+        ),
+        "line_range": (
+            q_line_range,
+            """
+SELECT doc_id,
+       array_to_string(list_slice(lines, 1, least(2, len(lines))), chr(10)) AS content,
+       CAST(len(lines) AS INT) AS total_lines,
+       CAST(least(2, len(lines)) AS INT) AS lines_returned
+FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
+""",
+        ),
+        "symbol_docs": (
+            q_symbol_docs,
+            "SELECT doc_id, source FROM documents "
+            "WHERE lang = 'en' AND contains(text, 'spark')",
         ),
     }

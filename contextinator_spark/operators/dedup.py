@@ -1,0 +1,230 @@
+"""Deduplication operators (reference A1 `node_collector.py:57-118` + the
+training-data-pipeline extensions the brief requires).
+
+All variants are declarative DataFrame plans (Catalyst-optimizable); the
+only Python is the SimHash pandas UDF (bit-twiddling over Arrow batches).
+Every hash primitive (sha256 / md5) is SQL-reproducible so each operator
+has a DuckDB oracle twin in entry_queries.py.
+
+Scale notes (100 TB):
+- exact_dedup: one window over sha2(content) — shuffle on the hash, skew
+  impossible (hash keys uniform) beyond true duplicate explosion.
+- minhash: signatures are per-row column math (no shuffle); LSH banding
+  shuffles (band_idx, band_val) — heavy buckets = true near-dup clusters;
+  candidate pairs are emitted per bucket, so a pathological bucket is
+  bounded by cluster size, and downstream jaccard verification is a
+  co-located join on the bucket.
+- ngram_jaccard: the shingle self-join explodes on common shingles — use
+  it as the VERIFIER for LSH candidates, not standalone, at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..config import (
+    MINHASH_BAND_SIZE,
+    MINHASH_NUM_PERM,
+    SHINGLE_SIZE,
+)
+from ..functions.tokenize import tokens_expr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (A1): first-wins by explicit deterministic order
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_col: str = "content", order_cols: list[str] | None = None) -> DataFrame:
+    """Keep the first row per sha256(content); order pinned for determinism
+    (reference keeps arbitrary first-seen — SURVEY.md A1 pins lexicographic).
+    Adds `n_duplicates` = number of dropped copies."""
+    order_cols = order_cols or ["doc_id"]
+    h = F.sha2(F.col(content_col), 256)
+    w = Window.partitionBy("h").orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        df.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_duplicates", F.count(F.lit(1)).over(Window.partitionBy("h")) - 1)
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumnRenamed("h", "content_sha256")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles_expr(tokens_col, k: int = SHINGLE_SIZE):
+    """k-word shingles as strings; empty array when fewer than k tokens."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.when(
+        F.size(c) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(c) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(c, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(df: DataFrame, content_col: str = "content",
+                      num_perm: int = MINHASH_NUM_PERM, k: int = SHINGLE_SIZE) -> DataFrame:
+    """Adds sig_0..sig_{P-1}: min over shingles of md5(f'{p}:{shingle}').
+
+    md5-hex min (fixed-length lowercase hex ⇒ lexicographic = numeric) keeps
+    the signature reproducible in ANSI SQL for the oracle.
+    """
+    sh = shingles_expr(tokens_expr(content_col), k)
+    out = df.withColumn("_shingles", sh)
+
+    def hasher(p: int):
+        # NOTE: must be a 1-arg lambda — a 2-arg lambda is interpreted by
+        # F.transform as the (element, index) variant
+        prefix = f"{p}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    for p in range(num_perm):
+        out = out.withColumn(
+            f"sig_{p}", F.array_min(F.transform(F.col("_shingles"), hasher(p)))
+        )
+    return out.drop("_shingles")
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id",
+              num_perm: int = MINHASH_NUM_PERM, band_size: int = MINHASH_BAND_SIZE) -> DataFrame:
+    """(doc_id, band_idx, band_val) — long-format LSH buckets."""
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"sig_{j * band_size + r}") for r in range(band_size)])
+                ).alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return (
+        sig_df.filter(F.col("sig_0").isNotNull())  # docs with ≥k tokens
+        .select(F.col(id_col).alias("doc_id"), F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    )
+
+
+def minhash_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) sharing any LSH bucket."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verifier for LSH candidates; standalone at small scale)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, content_col: str = "content",
+                        id_col: str = "doc_id", k: int = SHINGLE_SIZE,
+                        threshold: float = 0.0) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct k-shingle sets, via a
+    shared-shingle equi-join + distinct-count aggregation."""
+    sh = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_expr(tokens_expr(content_col), k)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, tf-weighted, md5-derived token hashes)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(T.StringType())
+def simhash64_udf(tokens: pd.Series) -> pd.Series:
+    """16-hex-char SimHash. Token hash = first 16 hex chars of md5 (so the
+    DuckDB oracle can reproduce it); weight = term frequency; bit set when
+    the weighted sum is >= 0."""
+    out = []
+    for toks in tokens:
+        if toks is None or len(toks) == 0:
+            out.append("0" * 16)
+            continue
+        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        hs = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in vals], dtype=np.uint64
+        )
+        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        w = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
+        sig_bits = (w.sum(axis=0) >= 0).astype(np.uint64)
+        sig = np.bitwise_or.reduce(sig_bits << np.arange(64, dtype=np.uint64))
+        out.append(f"{int(sig):016x}")
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), simhash64_udf(tokens_expr(content_col)).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a, b):
+    """Exact double-precision cosine of two float-array columns (columnar)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_dup_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id_a, id_b, cos) for all pairs with cosine ≥ threshold.
+
+    Brute self-join — correct baseline; the scale path buckets candidates
+    first (similarity.lsh_buckets) and verifies with this expression.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -216,10 +216,41 @@ def write_index(
     todo = sorted((all_parts - done) & (only_partitions or all_parts))
     t0 = time.perf_counter()
 
+    # ONE tokenization pass feeds doc_meta, dictionary and slices.
+    # (At 100 TB, persisting the token arrays trades memory/disk for not
+    # running the Arrow tokenize UDF three times — MEMORY_AND_DISK default.)
+    from pyspark.storagelevel import StorageLevel
+
+    extra = [c for c in ("repo", "path", "lang") if c in corpus.columns]
+    enriched = (
+        corpus.withColumn("tokens", tokens_udf(F.col("content")))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .select(F.col(id_col).alias("doc_id"), *extra, "content_sha256", "tokens")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
     if not done:  # first epoch also writes doc_meta + stats
-        meta = build_doc_meta(corpus, id_col=id_col)
+        from pyspark.sql import Observation
+
+        obs = Observation("collection_stats")
+        meta = enriched.select(
+            "doc_id", F.size("tokens").cast("int").alias("doc_len"), *extra, "content_sha256"
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_len").alias("total_terms"),
+        )
+        # observe(): stats ride the write job — no second scan
         meta.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta"))
-        stats = collection_stats_row(spark.read.parquet(os.path.join(index_dir, "doc_meta")))
+        g = obs.get
+        stats = {
+            "n_docs": int(g["n_docs"]),
+            "avgdl": float(g["avgdl"]),
+            "max_doc_id": int(g["max_doc_id"]),
+            "total_terms": int(g["total_terms"]),
+        }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
     else:
@@ -227,13 +258,17 @@ def write_index(
             stats = json.load(f)
 
     if todo:
-        # persist the tokenized postings: dictionary + slices both consume it
-        # (without this, the Arrow tokenize UDF + explode + agg run twice)
-        pdl = postings_with_dl(corpus, id_col=id_col).persist()
+        pdl = (
+            enriched.select(
+                "doc_id", F.size("tokens").cast("int").alias("dl"), F.explode("tokens").alias("term")
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .persist()
+        )
         tdict = term_dictionary(pdl, n_partitions).persist()
         part_filter = F.col("partition_id").isin(todo)
-        tdict_w = tdict.filter(part_filter)
-        tdict_w.write.mode("append").partitionBy("partition_id").parquet(
+        tdict.filter(part_filter).write.mode("append").partitionBy("partition_id").parquet(
             os.path.join(index_dir, "terms")
         )
         slices = build_slices(
@@ -262,6 +297,7 @@ def write_index(
             F.lit(f"build@epoch={epoch};src=corpus").alias("lineage"),
         )
         cat.write.mode("append").parquet(_catalog_path(index_dir))
+    enriched.unpersist()
 
     return {
         "built_partitions": todo,
