@@ -70,9 +70,14 @@ def probe_dictionary(
 
     terms = sorted(set(terms))
     pids = sorted({term_partition(t, n_partitions) for t in terms})
+    base = spark.read.parquet(os.path.join(index_dir, "terms"))
+    delta_path = os.path.join(index_dir, "terms_delta")
+    if os.path.exists(delta_path):  # streaming-ingest deltas (df/cf additive)
+        base = base.unionByName(spark.read.parquet(delta_path))
     tdict = (
-        spark.read.parquet(os.path.join(index_dir, "terms"))
-        .filter(F.col("partition_id").isin(pids) & F.col("term").isin(terms))
+        base.filter(F.col("partition_id").isin(pids) & F.col("term").isin(terms))
+        .groupBy("term", "partition_id")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .collect()
     )
     return {r["term"]: {"df": r["df"], "cf": r["cf"], "partition_id": r["partition_id"]} for r in tdict}

@@ -324,6 +324,12 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
         d = np.concatenate(ds)
         t = np.concatenate(ts)
         l = np.concatenate(ls)
+        # base-build slices are range-disjoint in slice_id order, but
+        # streaming-ingest deltas (ingest.py) may interleave doc ranges —
+        # re-sort when needed so the merged blob stays strictly increasing
+        if d.size > 1 and not (np.diff(d) > 0).all():
+            order = np.argsort(d, kind="stable")
+            d, t, l = d[order], t[order], l[order]
         return pd.DataFrame(
             {
                 "term": [grp["term"].iloc[0]],
