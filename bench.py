@@ -63,6 +63,10 @@ def main() -> None:
             ).withColumn(
                 "doc_id", F.col("doc_id") * amplify + F.col("rep")
             ).drop("rep")
+            # a real 100 TB corpus has thousands of input splits; the
+            # amplified one inherits the tiny source file's 1-2 partitions
+            # and would serialize every UDF stage without this
+            corpus = corpus.repartition(4 * int(cpus))
         n_files = corpus.count()  # warms scan + JVM; excluded from build time
 
         t0 = time.perf_counter()

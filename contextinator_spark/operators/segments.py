@@ -46,7 +46,6 @@ from ..config import (
     HEAVY_SALT_FANOUT,
     INDEX_PARTITIONS,
 )
-from ..functions.tokenize import tokens_udf
 from .compress import block_max, encode_postings
 
 _ENC_TYPE = T.StructType(
@@ -69,33 +68,40 @@ _ENC_TYPE = T.StructType(
 
 
 @pandas_udf(_ENC_TYPE)
-def _encode_udf(plists: pd.Series) -> pd.DataFrame:
-    """array<struct<doc_id,tf,dl>> (sorted) → (blob, block_max).
+def _encode_udf(docs: pd.Series, tfs_col: pd.Series, dls_col: pd.Series) -> pd.DataFrame:
+    """Three primitive arrays (sorted by doc_id) → (blob, block_max).
 
-    Outer loop is per TERM-SLICE (one iteration per posting list); inner
-    work is numpy over the whole list — the applyInPandas idiom without the
-    per-group shuffle overhead.
+    Struct fields are extracted JVM-side (`plist.doc_id` etc.) before the
+    UDF, so Arrow delivers numpy int arrays directly — no per-posting
+    Python object conversion. Outer loop is per TERM-SLICE; inner work is
+    numpy over the whole list.
     """
     blobs, bms = [], []
-    for plist in plists:
-        arr = np.asarray([(p["doc_id"], p["tf"], p["dl"]) for p in plist], dtype=np.int64)
-        doc_ids, tfs, dls = arr[:, 0], arr[:, 1], arr[:, 2]
+    for d, t, l in zip(docs, tfs_col, dls_col):
+        doc_ids = np.asarray(d, dtype=np.int64)
+        tfs = np.asarray(t, dtype=np.int64)
+        dls = np.asarray(l, dtype=np.int64)
         blobs.append(encode_postings(doc_ids, tfs, dls))
         bms.append(block_max(doc_ids, tfs, dls, BLOCK_SIZE))
     return pd.DataFrame({"blob": blobs, "block_max": bms})
 
 
 def postings_with_dl(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(term, doc_id, tf, dl) in one pass — dl from size(tokens), no join."""
+    """(term, doc_id, tf, dl) with ZERO shuffle: the (doc, term) aggregation
+    happens inside the Arrow UDF (doc-local by definition), so the plan is
+    scan → project → explode — postings stream straight into the slice
+    shuffle."""
+    from ..functions.tokenize import termfreq_udf
+
+    tf = termfreq_udf(F.col("content"))
     return (
-        corpus.withColumn("tokens", tokens_udf(F.col("content")))
+        corpus.select(F.col(id_col).alias("doc_id"), tf.alias("_tf"))
         .select(
-            F.col(id_col).alias("doc_id"),
-            F.size("tokens").cast("int").alias("dl"),
-            F.explode("tokens").alias("term"),
+            "doc_id",
+            F.col("_tf.dl").alias("dl"),
+            F.explode("_tf.pairs").alias("p"),
         )
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
     )
 
 
@@ -144,7 +150,8 @@ def build_slices(
         F.count(F.lit(1)).alias("df_slice"),
         F.sum("tf").alias("cf_slice"),
     )
-    enc = _encode_udf(F.col("plist"))
+    # struct-field extraction stays JVM-side; the UDF sees primitive arrays
+    enc = _encode_udf(F.col("plist.doc_id"), F.col("plist.tf"), F.col("plist.dl"))
     return slices.select(
         "term",
         "slice_id",
@@ -216,16 +223,29 @@ def write_index(
     todo = sorted((all_parts - done) & (only_partitions or all_parts))
     t0 = time.perf_counter()
 
-    # ONE tokenization pass feeds doc_meta, dictionary and slices.
-    # (At 100 TB, persisting the token arrays trades memory/disk for not
-    # running the Arrow tokenize UDF three times — MEMORY_AND_DISK default.)
+    # ONE tokenize+termfreq pass feeds doc_meta, dictionary and slices.
+    # (At 100 TB, persisting the per-doc term-frequency pairs trades
+    # memory/disk for not running the Arrow UDF three times.)
     from pyspark.storagelevel import StorageLevel
+    from ..functions.tokenize import termfreq_udf
+
+    # guard against under-partitioned inputs (a single small parquet file
+    # would otherwise serialize the whole tokenize stage on 1-2 tasks)
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(2 * par)
 
     extra = [c for c in ("repo", "path", "lang") if c in corpus.columns]
     enriched = (
-        corpus.withColumn("tokens", tokens_udf(F.col("content")))
+        corpus.withColumn("_tf", termfreq_udf(F.col("content")))
         .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        .select(F.col(id_col).alias("doc_id"), *extra, "content_sha256", "tokens")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            *extra,
+            "content_sha256",
+            F.col("_tf.dl").alias("dl"),
+            F.col("_tf.pairs").alias("pairs"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -234,7 +254,7 @@ def write_index(
 
         obs = Observation("collection_stats")
         meta = enriched.select(
-            "doc_id", F.size("tokens").cast("int").alias("doc_len"), *extra, "content_sha256"
+            "doc_id", F.col("dl").alias("doc_len"), *extra, "content_sha256"
         ).observe(
             obs,
             F.count(F.lit(1)).alias("n_docs"),
@@ -259,11 +279,8 @@ def write_index(
 
     if todo:
         pdl = (
-            enriched.select(
-                "doc_id", F.size("tokens").cast("int").alias("dl"), F.explode("tokens").alias("term")
-            )
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            enriched.select("doc_id", "dl", F.explode("pairs").alias("p"))
+            .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
             .persist()
         )
         tdict = term_dictionary(pdl, n_partitions).persist()

@@ -54,18 +54,9 @@ def start_incremental_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        from ..functions.tokenize import tokens_udf
+        from ..operators.segments import postings_with_dl
 
-        pdl = (
-            batch_df.withColumn("tokens", tokens_udf(F.col("content")))
-            .select(
-                F.col(id_col).alias("doc_id"),
-                F.size("tokens").cast("int").alias("dl"),
-                F.explode("tokens").alias("term"),
-            )
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        )
+        pdl = postings_with_dl(batch_df, id_col=id_col)
         tdict = term_dictionary(pdl, n_partitions)
         slices = build_slices(
             pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
