@@ -275,6 +275,50 @@ def q_symbol_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# segment-store executor + chunker round-trip
+# ---------------------------------------------------------------------------
+
+def _cached_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the compressed segment index for sf_dir's documents."""
+    import hashlib as _h
+    import os as _os
+
+    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache")
+    d = _os.path.join(root, _h.md5(sf_dir.encode()).hexdigest()[:12])
+    if not _os.path.exists(_os.path.join(d, "stats.json")):
+        from .operators.segments import write_index
+
+        _os.makedirs(d, exist_ok=True)
+        write_index(spark, _docs(spark, sf_dir), d, id_col="doc_id")
+    return d
+
+
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k from the compressed segment store with block-max pruning —
+    same oracle as bm25_topk because pruning is bit-identical (tested)."""
+    from .operators.bm25_segments import topk_segments
+
+    return topk_segments(spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunker output over the corpus adapter (not SQL-expressible —
+    driver records the rows-only check; pytest holds the real invariants)."""
+    from .operators.chunker import chunk_corpus
+    from .sources.corpus import documents_as_corpus
+
+    return chunk_corpus(documents_as_corpus(spark, sf_dir).drop("doc_id"))
+
+
+def q_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk → reconstruct round trip; oracle = the original table."""
+    from .operators.chunker import chunk_corpus, reconstruct_files
+    from .sources.corpus import documents_as_corpus
+
+    return reconstruct_files(chunk_corpus(documents_as_corpus(spark, sf_dir).drop("doc_id")))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL for the families above (DuckDB dialect, exact mirrors)
 # ---------------------------------------------------------------------------
 SQL_TOKS_CTE = f"toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)"
@@ -500,5 +544,13 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
             q_symbol_docs,
             "SELECT doc_id, source FROM documents "
             "WHERE lang = 'en' AND contains(text, 'spark')",
+        ),
+        "bm25_wand": (q_bm25_wand, sql_bm25_topk()),
+        "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
+        "reconstruct": (
+            q_reconstruct,
+            "SELECT source AS repo, "
+            "concat('docs/', source, '/', CAST(doc_id AS VARCHAR), '.txt') AS path, "
+            "text AS content FROM documents",
         ),
     }
