@@ -249,7 +249,18 @@ def write_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    pdl = tdict = None
+    if todo:
+        pdl = (
+            enriched.select("doc_id", "dl", F.explode("pairs").alias("p"))
+            .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+            .persist()
+        )
+        tdict = term_dictionary(pdl, n_partitions).persist()
+
     if not done:  # first epoch also writes doc_meta + stats
+        import threading
+
         from pyspark.sql import Observation
 
         obs = Observation("collection_stats")
@@ -262,8 +273,22 @@ def write_index(
             F.max("doc_id").alias("max_doc_id"),
             F.sum("doc_len").alias("total_terms"),
         )
+
+        # overlap two independent jobs: doc_meta write (+observed stats)
+        # and the dictionary write — both consume the persisted `enriched`;
+        # the slice build needs BOTH (stats for salting, tdict for heavy
+        # detection), so this is the only overlappable pair
+        def _write_terms():
+            if todo:
+                tdict.filter(F.col("partition_id").isin(todo)).write.mode("append").partitionBy(
+                    "partition_id"
+                ).parquet(os.path.join(index_dir, "terms"))
+
+        th = threading.Thread(target=_write_terms)
+        th.start()
         # observe(): stats ride the write job — no second scan
         meta.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta"))
+        th.join()
         g = obs.get
         stats = {
             "n_docs": int(g["n_docs"]),
@@ -276,18 +301,13 @@ def write_index(
     else:
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
+        if todo:
+            tdict.filter(F.col("partition_id").isin(todo)).write.mode("append").partitionBy(
+                "partition_id"
+            ).parquet(os.path.join(index_dir, "terms"))
 
     if todo:
-        pdl = (
-            enriched.select("doc_id", "dl", F.explode("pairs").alias("p"))
-            .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-            .persist()
-        )
-        tdict = term_dictionary(pdl, n_partitions).persist()
         part_filter = F.col("partition_id").isin(todo)
-        tdict.filter(part_filter).write.mode("append").partitionBy("partition_id").parquet(
-            os.path.join(index_dir, "terms")
-        )
         slices = build_slices(
             pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
         ).filter(part_filter)
