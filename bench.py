@@ -42,7 +42,11 @@ BENCH_QUERIES: dict[int, list[str]] = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
+    out_dir = (
+        "/dev/shm/contextinator_bench"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_tmp")
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     index_dir = os.path.join(out_dir, "index")
     os.makedirs(index_dir, exist_ok=True)
@@ -58,15 +62,16 @@ def main() -> None:
         if amplify > 1:
             from pyspark.sql import functions as F
 
-            corpus = corpus.withColumn(
+            # repartition the SMALL table first, then explode per-partition:
+            # the amplified rows are born distributed (a real 100 TB corpus
+            # has thousands of input splits) and never shuffled — exploding
+            # first would funnel the full amplified corpus through the tiny
+            # source file's 1-2 map tasks
+            corpus = corpus.repartition(4 * int(cpus)).withColumn(
                 "rep", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1)))
             ).withColumn(
                 "doc_id", F.col("doc_id") * amplify + F.col("rep")
             ).drop("rep")
-            # a real 100 TB corpus has thousands of input splits; the
-            # amplified one inherits the tiny source file's 1-2 partitions
-            # and would serialize every UDF stage without this
-            corpus = corpus.repartition(4 * int(cpus))
         n_files = corpus.count()  # warms scan + JVM; excluded from build time
 
         t0 = time.perf_counter()

@@ -43,6 +43,13 @@ BLOCK_SIZE = 128  # postings per block-max block (SURVEY.md §4 item 4)
 # build, merged in a second phase (north_star: 'def', 'import' class terms).
 HEAVY_DF_FRACTION = 0.05
 HEAVY_SALT_FANOUT = 8
+# the salt factor SCALES with term frequency (north_star: heavy hitters like
+# 'def'/'import'): a heavy term gets max(HEAVY_SALT_FANOUT, df/SLICE_TARGET)
+# range slices so no single posting-list group ever exceeds ~64k postings —
+# the invariant that keeps both the build's collect_list groups and the
+# query's per-slice decode bounded at 10^12-file scale.
+SLICE_TARGET_POSTINGS = 65536
+MAX_SALT_FANOUT = 4096
 
 # --- dedup ------------------------------------------------------------------
 MINHASH_NUM_PERM = 16          # signature length
@@ -55,7 +62,17 @@ COSINE_DUP_THRESHOLD = 0.95
 
 # --- partitioning -----------------------------------------------------------
 DEFAULT_SHUFFLE_PARTITIONS = 32
-INDEX_PARTITIONS = 32          # term-hash partitions of the segment store
+# term-hash partitions of the segment store. Finer partitioning = finer
+# query-side pruning: a q-term query reads ~q/INDEX_PARTITIONS of the
+# index (each term's postings live in exactly one partition dir). At 100 TB
+# this would be thousands; 128 keeps sf-scale files reasonable while making
+# pruned scans cheap.
+INDEX_PARTITIONS = 128
+# decode/score parallelism: when the matched posting volume exceeds this,
+# the executor repartitions slice rows off the (file-count-bound) scan
+# stage so scoring spreads across all cores; below it the extra shuffle
+# costs more than it buys.
+QUERY_REPARTITION_MIN_DF = 50_000
 
 
 @dataclass(frozen=True)

@@ -283,8 +283,13 @@ def _cached_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import hashlib as _h
     import os as _os
 
+    from .config import BLOCK_SIZE, HEAVY_SALT_FANOUT, INDEX_PARTITIONS, SLICE_TARGET_POSTINGS
+
+    # layout-affecting config is part of the cache key: a stale index built
+    # under an older layout must rebuild, not serve wrong partitions
+    key = f"{sf_dir}|P={INDEX_PARTITIONS}|B={BLOCK_SIZE}|F={HEAVY_SALT_FANOUT}|S={SLICE_TARGET_POSTINGS}"
     root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache")
-    d = _os.path.join(root, _h.md5(sf_dir.encode()).hexdigest()[:12])
+    d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
     if not _os.path.exists(_os.path.join(d, "stats.json")):
         from .operators.segments import write_index
 

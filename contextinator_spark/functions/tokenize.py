@@ -61,27 +61,26 @@ def token_count_expr(col: Column | str) -> Column:
 _TF_TYPE = T.StructType(
     [
         T.StructField("dl", T.IntegerType()),
-        T.StructField(
-            "pairs",
-            T.ArrayType(
-                T.StructType(
-                    [T.StructField("term", T.StringType()), T.StructField("tf", T.IntegerType())]
-                )
-            ),
-        ),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
     ]
 )
 
 
 @pandas_udf(_TF_TYPE)
 def termfreq_udf(content: pd.Series) -> pd.DataFrame:
-    """Per-doc (doc_len, [(term, tf)…]) in one Arrow pass.
+    """Per-doc (doc_len, terms[], tfs[]) in one Arrow pass.
 
     Doing the (doc, term) aggregation INSIDE the UDF removes the
     40M-row explode→groupBy shuffle from the index build: grouping by
     (doc, term) is doc-local, so no cross-partition exchange is ever
     needed for it. Vectorized: one flat token frame per Arrow batch,
-    a single pandas groupby, then np.searchsorted row splits.
+    a single pandas groupby, then np.split row splits.
+
+    Output is two PARALLEL PRIMITIVE ARRAYS (zipped JVM-side with
+    ``arrays_zip`` where rows are needed) rather than array<struct>:
+    building one Python dict per posting and serializing struct arrays
+    measured ~2× slower than list<string>+list<int> at bench scale.
     """
     import numpy as np
 
@@ -89,7 +88,10 @@ def termfreq_udf(content: pd.Series) -> pd.DataFrame:
     lens = toks.str.len().fillna(0).astype("int64").to_numpy()
     n = len(toks)
     if lens.sum() == 0:
-        return pd.DataFrame({"dl": np.zeros(n, dtype="int32"), "pairs": [[] for _ in range(n)]})
+        empty = [[] for _ in range(n)]
+        return pd.DataFrame(
+            {"dl": np.zeros(n, dtype="int32"), "terms": empty, "tfs": [[] for _ in range(n)]}
+        )
     idx = np.repeat(np.arange(n), lens)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
     # factorize → int keys → np.unique: ~4x faster than a string groupby
@@ -99,8 +101,6 @@ def termfreq_udf(content: pd.Series) -> pd.DataFrame:
     gi = uk // len(uniques)
     gt = uniques[uk % len(uniques)]
     bounds = np.searchsorted(gi, np.arange(n + 1))
-    pairs = [
-        [{"term": gt[j], "tf": int(counts[j])} for j in range(bounds[r], bounds[r + 1])]
-        for r in range(n)
-    ]
-    return pd.DataFrame({"dl": lens.astype("int32"), "pairs": pairs})
+    terms = np.split(gt, bounds[1:-1])
+    tfs = np.split(counts.astype("int32"), bounds[1:-1])
+    return pd.DataFrame({"dl": lens.astype("int32"), "terms": terms, "tfs": tfs})

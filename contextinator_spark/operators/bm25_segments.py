@@ -40,8 +40,19 @@ from ..config import (
     BM25_K1,
     DEFAULT_TOP_K,
     INDEX_PARTITIONS,
+    QUERY_REPARTITION_MIN_DF,
     SCORE_ROUND_DECIMALS,
 )
+
+
+def _spread_slices(seg: DataFrame, spark: SparkSession, total_df: int) -> DataFrame:
+    """Scan-stage parallelism equals the number of pruned FILES (a few per
+    query term) no matter how many cores the cluster has; when the matched
+    posting volume is large, round-robin the slice rows across the cluster
+    so decode+score runs on every core. Small queries skip the shuffle."""
+    if total_df >= QUERY_REPARTITION_MIN_DF:
+        return seg.repartition(2 * spark.sparkContext.defaultParallelism)
+    return seg
 
 
 def _idf(df: float, n: float) -> float:
@@ -57,8 +68,16 @@ def load_stats(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _layout_partitions(index_dir: str, fallback: int = INDEX_PARTITIONS) -> int:
+    """The store's actual partition count (self-described in stats.json)."""
+    try:
+        return int(load_stats(index_dir).get("n_partitions", fallback))
+    except Exception:
+        return fallback
+
+
 def probe_dictionary(
-    spark: SparkSession, index_dir: str, terms: list[str], n_partitions: int = INDEX_PARTITIONS
+    spark: SparkSession, index_dir: str, terms: list[str], n_partitions: int | None = None
 ) -> dict[str, dict]:
     """term → {df, cf, partition_id}; partition-pruned scan of terms/.
 
@@ -68,6 +87,8 @@ def probe_dictionary(
     """
     from ..functions.xxhash import term_partition
 
+    if n_partitions is None:
+        n_partitions = _layout_partitions(index_dir)
     terms = sorted(set(terms))
     pids = sorted({term_partition(t, n_partitions) for t in terms})
     base = spark.read.parquet(os.path.join(index_dir, "terms"))
@@ -91,10 +112,12 @@ def topk_segments(
     k1: float = BM25_K1,
     b: float = BM25_B,
     prune: bool = True,
-    n_partitions: int = INDEX_PARTITIONS,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) from the compressed segment store."""
     stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
     n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     info = probe_dictionary(spark, index_dir, terms, n_partitions)
     matched = sorted(info)
@@ -118,6 +141,7 @@ def topk_segments(
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
         F.col("partition_id").isin(pids) & F.col("term").isin(matched)
     )
+    seg = _spread_slices(seg, spark, total_df)
 
     idf_b = dict(idf)
     ub_sum = sum(global_ub.values())
@@ -179,13 +203,15 @@ def topk_segments_multi(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    n_partitions: int = INDEX_PARTITIONS,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Batch executor: (query_id, rank, doc_id, score) for many queries in
     ONE plan — one dictionary probe for the union of terms, one pruned
     segment scan, per-query windows. This is the throughput path; per-query
     `topk_segments` is the latency path."""
     stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
     n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     all_terms = sorted({t for ts in queries.values() for t in ts})
     info = probe_dictionary(spark, index_dir, all_terms, n_partitions)
@@ -200,6 +226,7 @@ def topk_segments_multi(
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
         F.col("partition_id").isin(pids) & F.col("term").isin(matched)
     )
+    seg = _spread_slices(seg, spark, sum(info[t]["df"] for t in matched))
 
     def score_slices(pdf_iter):
         from .compress import decode_postings

@@ -27,23 +27,33 @@ _THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # 2^7 .. 2^63
 
 
 def vb_encode(values: np.ndarray) -> np.ndarray:
-    """LEB128-encode a uint64 array → uint8 array. Fully vectorized."""
+    """LEB128-encode a uint64 array → uint8 array. Fully vectorized.
+
+    Instead of materializing per-BYTE owner arrays with np.repeat (3 full
+    passes over the expanded byte stream), loop over byte POSITION j
+    (bounded by the widest value, 2-3 iterations for typical
+    delta/tf/doc_len magnitudes) with shrinking masks — ~4× faster."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
     nb = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nb += (v >= np.uint64(t)).astype(np.int64)
+    for t in _THRESHOLDS:  # thresholds ascend → short-circuit when none left
+        ge = v >= np.uint64(t)
+        if not ge.any():
+            break
+        nb += ge
     offs = np.concatenate(([0], np.cumsum(nb)[:-1]))
-    total = int(nb.sum())
-    pos = np.arange(total, dtype=np.int64)
-    owner_offs = np.repeat(offs, nb)
-    k = pos - owner_offs                       # byte index within each value
-    vals = np.repeat(v, nb)
-    owner_nb = np.repeat(nb, nb)
-    b = (vals >> (7 * k).astype(np.uint64)) & np.uint64(0x7F)
-    cont = (k < owner_nb - 1).astype(np.uint64) << np.uint64(7)
-    return (b | cont).astype(np.uint8)
+    out = np.empty(int(nb.sum()), dtype=np.uint8)
+    if int(nb.max()) == 1:  # all values < 128: bytes are the values
+        out[:] = v
+        return out
+    for j in range(int(nb.max())):
+        m = nb > j
+        vm = v[m] >> np.uint64(7 * j)
+        byte = (vm & np.uint64(0x7F)).astype(np.uint8)
+        byte |= ((nb[m] - 1 > j).astype(np.uint8)) << 7  # continuation bit
+        out[offs[m] + j] = byte
+    return out
 
 
 def vb_decode(data: np.ndarray, offset: int = 0, count: int | None = None) -> tuple[np.ndarray, int]:
@@ -82,13 +92,18 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray) 
     assert doc_ids_i.size == 0 or bool(np.all(np.diff(doc_ids_i) > 0)), "docIDs must be strictly increasing"
     doc_ids = doc_ids_i.astype(np.uint64)
     deltas = np.diff(doc_ids, prepend=np.uint64(0))
-    parts = [
-        vb_encode(np.array([doc_ids.size], dtype=np.uint64)),
-        vb_encode(deltas),
-        vb_encode(np.asarray(tfs, dtype=np.uint64)),
-        vb_encode(np.asarray(doc_lens, dtype=np.uint64)),
-    ]
-    return np.concatenate(parts).tobytes()
+    # ONE fused vb_encode call: LEB128 is per-value, so encoding the
+    # concatenated value stream is byte-identical to concatenating
+    # per-section encodings — same blob layout, 1/4 the fixed overhead
+    fused = np.concatenate(
+        (
+            np.array([doc_ids.size], dtype=np.uint64),
+            deltas,
+            np.asarray(tfs, dtype=np.uint64),
+            np.asarray(doc_lens, dtype=np.uint64),
+        )
+    )
+    return vb_encode(fused).tobytes()
 
 
 def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -110,14 +125,14 @@ def block_max(doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray,
               block_size: int = BLOCK_SIZE) -> list[dict]:
     """Per-block (upper_doc, max_tf, min_dl) for WAND/MaxScore bounds."""
     n = doc_ids.size
-    out = []
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        out.append(
-            {
-                "upper_doc": int(doc_ids[e - 1]),
-                "max_tf": int(tfs[s:e].max()),
-                "min_dl": int(doc_lens[s:e].min()),
-            }
-        )
-    return out
+    if n == 0:
+        return []
+    starts = np.arange(0, n, block_size)
+    ends = np.minimum(starts + block_size, n)
+    upper = np.asarray(doc_ids)[ends - 1]
+    max_tf = np.maximum.reduceat(np.asarray(tfs), starts)
+    min_dl = np.minimum.reduceat(np.asarray(doc_lens), starts)
+    return [
+        {"upper_doc": int(u), "max_tf": int(mt), "min_dl": int(md)}
+        for u, mt, md in zip(upper, max_tf, min_dl)
+    ]

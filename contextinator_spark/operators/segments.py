@@ -38,13 +38,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
-
 from ..config import (
     BLOCK_SIZE,
     HEAVY_DF_FRACTION,
     HEAVY_SALT_FANOUT,
     INDEX_PARTITIONS,
+    MAX_SALT_FANOUT,
+    SLICE_TARGET_POSTINGS,
 )
 from .compress import block_max, encode_postings
 
@@ -67,15 +67,9 @@ _ENC_TYPE = T.StructType(
 )
 
 
-@pandas_udf(_ENC_TYPE)
+@F.pandas_udf(_ENC_TYPE)
 def _encode_udf(docs: pd.Series, tfs_col: pd.Series, dls_col: pd.Series) -> pd.DataFrame:
-    """Three primitive arrays (sorted by doc_id) → (blob, block_max).
-
-    Struct fields are extracted JVM-side (`plist.doc_id` etc.) before the
-    UDF, so Arrow delivers numpy int arrays directly — no per-posting
-    Python object conversion. Outer loop is per TERM-SLICE; inner work is
-    numpy over the whole list.
-    """
+    """Three primitive arrays (sorted by doc_id) → (blob, block_max)."""
     blobs, bms = [], []
     for d, t, l in zip(docs, tfs_col, dls_col):
         doc_ids = np.asarray(d, dtype=np.int64)
@@ -84,6 +78,84 @@ def _encode_udf(docs: pd.Series, tfs_col: pd.Series, dls_col: pd.Series) -> pd.D
         blobs.append(encode_postings(doc_ids, tfs, dls))
         bms.append(block_max(doc_ids, tfs, dls, BLOCK_SIZE))
     return pd.DataFrame({"blob": blobs, "block_max": bms})
+
+
+_SLICE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("slice_id", T.IntegerType()),
+        T.StructField("df_slice", T.LongType()),
+        T.StructField("cf_slice", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        _ENC_TYPE["block_max"],
+        T.StructField("partition_id", T.IntegerType()),
+    ]
+)
+
+
+def _make_encode_stream(n_partitions: int):
+    """Streaming slice encoder over (term, slice_id, doc_id)-sorted input.
+
+    Receives one shuffle partition as a sequence of Arrow batches; all rows
+    of a (term, slice_id) group are contiguous (repartition on the group
+    key + sortWithinPartitions), so the encoder emits a finished
+    (blob, block_max) row at every group boundary and carries the trailing
+    partial group across batches. Memory = one group's primitive arrays in
+    the Python worker, never a JVM-side list."""
+
+    def _encode_stream(pdf_iter):
+        from ..functions.xxhash import term_partition
+
+        carry = None  # (term, slice_id, [docs...], [tfs...], [dls...])
+        out: list[dict] = []
+
+        def _emit(term, slice_id, docs, tfs, dls):
+            d = np.concatenate(docs).astype(np.int64, copy=False)
+            t = np.concatenate(tfs).astype(np.int64, copy=False)
+            l = np.concatenate(dls).astype(np.int64, copy=False)
+            out.append(
+                {
+                    "term": term,
+                    "slice_id": int(slice_id),
+                    "df_slice": int(d.size),
+                    "cf_slice": int(t.sum()),
+                    "blob": encode_postings(d, t, l),
+                    "block_max": block_max(d, t, l, BLOCK_SIZE),
+                    "partition_id": term_partition(str(term), n_partitions),
+                }
+            )
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            slices = pdf["slice_id"].to_numpy()
+            docs = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            # group boundaries within the batch
+            change = (terms[1:] != terms[:-1]) | (slices[1:] != slices[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            for s, e in zip(starts, ends):
+                key = (terms[s], slices[s])
+                if carry is not None and (carry[0], carry[1]) == key:
+                    carry[2].append(docs[s:e])
+                    carry[3].append(tfs[s:e])
+                    carry[4].append(dls[s:e])
+                    continue
+                if carry is not None:
+                    _emit(*carry)
+                carry = [terms[s], slices[s], [docs[s:e]], [tfs[s:e]], [dls[s:e]]]
+            if len(out) >= 256:
+                yield pd.DataFrame(out)
+                out = []
+        if carry is not None:
+            _emit(*carry)
+        if out:
+            yield pd.DataFrame(out)
+
+    return _encode_stream
 
 
 def postings_with_dl(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -99,9 +171,9 @@ def postings_with_dl(corpus: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(
             "doc_id",
             F.col("_tf.dl").alias("dl"),
-            F.explode("_tf.pairs").alias("p"),
+            F.explode(F.arrays_zip("_tf.terms", "_tf.tfs")).alias("p"),
         )
-        .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
+        .select("doc_id", "dl", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
     )
 
 
@@ -123,8 +195,18 @@ def build_slices(
 ) -> DataFrame:
     """Salted slice build → (term, slice_id, df_slice, cf_slice, blob, block_max, partition_id)."""
     threshold = max(1, int(heavy_df_fraction * n_docs))
-    heavy = term_dict.filter(F.col("df") > threshold).select("term").withColumn(
-        "is_heavy", F.lit(True)
+    # per-term salt factor scales with df (north_star): floor `fanout` for
+    # any heavy term, growing as df/SLICE_TARGET_POSTINGS so no slice group
+    # exceeds ~64k postings regardless of corpus size
+    heavy = term_dict.filter(F.col("df") > threshold).select(
+        "term",
+        F.least(
+            F.lit(MAX_SALT_FANOUT),
+            F.greatest(
+                F.lit(fanout),
+                F.ceil(F.col("df") / F.lit(SLICE_TARGET_POSTINGS)),
+            ),
+        ).cast("int").alias("fanout_t"),
     )
     salted = (
         postings_dl.join(F.broadcast(heavy), "term", "left")
@@ -134,23 +216,48 @@ def build_slices(
             # Engine invariant: doc_id ∈ [0, 2^62).
             "slice_id",
             F.when(
-                F.col("is_heavy").isNotNull(),
+                F.col("fanout_t").isNotNull(),
                 F.least(
-                    F.lit(fanout - 1),
+                    F.col("fanout_t") - 1,
                     F.floor(
-                        F.col("doc_id").cast("double") / F.lit(float(max_doc_id + 1)) * fanout
-                    ),
-                ).cast("int"),
+                        F.col("doc_id").cast("double")
+                        / F.lit(float(max_doc_id + 1))
+                        * F.col("fanout_t")
+                    ).cast("int"),
+                ),
             ).otherwise(F.lit(0)),
         )
-        .drop("is_heavy")
+        .drop("fanout_t")
     )
+    impl = os.environ.get("SPARK_GRAFT_SLICE_IMPL", "agg")
+    if impl == "sort":
+        # shuffle + EXTERNAL SORT + streaming encode: Tungsten's spillable
+        # sort handles arbitrarily large partitions and the Arrow encoder
+        # streams group-by-group in Python worker memory — no JVM buffer
+        # proportional to group size anywhere. Costs a string-keyed sort +
+        # per-posting Arrow transfer; kept as the fallback for corpora
+        # whose largest groups would not fit an agg buffer.
+        # numeric leading sort key: UnsafeRow radix-prefix on the hash long
+        # beats string comparisons; ties (hash collisions) break on term.
+        # partition_id is recomputed per GROUP in Python via the
+        # Spark-identical XXH64 twin — 4 fewer bytes per POSTING in Arrow.
+        spread = (
+            salted.withColumn("thash", F.xxhash64("term"))
+            .repartition("term", "slice_id")
+            .sortWithinPartitions("thash", "term", "slice_id", "doc_id")
+            .drop("thash")
+        )
+        return spread.mapInPandas(_make_encode_stream(n_partitions), schema=_SLICE_SCHEMA)
+
+    # default: JVM hash-agg collects each (term, slice) group — groups are
+    # bounded (≤ SLICE_TARGET_POSTINGS·2) by the df-scaled salt, so agg
+    # state stays small; struct fields are extracted JVM-side and the
+    # encode UDF receives primitive arrays per group.
     slices = salted.groupBy("term", "slice_id").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
         F.count(F.lit(1)).alias("df_slice"),
         F.sum("tf").alias("cf_slice"),
     )
-    # struct-field extraction stays JVM-side; the UDF sees primitive arrays
     enc = _encode_udf(F.col("plist.doc_id"), F.col("plist.tf"), F.col("plist.dl"))
     return slices.select(
         "term",
@@ -244,17 +351,25 @@ def write_index(
             *extra,
             "content_sha256",
             F.col("_tf.dl").alias("dl"),
-            F.col("_tf.pairs").alias("pairs"),
+            F.col("_tf.terms").alias("terms"),
+            F.col("_tf.tfs").alias("tfs"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     pdl = tdict = None
     if todo:
+        # persisted deliberately: the slice build's collect_list aggregation
+        # puts heavy execution-memory pressure on the unified memory manager,
+        # which evicts the `enriched` cache — an unpersisted pdl then
+        # re-tokenizes the whole corpus inside the shuffle map stage
+        # (measured 3.5× slower at local[16])
         pdl = (
-            enriched.select("doc_id", "dl", F.explode("pairs").alias("p"))
-            .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-            .persist()
+            enriched.select(
+                "doc_id", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("p")
+            )
+            .select("doc_id", "dl", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         tdict = term_dictionary(pdl, n_partitions).persist()
 
@@ -280,9 +395,14 @@ def write_index(
         # detection), so this is the only overlappable pair
         def _write_terms():
             if todo:
-                tdict.filter(F.col("partition_id").isin(todo)).write.mode("append").partitionBy(
-                    "partition_id"
-                ).parquet(os.path.join(index_dir, "terms"))
+                # repartition onto partition_id before partitionBy: each
+                # write task then emits one directory (32 clean files)
+                # instead of shuffle_partitions × |todo| fragments
+                tdict.filter(F.col("partition_id").isin(todo)).repartition(
+                    len(todo), "partition_id"
+                ).write.mode("append").partitionBy("partition_id").parquet(
+                    os.path.join(index_dir, "terms")
+                )
 
         th = threading.Thread(target=_write_terms)
         th.start()
@@ -295,6 +415,11 @@ def write_index(
             "avgdl": float(g["avgdl"]),
             "max_doc_id": int(g["max_doc_id"]),
             "total_terms": int(g["total_terms"]),
+            # the index self-describes its layout: query executors read
+            # n_partitions from here, so an index built under a different
+            # INDEX_PARTITIONS default stays readable forever
+            "n_partitions": n_partitions,
+            "block_size": BLOCK_SIZE,
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -302,18 +427,22 @@ def write_index(
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
         if todo:
-            tdict.filter(F.col("partition_id").isin(todo)).write.mode("append").partitionBy(
-                "partition_id"
-            ).parquet(os.path.join(index_dir, "terms"))
+            tdict.filter(F.col("partition_id").isin(todo)).repartition(
+                len(todo), "partition_id"
+            ).write.mode("append").partitionBy("partition_id").parquet(
+                os.path.join(index_dir, "terms")
+            )
 
     if todo:
         part_filter = F.col("partition_id").isin(todo)
         slices = build_slices(
             pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
         ).filter(part_filter)
-        slices.write.mode("append").partitionBy("partition_id").parquet(
-            os.path.join(index_dir, "segments")
-        )
+        # blobs are compact post-encode; one extra small shuffle buys a
+        # clean one-file-per-storage-partition layout for query pruning
+        slices.repartition(len(todo), "partition_id").write.mode("append").partitionBy(
+            "partition_id"
+        ).parquet(os.path.join(index_dir, "segments"))
         pdl.unpersist()
         tdict.unpersist()
         # per-partition counters from the committed data (ground truth)

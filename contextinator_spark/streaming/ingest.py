@@ -60,7 +60,12 @@ def start_incremental_ingest(
         tdict = term_dictionary(pdl, n_partitions)
         slices = build_slices(
             pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
-        ).withColumn("slice_id", F.col("slice_id") + F.lit(1000 * (int(batch_id) + 1)))
+        ).withColumn(
+            # epoch-shift keeps delta slice_ids disjoint from any base
+            # slice_id (which is < MAX_SALT_FANOUT) and from other epochs
+            "slice_id",
+            F.col("slice_id") + F.lit(1_000_000 * (int(batch_id) + 1)),
+        )
         slices.write.mode("append").partitionBy("partition_id").parquet(
             os.path.join(index_dir, "segments")
         )

@@ -3,7 +3,7 @@
 Usage:
   scripts/package.sh
   spark-submit --py-files dist/contextinator_spark.zip jobs/build_index.py \
-      --corpus /root/testdata/sf0.1 --index /tmp/idx [--partitions 32]
+      --corpus /root/testdata/sf0.1 --index /tmp/idx [--partitions 128]
 
 On a cluster, drop the local master: the same script runs under YARN/K8s —
 all parallelism decisions live in the DataFrame plan, not the script.
@@ -20,7 +20,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True, help="sf_dir with documents.parquet, or a corpus parquet path")
     ap.add_argument("--index", required=True)
-    ap.add_argument("--partitions", type=int, default=32)
+    from contextinator_spark.config import INDEX_PARTITIONS
+
+    ap.add_argument("--partitions", type=int, default=INDEX_PARTITIONS)
     ap.add_argument("--epoch", type=int, default=0)
     args = ap.parse_args()
 

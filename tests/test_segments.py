@@ -23,7 +23,9 @@ def index_dir(spark, corpus, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("index"))
     c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
     res = S.write_index(spark, c, d)
-    assert res["built_partitions"] == list(range(32))
+    from contextinator_spark.config import INDEX_PARTITIONS
+
+    assert res["built_partitions"] == list(range(INDEX_PARTITIONS))
     yield d
     shutil.rmtree(d, ignore_errors=True)
 
@@ -90,7 +92,9 @@ def test_resume_after_partial_build(spark, corpus, tmp_path_factory):
     assert r1["built_partitions"] == list(range(10))
     # simulated crash; resume builds only the rest
     r2 = S.write_index(spark, c, d, epoch=1)
-    assert r2["built_partitions"] == list(range(10, 32))
+    from contextinator_spark.config import INDEX_PARTITIONS
+
+    assert r2["built_partitions"] == list(range(10, INDEX_PARTITIONS))
     assert r2["skipped_partitions"] == list(range(10))
     # identical query results vs a clean one-shot index
     full = str(tmp_path_factory.mktemp("index_full"))
