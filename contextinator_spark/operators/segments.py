@@ -184,6 +184,156 @@ def term_dictionary(postings_dl: DataFrame, n_partitions: int = INDEX_PARTITIONS
     ).withColumn("partition_id", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int"))
 
 
+def _make_map_combine(heavy_fanout: dict, max_doc_id: int):
+    """Map-side combine: doc-major (doc_id, dl, terms[], tfs[]) batches →
+    term-major (term, slice_id, docs[], tfs[], dls[]) partial posting rows.
+
+    All vectorized: one factorize + one lexsort per Arrow batch. Heavy-term
+    salt fan-outs arrive as a closure dict (bounded: df > 5%·N admits at
+    most avg_dl/0.05 terms, ~2k for code corpora), so slice assignment
+    needs no join. Emitting ARRAYS instead of exploded rows keeps the
+    shuffle free of per-posting row overhead and the reduce side free of
+    JVM collect_list object churn (measured: the old reduce spent 17s in
+    GC per stage at 8 cores)."""
+
+    def map_combine(pdf_iter):
+        for pdf in pdf_iter:
+            toks = pdf["terms"]
+            lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+            if lens.sum() == 0:
+                continue
+            docs = np.repeat(pdf["doc_id"].to_numpy(), lens)
+            dls = np.repeat(pdf["dl"].to_numpy(), lens)
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)]
+            )
+            tfs = np.concatenate([np.asarray(t) for t in pdf["tfs"] if len(t)])
+            codes, uniq = pd.factorize(flat_terms)
+            fan = np.fromiter(
+                (heavy_fanout.get(u, 1) for u in uniq), dtype=np.int64, count=len(uniq)
+            )
+            f_per = fan[codes]
+            slc = np.zeros(docs.size, dtype=np.int64)
+            hv = f_per > 1
+            if hv.any():
+                slc[hv] = np.minimum(
+                    f_per[hv] - 1,
+                    (docs[hv].astype(np.float64) / float(max_doc_id + 1) * f_per[hv]).astype(
+                        np.int64
+                    ),
+                )
+            order = np.lexsort((docs, slc, codes))
+            c_s, s_s = codes[order], slc[order]
+            d_s, t_s, l_s = docs[order], tfs[order], dls[order]
+            change = (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            ends = np.concatenate((starts[1:], [c_s.size]))
+            yield pd.DataFrame(
+                {
+                    "term": uniq[c_s[starts]],
+                    "slice_id": s_s[starts].astype("int32"),
+                    "docs": [d_s[s:e] for s, e in zip(starts, ends)],
+                    "tfs": [t_s[s:e].astype("int32") for s, e in zip(starts, ends)],
+                    "dls": [l_s[s:e].astype("int32") for s, e in zip(starts, ends)],
+                }
+            )
+
+    return map_combine
+
+
+_COMBINE_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("slice_id", T.IntegerType()),
+        T.StructField("docs", T.ArrayType(T.LongType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("dls", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+_MERGE_TYPE = T.StructType(
+    [
+        T.StructField("df_slice", T.LongType()),
+        T.StructField("cf_slice", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        _ENC_TYPE["block_max"],
+    ]
+)
+
+
+def _make_merge_udf(n_partitions: int):
+    """Batched reduce: each input ROW is one (term, slice) group carrying
+    the list of partial arrays collected from map tasks; merge+sort+encode
+    per row, one output batch per Arrow batch (≈512 groups) — no per-group
+    DataFrame construction overhead. JVM agg state is lists of primitive
+    ARRAYS (UnsafeArrayData), not per-posting objects."""
+
+    def fn(docs_ll: pd.Series, tfs_ll: pd.Series, dls_ll: pd.Series) -> pd.DataFrame:
+        out = {"df_slice": [], "cf_slice": [], "blob": [], "block_max": []}
+        for docs, tfs, dls in zip(docs_ll, tfs_ll, dls_ll):
+            d = np.concatenate([np.asarray(x, dtype=np.int64) for x in docs])
+            t = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs])
+            l = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls])
+            if d.size > 1 and not (np.diff(d) > 0).all():
+                order = np.argsort(d, kind="stable")
+                d, t, l = d[order], t[order], l[order]
+            out["df_slice"].append(int(d.size))
+            out["cf_slice"].append(int(t.sum()))
+            out["blob"].append(encode_postings(d, t, l))
+            out["block_max"].append(block_max(d, t, l, BLOCK_SIZE))
+        return pd.DataFrame(out)
+
+    return F.pandas_udf(fn, returnType=_MERGE_TYPE)
+
+
+def build_slices_combine(
+    enriched: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    max_doc_id: int,
+    heavy_df_fraction: float = HEAVY_DF_FRACTION,
+    fanout: int = HEAVY_SALT_FANOUT,
+    n_partitions: int = INDEX_PARTITIONS,
+) -> DataFrame:
+    """Two-phase slice build from doc-major `enriched` rows
+    (doc_id, dl, terms[], tfs[]): map-side combine → array shuffle →
+    per-(term, slice) merge+encode."""
+    threshold = max(1, int(heavy_df_fraction * n_docs))
+    heavy_rows = (
+        term_dict.filter(F.col("df") > threshold)
+        .select(
+            "term",
+            F.least(
+                F.lit(MAX_SALT_FANOUT),
+                F.greatest(F.lit(fanout), F.ceil(F.col("df") / F.lit(SLICE_TARGET_POSTINGS))),
+            ).cast("int").alias("fanout_t"),
+        )
+        .collect()
+    )
+    heavy_fanout = {r["term"]: int(r["fanout_t"]) for r in heavy_rows}
+    partial = enriched.select("doc_id", "dl", "terms", "tfs").mapInPandas(
+        _make_map_combine(heavy_fanout, max_doc_id), schema=_COMBINE_SCHEMA
+    )
+    grouped = partial.groupBy("term", "slice_id").agg(
+        F.collect_list("docs").alias("docs_ll"),
+        F.collect_list("tfs").alias("tfs_ll"),
+        F.collect_list("dls").alias("dls_ll"),
+    )
+    enc = _make_merge_udf(n_partitions)(
+        F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")
+    )
+    return grouped.select(
+        "term",
+        "slice_id",
+        enc["df_slice"].alias("df_slice"),
+        enc["cf_slice"].alias("cf_slice"),
+        enc["blob"].alias("blob"),
+        enc["block_max"].alias("block_max"),
+        F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
+    )
+
+
 def build_slices(
     postings_dl: DataFrame,
     term_dict: DataFrame,
@@ -357,20 +507,19 @@ def write_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    impl = os.environ.get("SPARK_GRAFT_SLICE_IMPL", "combine")
     pdl = tdict = None
     if todo:
-        # persisted deliberately: the slice build's collect_list aggregation
-        # puts heavy execution-memory pressure on the unified memory manager,
-        # which evicts the `enriched` cache — an unpersisted pdl then
-        # re-tokenizes the whole corpus inside the shuffle map stage
-        # (measured 3.5× slower at local[16])
         pdl = (
             enriched.select(
                 "doc_id", "dl", F.explode(F.arrays_zip("terms", "tfs")).alias("p")
             )
             .select("doc_id", "dl", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if impl != "combine":
+            # the row-explode slice impls scan pdl a second time; persisted
+            # so the slice build's agg pressure can't force re-tokenization
+            pdl = pdl.persist(StorageLevel.MEMORY_AND_DISK)
         tdict = term_dictionary(pdl, n_partitions).persist()
 
     if not done:  # first epoch also writes doc_meta + stats
@@ -435,15 +584,21 @@ def write_index(
 
     if todo:
         part_filter = F.col("partition_id").isin(todo)
-        slices = build_slices(
-            pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
-        ).filter(part_filter)
+        if impl == "combine":
+            slices = build_slices_combine(
+                enriched, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
+            ).filter(part_filter)
+        else:
+            slices = build_slices(
+                pdl, tdict, stats["n_docs"], stats["max_doc_id"], n_partitions=n_partitions
+            ).filter(part_filter)
         # blobs are compact post-encode; one extra small shuffle buys a
         # clean one-file-per-storage-partition layout for query pruning
         slices.repartition(len(todo), "partition_id").write.mode("append").partitionBy(
             "partition_id"
         ).parquet(os.path.join(index_dir, "segments"))
-        pdl.unpersist()
+        if impl != "combine":
+            pdl.unpersist()
         tdict.unpersist()
         # per-partition counters from the committed data (ground truth)
         seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(

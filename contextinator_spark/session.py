@@ -52,9 +52,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Arrow: all pandas UDFs ride vectorized batches.
+        # this engine's reduce stages are compute-heavy per shuffle byte
+        # (posting-list agg + encode UDFs): the 64MB default advisory made
+        # AQE coalesce the slice build to ~12 fat tasks whose collect_list
+        # state blew the heap (17s GC per stage). 8MB keeps reduce tasks
+        # small, bounded, and numerous enough to fill every core.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
+        # Arrow: all pandas UDFs ride vectorized batches. 512 (not 4096):
+        # slice-build rows carry whole posting ARRAYS — 4096 of them is a
+        # ~260MB batch buffered JVM-side and Python-side simultaneously.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         # parquet scan sizing for ~100TB inputs: bigger splits, fewer tasks
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.compression.codec", "zstd")

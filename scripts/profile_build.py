@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+_LEVEL = getattr(StorageLevel, os.environ.get("PDL_LEVEL", "MEMORY_AND_DISK"))
+
 from contextinator_spark.entry_queries import _docs
 from contextinator_spark.functions.tokenize import termfreq_udf
 from contextinator_spark.operators import segments as S
@@ -56,7 +58,7 @@ def main() -> None:
             F.col("_tf.terms").alias("terms"),
             F.col("_tf.tfs").alias("tfs"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(_LEVEL)
     )
     enriched.count()
     t["tokenize_persist"] = time.perf_counter() - t0
@@ -73,16 +75,21 @@ def main() -> None:
         .select("doc_id", "dl", F.col("p.terms").alias("term"), F.col("p.tfs").alias("tf"))
     )
     if os.environ.get("PERSIST_PDL") == "1":
-        pdl = pdl.persist(StorageLevel.MEMORY_AND_DISK)
+        pdl = pdl.persist(_LEVEL)
     tdict = S.term_dictionary(pdl).persist()
     tdict.repartition(32, "partition_id").write.mode("overwrite").partitionBy(
         "partition_id"
     ).parquet(os.path.join(out, "terms"))
     t["dictionary"] = time.perf_counter() - t0
 
-    stats = {"n_docs": n, "max_doc_id": n * amplify + amplify}
+    # doc_id = orig_id*amplify + rep < n + amplify (NOT n*amplify: that
+    # estimate collapsed every range slice to 0 — no salting at all)
+    stats = {"n_docs": n, "max_doc_id": n + amplify}
     t0 = time.perf_counter()
-    slices = S.build_slices(pdl, tdict, stats["n_docs"], stats["max_doc_id"])
+    if os.environ.get("SPARK_GRAFT_SLICE_IMPL", "combine") == "combine":
+        slices = S.build_slices_combine(enriched, tdict, stats["n_docs"], stats["max_doc_id"])
+    else:
+        slices = S.build_slices(pdl, tdict, stats["n_docs"], stats["max_doc_id"])
     if os.environ.get("PROFILE_SLICES") == "count":
         # force blob + block_max computation (count() would column-prune
         # the encode UDF away) without the repartition+write tail
