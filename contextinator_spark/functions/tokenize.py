@@ -49,8 +49,13 @@ def tokens_udf(content: pd.Series) -> pd.Series:
 
 @pandas_udf(T.IntegerType())
 def token_count_udf(content: pd.Series) -> pd.Series:
-    """Number of BM25 terms per document (doc_len), vectorized."""
-    return content.str.lower().str.count(TOKEN_PATTERN).astype("int32")
+    """Number of BM25 terms per document (doc_len), vectorized.
+
+    Byte-level run counting (bytetok) — no token strings materialized;
+    non-ASCII rows fall back to the regex path inside the kernel."""
+    from .bytetok import batch_token_counts
+
+    return pd.Series(batch_token_counts(content).astype("int32"))
 
 
 def token_count_expr(col: Column | str) -> Column:

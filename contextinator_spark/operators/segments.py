@@ -241,6 +241,131 @@ def _make_map_combine(heavy_fanout: dict, max_doc_id: int):
     return map_combine
 
 
+def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_id"):
+    """Fused tokenize + map-side combine: (doc_id, content) Arrow batches →
+    term-major (term, slice_id, docs[], tfs[], dls[]) partial posting rows.
+
+    One kernel replaces the old termfreq-UDF → persist → combine chain:
+    token arrays never cross the Arrow boundary, never sit in an
+    InMemoryRelation, and are never re-read — per-batch the flow is one
+    findall, one factorize, one lexsort, one run-length pass. Profiled on
+    this VM the old chain's tokenize+persist stage moved ~10 GB through
+    cache-build + Arrow round-trips and scaled 1.1× from 2→8 cores while
+    the raw pandas kernel scales 3.6×; fusing removes the traffic, not the
+    math. Salt fan-outs arrive as a closure dict from the sampled
+    heavy-hitter pre-pass (see sampled_heavy_fanout)."""
+    from ..functions.tokenize import TOKEN_PATTERN as _PAT
+
+    def fused(pdf_iter):
+        for pdf in pdf_iter:
+            toks = pdf["content"].str.lower().str.findall(_PAT)
+            lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+            if lens.sum() == 0:
+                continue
+            docs = np.repeat(pdf[id_col].to_numpy(), lens)
+            dls = np.repeat(lens, lens)
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if len(t)]
+            )
+            codes, uniq = pd.factorize(flat_terms)
+            fan = np.fromiter(
+                (heavy_fanout.get(u, 1) for u in uniq), dtype=np.int64, count=len(uniq)
+            )
+            f_per = fan[codes]
+            slc = np.zeros(docs.size, dtype=np.int64)
+            hv = f_per > 1
+            if hv.any():
+                slc[hv] = np.minimum(
+                    f_per[hv] - 1,
+                    (docs[hv].astype(np.float64) / float(max_doc_id + 1) * f_per[hv]).astype(
+                        np.int64
+                    ),
+                )
+            order = np.lexsort((docs, slc, codes))
+            c_s, s_s = codes[order], slc[order]
+            d_s, l_s = docs[order], dls[order]
+            # run-length over (code, doc) = per-doc term frequency (a term's
+            # repeats within one doc are adjacent after the sort; slc is a
+            # function of (code, doc) so it can't split a run)
+            same = (c_s[1:] == c_s[:-1]) & (d_s[1:] == d_s[:-1])
+            p_starts = np.concatenate(([0], np.flatnonzero(~same) + 1))
+            tf = np.diff(np.concatenate((p_starts, [c_s.size]))).astype("int32")
+            pc, ps = c_s[p_starts], s_s[p_starts]
+            pd_docs, pd_dls = d_s[p_starts], l_s[p_starts]
+            change = (pc[1:] != pc[:-1]) | (ps[1:] != ps[:-1])
+            starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+            ends = np.concatenate((starts[1:], [pc.size]))
+            yield pd.DataFrame(
+                {
+                    "term": uniq[pc[starts]],
+                    "slice_id": ps[starts].astype("int32"),
+                    "docs": [pd_docs[s:e] for s, e in zip(starts, ends)],
+                    "tfs": [tf[s:e] for s, e in zip(starts, ends)],
+                    "dls": [pd_dls[s:e].astype("int32") for s, e in zip(starts, ends)],
+                }
+            )
+
+    return fused
+
+
+def sampled_heavy_fanout(
+    corpus: DataFrame,
+    id_col: str,
+    n_docs: int,
+    heavy_df_fraction: float = HEAVY_DF_FRACTION,
+    fanout: int = HEAVY_SALT_FANOUT,
+    df_multiplier: int = 1,
+) -> dict:
+    """Heavy-hitter terms → salt fan-out, from a deterministic hash-mod
+    sample (pmod(xxhash64(doc_id), k) == 0, k = n_docs // HEAVY_SAMPLE_TARGET).
+
+    Detection needs only approximate df (it steers slicing, never results),
+    so sampling replaces the full explode→groupBy dictionary pass the old
+    build ran before it could salt. Pure columnar tokens_expr (codegen, no
+    Python workers) + array_distinct keeps the pre-pass at ~5% of one
+    tokenize. Deterministic across runs AND parallelism levels — rebuilds
+    slice identically. k=1 (small corpora) degrades to the exact pre-pass.
+
+    `df_multiplier` supports callers whose corpus is a known replication of
+    this table (bench amplification): df_est and the threshold both scale,
+    so detection runs on the small base instead of re-scanning the blow-up.
+
+    Scale note: row-hash sampling still READS the full content column (no
+    format can prune by hash), so at 100 TB this pre-pass is one extra
+    column scan. The production path is to pass `heavy_fanout` into
+    write_index from vocabulary stats maintained at ingest time (the corpus
+    writer sees every document once anyway); this pre-pass is the
+    self-contained fallback that needs no side infrastructure."""
+    from ..config import HEAVY_SAMPLE_TARGET
+    from ..functions.tokenize import tokens_expr
+
+    n_table = max(1, n_docs // max(1, df_multiplier))
+    k = max(1, n_table // HEAVY_SAMPLE_TARGET)
+    sample = corpus
+    if k > 1:
+        sample = corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)) == 0)
+    threshold = max(1, int(heavy_df_fraction * n_docs))
+    rows = (
+        sample.select(
+            F.explode(F.array_distinct(tokens_expr(F.col("content")))).alias("term")
+        )
+        .groupBy("term")
+        .agg((F.count(F.lit(1)) * k * df_multiplier).alias("df_est"))
+        .filter(F.col("df_est") > threshold)
+        .select(
+            "term",
+            F.least(
+                F.lit(MAX_SALT_FANOUT),
+                F.greatest(
+                    F.lit(fanout), F.ceil(F.col("df_est") / F.lit(SLICE_TARGET_POSTINGS))
+                ),
+            ).cast("int").alias("fanout_t"),
+        )
+        .collect()
+    )
+    return {r["term"]: int(r["fanout_t"]) for r in rows}
+
+
 _COMBINE_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
@@ -460,8 +585,14 @@ def write_index(
     n_partitions: int = INDEX_PARTITIONS,
     only_partitions: set[int] | None = None,
     epoch: int = 0,
+    heavy_fanout: dict | None = None,
 ) -> dict:
     """Build (or resume) the segment index at index_dir.
+
+    `heavy_fanout` ({term: salt_fanout}) injects precomputed heavy-hitter
+    stats (e.g. vocabulary counters maintained at corpus-ingest time — the
+    scalable source at 100 TB, where the fallback sample pre-pass would
+    cost a second content-column scan). None → sampled_heavy_fanout.
 
     Layout:
       index_dir/terms/      term dictionary (partitioned by partition_id)
@@ -472,8 +603,160 @@ def write_index(
 
     Resume: partitions already in catalog/ are skipped; `only_partitions`
     restricts an epoch (used by tests to simulate a mid-build crash).
+
+    Default topology ("fused", SPARK_GRAFT_SLICE_IMPL to override):
+
+      pass A  corpus → (sha2, count-only token UDF) → doc_meta + stats
+              [observe() rides the write job — no second scan; no token
+               STRINGS are ever materialized in this pass]
+      pass B  sampled heavy-hitter pre-pass (columnar, ~5% of a tokenize)
+              → fused tokenize+combine mapInPandas → array shuffle →
+              per-(term, slice) merge+encode → segments/
+      post    terms/ + catalog/ derived from the WRITTEN slice rows
+              (exact df/cf = sum over slices; tiny post-encode data)
+
+    vs the previous topology this removes: the multi-GB persist of per-doc
+    token arrays (and its Arrow round-trip into the combine), the full
+    explode→groupBy dictionary shuffle, and one full corpus re-scan — the
+    three pieces profiling showed don't scale with cores.
     """
-    from .postings import doc_meta as build_doc_meta
+    impl = os.environ.get("SPARK_GRAFT_SLICE_IMPL", "fused")
+    if impl != "fused":
+        return _write_index_legacy(
+            spark, corpus, index_dir, id_col, n_partitions, only_partitions, epoch, impl
+        )
+
+    done = committed_partitions(spark, index_dir)
+    all_parts = set(range(n_partitions))
+    todo = sorted((all_parts - done) & (only_partitions or all_parts))
+    t0 = time.perf_counter()
+
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(2 * par)
+
+    extra = [c for c in ("repo", "path", "lang") if c in corpus.columns]
+    if not done:  # first epoch writes doc_meta + stats
+        from pyspark.sql import Observation
+
+        from ..functions.tokenize import token_count_udf
+
+        obs = Observation("collection_stats")
+        meta = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            token_count_udf(F.col("content")).alias("doc_len"),
+            *extra,
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_len").alias("total_terms"),
+        )
+        meta.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta"))
+        g = obs.get
+        stats = {
+            "n_docs": int(g["n_docs"]),
+            "avgdl": float(g["avgdl"]),
+            "max_doc_id": int(g["max_doc_id"]),
+            "total_terms": int(g["total_terms"]),
+            "n_partitions": n_partitions,
+            "block_size": BLOCK_SIZE,
+        }
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+    else:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+    phases = {"meta_sec": round(time.perf_counter() - t0, 2)}
+
+    if todo:
+        tp = time.perf_counter()
+        if heavy_fanout is None:
+            heavy_fanout = sampled_heavy_fanout(
+                corpus.select(F.col(id_col), "content"), id_col, stats["n_docs"]
+            )
+        phases["sample_sec"] = round(time.perf_counter() - tp, 2)
+        tp = time.perf_counter()
+        partial = corpus.select(F.col(id_col), "content").mapInPandas(
+            _make_fused_combine(heavy_fanout, stats["max_doc_id"], id_col),
+            schema=_COMBINE_SCHEMA,
+        )
+        grouped = partial.groupBy("term", "slice_id").agg(
+            F.collect_list("docs").alias("docs_ll"),
+            F.collect_list("tfs").alias("tfs_ll"),
+            F.collect_list("dls").alias("dls_ll"),
+        )
+        enc = _make_merge_udf(n_partitions)(
+            F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")
+        )
+        slices = grouped.select(
+            "term",
+            "slice_id",
+            enc["df_slice"].alias("df_slice"),
+            enc["cf_slice"].alias("cf_slice"),
+            enc["blob"].alias("blob"),
+            enc["block_max"].alias("block_max"),
+            F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
+        ).filter(F.col("partition_id").isin(todo))
+        slices.repartition(len(todo), "partition_id").write.mode("append").partitionBy(
+            "partition_id"
+        ).parquet(os.path.join(index_dir, "segments"))
+        phases["slices_sec"] = round(time.perf_counter() - tp, 2)
+        tp = time.perf_counter()
+
+        # dictionary + catalog derive from the WRITTEN slices in one read:
+        # df/cf are exact sums over slices (test_postings_invariants), and
+        # reading back committed bytes makes the counters ground truth
+        seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+            F.col("partition_id").isin(todo)
+        )
+        seg.groupBy("term", "partition_id").agg(
+            F.sum("df_slice").alias("df"), F.sum("cf_slice").alias("cf")
+        ).select("term", "df", "cf", "partition_id").repartition(
+            len(todo), "partition_id"
+        ).write.mode("append").partitionBy("partition_id").parquet(
+            os.path.join(index_dir, "terms")
+        )
+        cat = seg.groupBy("partition_id").agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("df_slice").alias("n_postings"),
+            F.sum(F.length("blob")).alias("bytes"),
+        ).select(
+            F.concat(F.lit("seg-"), F.col("partition_id").cast("string")).alias("segment_id"),
+            "partition_id",
+            "n_terms",
+            "n_postings",
+            "bytes",
+            F.lit(epoch).cast("int").alias("checkpoint_epoch"),
+            F.lit(f"build@epoch={epoch};src=corpus").alias("lineage"),
+        )
+        cat.write.mode("append").parquet(_catalog_path(index_dir))
+        phases["dict_cat_sec"] = round(time.perf_counter() - tp, 2)
+
+    return {
+        "built_partitions": todo,
+        "skipped_partitions": sorted(done),
+        "elapsed_sec": time.perf_counter() - t0,
+        "phases": phases,
+        **stats,
+    }
+
+
+def _write_index_legacy(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    n_partitions: int = INDEX_PARTITIONS,
+    only_partitions: set[int] | None = None,
+    epoch: int = 0,
+    impl: str = "combine",
+) -> dict:
+    """Pre-fusion topology (impl = combine | agg | sort), kept for A/B
+    profiling and as the fallback for corpora whose vocabulary would make
+    the fused kernel's per-batch factorize state too large."""
 
     done = committed_partitions(spark, index_dir)
     all_parts = set(range(n_partitions))
@@ -507,7 +790,6 @@ def write_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    impl = os.environ.get("SPARK_GRAFT_SLICE_IMPL", "combine")
     pdl = tdict = None
     if todo:
         pdl = (

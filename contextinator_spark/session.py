@@ -59,11 +59,17 @@ def get_spark(
         # small, bounded, and numerous enough to fill every core.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
-        # Arrow: all pandas UDFs ride vectorized batches. 512 (not 4096):
-        # slice-build rows carry whole posting ARRAYS — 4096 of them is a
-        # ~260MB batch buffered JVM-side and Python-side simultaneously.
+        # Arrow: all pandas UDFs ride vectorized batches. Batch sizing is
+        # the single biggest scaling lever measured on this engine: at 512
+        # records (~150KB of content) the per-batch framing overhead made a
+        # no-op mapInPandas over 2M docs cost 8s at 2 cores and scale at
+        # 0.41 efficiency; at 8192 records the same pass is 2.0s/1.3s.
+        # The BYTES cap (Spark 4 maxBytesPerBatch) is what bounds the
+        # slice-merge stage, whose rows carry whole posting arrays (up to
+        # ~2MB/row) — records alone would let those batches reach GBs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         # parquet scan sizing for ~100TB inputs: bigger splits, fewer tasks
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -49,3 +49,40 @@ def test_expr_udf_agree_on_corpus(spark, corpus):
         .count()
     )
     assert mismatch == 0
+
+
+def test_bytetok_matches_regex_reference():
+    """Byte-level kernel (functions/bytetok.py) == regex tokenizer on random
+    mixed batches: per-doc token counts AND per-doc term->tf maps."""
+    import random
+    import re
+    import string
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from contextinator_spark.config import TOKEN_PATTERN
+    from contextinator_spark.functions.bytetok import (
+        batch_termfreq,
+        batch_token_counts,
+    )
+
+    rx = re.compile(TOKEN_PATTERN)
+    rng = random.Random(1234)
+    alphabet = string.ascii_letters + string.digits + "_ .,;(){}[]#!\n\t" + "é漢İß"
+    docs = [
+        "".join(rng.choices(alphabet, k=rng.randint(0, 400))) for _ in range(200)
+    ] + ["", "   ", "UPPER lower_case 123 __x__", "x" * 500 + " yz", None]
+    s = pd.Series(docs, dtype=object)
+    ref = [rx.findall(t.lower()) if isinstance(t, str) else [] for t in docs]
+
+    assert np.array_equal(
+        batch_token_counts(s), np.array([len(t) for t in ref], dtype=np.int64)
+    )
+    dl, didx, codes, tfs, uniq = batch_termfreq(s)
+    got = [dict() for _ in docs]
+    for d, c, t in zip(didx, codes, tfs):
+        got[int(d)][uniq[c]] = int(t)
+    for i, r in enumerate(ref):
+        assert dict(Counter(r)) == got[i], (i, docs[i][:60] if docs[i] else docs[i])
