@@ -82,8 +82,11 @@ def main() -> None:
         # stats come from ingest-time counters instead of a corpus re-scan.
         hints = None
         if amplify > 1:
+            # base table is one parquet file = one partition; spread it or
+            # the detection job runs on a single core
             hints = S.sampled_heavy_fanout(
-                base, "doc_id", n_docs=n_files, df_multiplier=amplify
+                base.repartition(int(cpus)), "doc_id", n_docs=n_files,
+                df_multiplier=amplify,
             )
         build_res = S.write_index(
             spark, corpus, index_dir, id_col="doc_id", heavy_fanout=hints

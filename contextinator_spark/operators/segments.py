@@ -253,7 +253,16 @@ def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_
     cache-build + Arrow round-trips and scaled 1.1× from 2→8 cores while
     the raw pandas kernel scales 3.6×; fusing removes the traffic, not the
     math. Salt fan-outs arrive as a closure dict from the sampled
-    heavy-hitter pre-pass (see sampled_heavy_fanout)."""
+    heavy-hitter pre-pass (see sampled_heavy_fanout).
+
+    Partial groups leave the map task as PRIMITIVE ARRAYS, not pre-encoded
+    varbyte blobs. Measured head-to-head (interleaved 3×, 8 cores, 2M
+    docs): blob partials 28-33s vs array partials 14-15s for the identical
+    pipeline — shuffle bytes through tmpfs are near-free memcpy while the
+    per-batch group encode + per-group bytes slicing and the merge-side
+    decode are pure CPU. Compression earns its cost only in the FINAL
+    stored blob (network-shuffled clusters may tip the other way; the
+    varbyte group kernel lives in compress.encode_posting_groups)."""
     from ..functions.tokenize import TOKEN_PATTERN as _PAT
 
     def fused(pdf_iter):
@@ -321,10 +330,12 @@ def sampled_heavy_fanout(
 
     Detection needs only approximate df (it steers slicing, never results),
     so sampling replaces the full explode→groupBy dictionary pass the old
-    build ran before it could salt. Pure columnar tokens_expr (codegen, no
-    Python workers) + array_distinct keeps the pre-pass at ~5% of one
-    tokenize. Deterministic across runs AND parallelism levels — rebuilds
-    slice identically. k=1 (small corpora) degrades to the exact pre-pass.
+    build ran before it could salt. Distinct terms come from the Arrow
+    tokenizer UDF, NOT tokens_expr: the JVM split+filter chain measured
+    7-25× slower than the pandas kernel on this corpus (75s vs 10s for a
+    2M-doc count at 2 cores) — split materializes a per-row object array
+    that defeats codegen. Deterministic across runs AND parallelism levels
+    — rebuilds slice identically. k=1 (small corpora) = exact pre-pass.
 
     `df_multiplier` supports callers whose corpus is a known replication of
     this table (bench amplification): df_est and the threshold both scale,
@@ -337,7 +348,7 @@ def sampled_heavy_fanout(
     writer sees every document once anyway); this pre-pass is the
     self-contained fallback that needs no side infrastructure."""
     from ..config import HEAVY_SAMPLE_TARGET
-    from ..functions.tokenize import tokens_expr
+    from ..functions.tokenize import tokens_udf
 
     n_table = max(1, n_docs // max(1, df_multiplier))
     k = max(1, n_table // HEAVY_SAMPLE_TARGET)
@@ -347,7 +358,7 @@ def sampled_heavy_fanout(
     threshold = max(1, int(heavy_df_fraction * n_docs))
     rows = (
         sample.select(
-            F.explode(F.array_distinct(tokens_expr(F.col("content")))).alias("term")
+            F.explode(F.array_distinct(tokens_udf(F.col("content")))).alias("term")
         )
         .groupBy("term")
         .agg((F.count(F.lit(1)) * k * df_multiplier).alias("df_est"))

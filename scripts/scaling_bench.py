@@ -13,8 +13,18 @@ Methodology notes (documented because they matter for honest numbers):
   hypervisor/SMT stops delivering linear CPU, so measuring Spark there
   conflates engine scaling with hardware rollover. 2→8 sits in the linear
   region and isolates the engine. Override with SPARK_GRAFT_LO / _HI.
+- Each level is CPU-pinned (taskset) to exactly its core count — see
+  run_once; unpinned, the low level borrows idle silicon for JVM helper
+  threads and the ratio understates the engine.
+- This VM's memory subsystem is slow (measured 0.4 GB/s single-core
+  memcpy) and CPU-per-byte inflates ~1.3-1.5× when 8 cores stream
+  concurrently (same jobs, task-time totals from Spark event logs), so
+  streaming-heavy stages cap below 1.0 here in a way they would not on
+  hardware with server-class bandwidth.
 - SPARK_GRAFT_AMPLIFY=400 replicates the sf0.1 corpus deterministically to
-  2M docs so compute dominates the fixed per-job scheduling floor.
+  2M docs so compute dominates the fixed per-job scheduling floor; the
+  per-build fixed component measured ~20s, so efficiency rises with
+  amplify (Amdahl) — evidence runs use 1600 (8M docs).
 - best-of-REPEATS per level: the VM shows ±2x run-to-run noise bursts
   (hypervisor steal); max-throughput is the standard contention-robust
   estimator.
@@ -26,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -40,10 +51,17 @@ def run_once(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_AMPLIFY=os.environ.get("SPARK_GRAFT_AMPLIFY", "400"),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    # CPU-affinity pin the whole process tree (JVM + python workers) to
+    # exactly `cpus` hardware threads. Without this, local[2]'s JVM helper
+    # threads (GC, Arrow conversion, shuffle, parquet codecs) and Python
+    # workers spill onto the machine's other 30 idle cores — measured ~30%
+    # free compute for the low level, which understates scaling efficiency.
+    # A real N-core executor has no such spare silicon. SPARK_GRAFT_PIN=0
+    # disables (e.g. when the host genuinely has only `hi` cores).
+    if os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 

@@ -65,3 +65,37 @@ def test_compression_ratio_dense():
     dls = np.random.default_rng(2).integers(50, 500, 10000)
     blob = encode_postings(ids.astype(np.int64), tfs, dls)
     assert len(blob) < 10000 * 5
+
+
+def test_encode_posting_groups_matches_per_group_encode():
+    """Fused multi-group encoder == per-group encode_postings, byte-identical
+    (LEB128 is per-value, so group slicing of the fused stream is exact)."""
+    import numpy as np
+
+    from contextinator_spark.operators.compress import (
+        decode_postings,
+        encode_posting_groups,
+        encode_postings,
+    )
+
+    rng = np.random.default_rng(11)
+    groups = []
+    for _ in range(60):
+        c = int(rng.integers(1, 300))
+        d = np.sort(rng.choice(2**55, size=c, replace=False)).astype(np.int64)
+        t = rng.integers(1, 1000, c).astype(np.int64)
+        l = rng.integers(1, 100000, c).astype(np.int64)
+        groups.append((d, t, l))
+    D = np.concatenate([g[0] for g in groups])
+    T_ = np.concatenate([g[1] for g in groups])
+    L = np.concatenate([g[2] for g in groups])
+    counts = np.array([g[0].size for g in groups])
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    blobs = encode_posting_groups(D, T_, L, starts, ends)
+    for b, (d, t, l) in zip(blobs, groups):
+        assert b == encode_postings(d, t, l)
+        dd, tt, ll = decode_postings(b)
+        assert np.array_equal(dd, d)
+        assert np.array_equal(tt, t.astype(np.int32))
+        assert np.array_equal(ll, l.astype(np.int32))
