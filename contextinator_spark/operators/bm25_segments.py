@@ -196,6 +196,73 @@ def topk_segments(
     )
 
 
+def _batch_thetas(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, list[str]],
+    info: dict[str, dict],
+    idf: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> dict[int, float]:
+    """Per-query pruning thresholds for the batch executor, ONE Spark job.
+
+    For each query take its rarest matched term (highest idf ⇒ smallest
+    posting list AND largest single-term bound). Scan only those terms'
+    slices; each slice contributes its LOCAL k-th best single-term score,
+    and θ_q = max over the best term's slices. Validity: single-term
+    scores lower-bound total scores, and the k-th largest of any SUBSET
+    lower-bounds the global k-th best total — so θ is conservative
+    (slightly looser than the latency path's exact k-th, but computed
+    distributed instead of collecting blobs to the driver). The rounding
+    quantum is subtracted as in _theta_from_best_term."""
+    best_term = {}
+    for qid, ts in queries.items():
+        m = [t for t in ts if t in info]
+        if m:
+            best_term[qid] = max(m, key=lambda t: idf[t])
+    need = sorted(set(best_term.values()))
+    if not need:
+        return {}
+    pids = sorted({info[t]["partition_id"] for t in need})
+    segb = (
+        spark.read.parquet(os.path.join(index_dir, "segments"))
+        .filter(F.col("partition_id").isin(pids) & F.col("term").isin(need))
+        .select("term", "blob")
+    )
+
+    def local_kth(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            terms_out, kth_out = [], []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                _, tfs, dls = decode_postings(bytes(blob))
+                if tfs.size < k:
+                    continue
+                sc = idf[term] * _tf_norm(
+                    tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
+                )
+                terms_out.append(term)
+                kth_out.append(float(np.partition(sc, sc.size - k)[sc.size - k]))
+            if terms_out:
+                yield pd.DataFrame({"term": terms_out, "kth": kth_out})
+
+    rows = (
+        segb.mapInPandas(local_kth, schema="term string, kth double")
+        .groupBy("term")
+        .agg(F.max("kth").alias("kth"))
+        .collect()
+    )
+    term_kth = {r["term"]: float(r["kth"]) for r in rows}
+    quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
+    return {
+        qid: max(0.0, term_kth.get(t, 0.0) - quantum) for qid, t in best_term.items()
+    }
+
+
 def topk_segments_multi(
     spark: SparkSession,
     index_dir: str,
@@ -204,11 +271,17 @@ def topk_segments_multi(
     k1: float = BM25_K1,
     b: float = BM25_B,
     n_partitions: int | None = None,
+    prune: bool = True,
 ) -> DataFrame:
     """Batch executor: (query_id, rank, doc_id, score) for many queries in
     ONE plan — one dictionary probe for the union of terms, one pruned
     segment scan, per-query windows. This is the throughput path; per-query
-    `topk_segments` is the latency path."""
+    `topk_segments` is the latency path.
+
+    With prune=True a single extra job computes per-query θ thresholds
+    (_batch_thetas) and the scan masks both blocks and postings per query
+    before anything reaches the shuffle — results stay bit-identical to
+    exhaustive (same argument as the latency path, tested)."""
     stats = load_stats(index_dir)
     if n_partitions is None:
         n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
@@ -222,28 +295,67 @@ def topk_segments_multi(
     term_queries = {
         t: [qid for qid, ts in queries.items() if t in set(ts)] for t in matched
     }
+    global_ub = {t: idf[t] * (k1 + 1.0) for t in matched}
+    # rest_ub[(t, qid)]: max possible contribution of qid's OTHER terms
+    rest_ub = {
+        (t, qid): sum(
+            global_ub[t2] for t2 in queries[qid] if t2 in info and t2 != t
+        )
+        for t in matched
+        for qid in term_queries[t]
+    }
+    total_df = sum(info[t]["df"] for t in matched)
+    thetas: dict[int, float] = {}
+    if prune and total_df > 50 * k:
+        thetas = _batch_thetas(spark, index_dir, queries, info, idf, k, k1, b, avgdl)
+
     pids = sorted({info[t]["partition_id"] for t in matched})
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
         F.col("partition_id").isin(pids) & F.col("term").isin(matched)
     )
-    seg = _spread_slices(seg, spark, sum(info[t]["df"] for t in matched))
+    seg = _spread_slices(seg, spark, total_df)
 
     def score_slices(pdf_iter):
         from .compress import decode_postings
 
         for pdf in pdf_iter:
             qids_out, docs_out, scores_out = [], [], []
-            for term, blob in zip(pdf["term"], pdf["blob"]):
+            for term, blob, bm in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
+                qids = term_queries[term]
                 doc_ids, tfs, dls = decode_postings(bytes(blob))
                 if doc_ids.size == 0:
                     continue
+                if thetas and bm is not None and len(bm) > 0:
+                    # union block skip: keep a block iff it survives for at
+                    # least one query using this term
+                    bmax = np.asarray(
+                        [(e["max_tf"], e["min_dl"]) for e in bm], dtype=np.float64
+                    )
+                    blk_ub = idf[term] * _tf_norm(bmax[:, 0], bmax[:, 1], avgdl, k1, b)
+                    keep_blk = np.zeros(blk_ub.size, dtype=bool)
+                    for qid in qids:
+                        keep_blk |= (blk_ub + rest_ub[(term, qid)]) >= thetas.get(qid, 0.0)
+                    if not keep_blk.all():
+                        blk_idx = np.arange(doc_ids.size) // BLOCK_SIZE
+                        m = keep_blk[blk_idx]
+                        doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                        if doc_ids.size == 0:
+                            continue
                 scores = idf[term] * _tf_norm(
                     tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
                 )
-                for qid in term_queries[term]:
-                    qids_out.append(np.full(doc_ids.size, qid, dtype=np.int32))
-                    docs_out.append(doc_ids)
-                    scores_out.append(scores)
+                for qid in qids:
+                    th = thetas.get(qid, 0.0)
+                    if th > 0.0:
+                        m = (scores + rest_ub[(term, qid)]) >= th
+                        if not m.any():
+                            continue
+                        d_q, s_q = doc_ids[m], scores[m]
+                    else:
+                        d_q, s_q = doc_ids, scores
+                    qids_out.append(np.full(d_q.size, qid, dtype=np.int32))
+                    docs_out.append(d_q)
+                    scores_out.append(s_q)
             if docs_out:
                 yield pd.DataFrame(
                     {

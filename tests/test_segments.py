@@ -146,3 +146,11 @@ def test_multi_executor_matches_single(spark, index_dir):
             for r in bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), f"q{qid}"
+
+
+def test_multi_pruned_equals_exhaustive(spark, index_dir):
+    """Batch-executor θ pruning (union block skip + per-query posting
+    masks) is bit-identical to the exhaustive batch scan."""
+    a = bm25_segments.topk_segments_multi(spark, index_dir, QUERIES, k=10, prune=True).collect()
+    b = bm25_segments.topk_segments_multi(spark, index_dir, QUERIES, k=10, prune=False).collect()
+    assert sorted([tuple(r) for r in a]) == sorted([tuple(r) for r in b])
