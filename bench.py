@@ -39,6 +39,18 @@ BENCH_QUERIES: dict[int, list[str]] = {
 }
 
 
+def _cpu_steal() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — exposes hypervisor CPU
+    theft so scaling numbers carry their own weather report."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -75,6 +87,7 @@ def main() -> None:
             ).drop("rep")
         n_files = corpus.count()  # warms scan + JVM; excluded from build time
 
+        steal0, total0 = _cpu_steal()
         t0 = time.perf_counter()
         # heavy-hitter detection on the BASE table (amplified docs are exact
         # replicas, so df scales linearly — df_multiplier); still inside the
@@ -107,6 +120,7 @@ def main() -> None:
         bm25_segments.topk_segments_multi(spark, index_dir, BENCH_QUERIES, k=10).collect()
         batch_sec = time.perf_counter() - tb
 
+        steal1, total1 = _cpu_steal()
         lats = sorted(per_query.values())
         p95 = lats[min(len(lats) - 1, int(round(0.95 * len(lats))) - 1)]
         qsum = sum(per_query.values())
@@ -129,6 +143,9 @@ def main() -> None:
                     "batch_mode_sec": round(batch_sec, 3),
                     "batch_queries_per_sec": round(len(BENCH_QUERIES) / batch_sec, 2),
                     "build_phases": build_res.get("phases", {}),
+                    "cpu_steal_pct": (
+                        round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)
+                    ),
                 }
             )
         )

@@ -1,22 +1,29 @@
 """Segment store: compressed posting slices + term dictionary + catalog.
 
-Build topology (SURVEY.md §4 item 2, north_star skew requirement):
+Build topology (SURVEY.md §4 item 2, north_star skew requirement) —
+default "fused" path (SPARK_GRAFT_SLICE_IMPL selects legacy variants):
 
-  corpus
-    → tokenize (Arrow UDF) → explode → groupBy(term, doc_id, dl).count()
-      [one shuffle; map-side combine; doc_len derived in the same pass, no join]
-    → term df/cf stats (dictionary)
-    → heavy-hitter detection: df > HEAVY_DF_FRACTION·N  (broadcast join back)
-    → salt: heavy terms split into HEAVY_SALT_FANOUT doc_id RANGE slices,
-      light terms → single slice 0. Range (not hash) salting keeps slices
-      internally sorted AND mutually ordered, so multi-slice posting lists
-      are the concatenation of slices in slice_id order — the two-phase
-      merge is embarrassingly parallel and query-side reads need no re-sort.
-    → groupBy(term, slice_id): sort_array(collect_list(struct(doc_id,tf,dl)))
-      [second shuffle — bounded per-group size = df/fanout by construction]
-    → Arrow-batched encode UDF: delta+varbyte blob + block-max metadata
-    → write parquet partitioned by partition_id = pmod(xxhash64(term), P)
-      [query-side partition pruning on the dictionary probe]
+  pass A  corpus → (sha2, byte-level count UDF) → doc_meta + stats
+          [observe() rides the write; no token strings materialized]
+  pass B  heavy-hitter fan-outs: ingest-time hints or deterministic
+          hash-mod sample (sampled_heavy_fanout)
+          → ONE fused Arrow kernel: tokenize + per-doc tf + salt + local
+            (term, slice)-grouping → primitive-array partial rows
+          → groupBy(term, slice_id) collect_list of arrays [the only
+            full shuffle; bounded per-group by df-scaled salting]
+          → batched merge UDF: k-way concat + sort + delta+varbyte blob
+            + block-max metadata
+          → write parquet partitioned by partition_id = pmod(xxhash64(term), P)
+            [query-side partition pruning on the dictionary probe]
+  post    exact term dictionary (df/cf = sums over slices) + catalog
+          counters derived from the WRITTEN slice rows in one read
+
+  salt: heavy terms (df > HEAVY_DF_FRACTION·N) split into doc_id RANGE
+  slices, fan-out scaling with df, light terms → single slice 0. Range
+  (not hash) salting keeps slices internally sorted AND mutually ordered,
+  so multi-slice posting lists are the concatenation of slices in
+  slice_id order — the two-phase merge is embarrassingly parallel and
+  query-side reads need no re-sort.
 
 Heavy terms stay as MULTIPLE slice rows in storage (they are re-merged
 logically at query time and physically by compact_segments) — a single
