@@ -79,6 +79,14 @@ INDEX_PARTITIONS = 128
 # stage so scoring spreads across all cores; below it the extra shuffle
 # costs more than it buys.
 QUERY_REPARTITION_MIN_DF = 50_000
+# scatter-gather short-circuit: when the matched posting volume is at most
+# this, the latency executor collects the pruned blobs (≈ 6 bytes/posting
+# → ~1 MB here) and computes the exact top-k in numpy on the driver — one
+# Spark job fetching a few MB beats a distributed scan whose task/shuffle
+# overhead dwarfs the work (Lucene executes a whole query on one node for
+# the same reason). Results are bit-identical: same decode/score kernels,
+# same tie-break.
+DRIVER_TOPK_MAX_DF = 131_072
 
 
 @dataclass(frozen=True)

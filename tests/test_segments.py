@@ -65,10 +65,29 @@ def test_segment_topk_rank_identical(spark, corpus, index_dir):
 
 
 def test_pruned_equals_exhaustive(spark, index_dir):
+    # driver_path=False so this pins the DISTRIBUTED pruning plan (the
+    # small test corpus would otherwise short-circuit to the driver path)
     for qid, terms in QUERIES.items():
-        pruned = bm25_segments.topk_segments(spark, index_dir, terms, k=10, prune=True).collect()
-        exhaustive = bm25_segments.topk_segments(spark, index_dir, terms, k=10, prune=False).collect()
+        pruned = bm25_segments.topk_segments(
+            spark, index_dir, terms, k=10, prune=True, driver_path=False
+        ).collect()
+        exhaustive = bm25_segments.topk_segments(
+            spark, index_dir, terms, k=10, prune=False, driver_path=False
+        ).collect()
         assert [tuple(r) for r in pruned] == [tuple(r) for r in exhaustive], f"q{qid}"
+
+
+def test_driver_scatter_gather_matches_distributed(spark, index_dir):
+    """The small-candidate-set driver path is bit-identical to the
+    distributed executor on every golden query."""
+    for qid, terms in QUERIES.items():
+        a = bm25_segments.topk_segments(
+            spark, index_dir, terms, k=10, driver_path=True
+        ).collect()
+        b = bm25_segments.topk_segments(
+            spark, index_dir, terms, k=10, driver_path=False
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], f"q{qid}"
 
 
 def test_postings_invariants(spark, index_dir):
