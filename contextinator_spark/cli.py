@@ -1,0 +1,256 @@
+"""Command-line surface mirroring the reference's CLI.
+
+The reference ships `contextinator read --path … --mode line|directory|
+search` (cli.py:124-142) and a `--rag` family (search / symbols / cat /
+chunk-embed-store, rag_cli.py:852-1358). This module re-expresses that
+user surface over the Spark engine so a reference user can run the same
+workflows against a corpus table + segment index:
+
+    python -m contextinator_spark.cli read    --corpus DIR --path P [--start-line A --end-line B]
+    python -m contextinator_spark.cli list    --corpus DIR [--prefix SUBDIR]
+    python -m contextinator_spark.cli search  --corpus DIR --pattern RE [--context-lines N]
+    python -m contextinator_spark.cli symbols --corpus DIR [--contains S] [--lang L]
+    python -m contextinator_spark.cli cat     --corpus DIR --path P
+    python -m contextinator_spark.cli build   --corpus DIR --index IDX
+    python -m contextinator_spark.cli query   --index IDX --query "free text" [--k K]
+    python -m contextinator_spark.cli stats   --index IDX
+
+--corpus accepts an sf-style directory (documents.parquet) or a parquet
+path with the corpus schema. Output is JSON lines (--format text for a
+human rendering). Heavy lifting stays in operators/ — this file only
+parses arguments and formats rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _corpus(spark: SparkSession, path: str) -> DataFrame:
+    """sf-style dir (documents.parquet) → canonical corpus shape; otherwise
+    a parquet path already in (repo, path, commit, lang, content) shape."""
+    import os
+
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet")):
+        from .sources.corpus import documents_as_corpus
+
+        return documents_as_corpus(spark, path)
+    df = spark.read.parquet(path)
+    if "content" not in df.columns and "text" in df.columns:
+        df = df.withColumnRenamed("text", "content")
+    if "doc_id" not in df.columns:
+        df = df.withColumn(
+            "doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))
+        )
+    return df
+
+
+def _emit(rows, fmt: str, text_fn: Callable[[dict], str]) -> None:
+    for r in rows:
+        d = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+        print(text_fn(d) if fmt == "text" else json.dumps(d, default=str))
+
+
+def cmd_read(args, spark) -> None:
+    """S1 file line scan (reference line.rs:6-86): 1-based inclusive range,
+    negative indexing from EOF."""
+    from .operators.grep import line_range
+
+    df = _corpus(spark, args.corpus).filter(F.col("path") == args.path)
+    out = line_range(df, args.start_line, args.end_line)
+    _emit(out.collect(), args.format, lambda d: d.get("content", ""))
+
+
+def cmd_list(args, spark) -> None:
+    """S2/T5 directory listing (directory.rs:16-90): dirs-first, by name."""
+    from .operators.grep import listing
+
+    df = _corpus(spark, args.corpus)
+    if args.prefix:
+        df = df.filter(F.col("path").startswith(args.prefix))
+    _emit(
+        listing(df).collect(),
+        args.format,
+        lambda d: f"{'d' if d.get('is_dir') else '-'} {d.get('name')}",
+    )
+
+
+def cmd_search(args, spark) -> None:
+    """S3/W1 recursive grep with context lines (search.rs:8-93)."""
+    from .operators.grep import grep_lines, grep_with_context
+
+    df = _corpus(spark, args.corpus)
+    if args.context_lines > 0:
+        out = grep_with_context(df, args.pattern, n_context=args.context_lines)
+    else:
+        out = grep_lines(df, args.pattern)
+    out = out.limit(args.limit)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d.get('doc_id')}:{d.get('line_no')}: {d.get('line')}",
+    )
+
+
+def cmd_symbols(args, spark) -> None:
+    """T4 sorted distinct symbol list (symbol_search.py:29-79) from the
+    language-aware chunker's node names."""
+    from .operators.chunker import chunk_corpus
+
+    chunks = chunk_corpus(_corpus(spark, args.corpus))
+    df = chunks.filter(~F.col("is_parent") | F.lit(args.include_parents))
+    if args.lang:
+        df = df.filter(F.col("lang") == args.lang)
+    if args.contains:
+        df = df.filter(F.col("node_name").contains(args.contains))
+    out = (
+        df.select(F.col("node_name").alias("name"), F.col("node_type").alias("type"))
+        .distinct()
+        .orderBy("name", "type")
+        .limit(args.limit)
+    )
+    _emit(out.collect(), args.format, lambda d: f"{d['name']}\t{d['type']}")
+
+
+def cmd_cat(args, spark) -> None:
+    """W2 file reconstruction from chunks (cat_file.py:29-107): ordered,
+    containment-deduped, exact round-trip for unsplit chunks."""
+    from .operators.chunker import chunk_corpus, reconstruct_files
+
+    chunks = chunk_corpus(_corpus(spark, args.corpus))
+    out = reconstruct_files(chunks).filter(F.col("path") == args.path)
+    _emit(out.collect(), args.format, lambda d: d.get("content", ""))
+
+
+def cmd_build(args, spark) -> None:
+    """Index build / resume (jobs/build_index.py wraps the same call for
+    spark-submit; here for parity with `--rag chunk-embed-store`)."""
+    from .operators.segments import write_index
+
+    res = write_index(
+        spark,
+        _corpus(spark, args.corpus),
+        args.index,
+        n_partitions=args.partitions,
+        epoch=args.epoch,
+    )
+    print(json.dumps(res, default=str))
+
+
+def cmd_query(args, spark) -> None:
+    """BM25 top-k over the segment store (semantic_search.py:39-114 flow)."""
+    from .operators.bm25_segments import topk_segments
+    from .oracle import tokenize
+
+    out = topk_segments(
+        spark, args.index, tokenize(args.query), k=args.k, prune=not args.no_prune
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+    )
+
+
+def cmd_stats(args, spark) -> None:
+    """A4 collection counts + catalog counters (chroma_store.py:445-491)."""
+    from .operators.bm25_segments import load_stats
+
+    stats = load_stats(args.index)
+    cat = (
+        spark.read.parquet(f"{args.index}/catalog")
+        .groupBy("checkpoint_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("partitions"),
+            F.sum("n_terms").alias("terms"),
+            F.sum("n_postings").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+        )
+        .orderBy("checkpoint_epoch")
+        .collect()
+    )
+    print(json.dumps({"stats": stats, "epochs": [r.asDict() for r in cat]}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="contextinator-spark")
+    p.add_argument("--format", choices=["json", "text"], default="json")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("read", help="file line-range read (fs_read Line mode)")
+    r.add_argument("--corpus", required=True)
+    r.add_argument("--path", required=True)
+    r.add_argument("--start-line", type=int, default=None)
+    r.add_argument("--end-line", type=int, default=None)
+    r.set_defaults(fn=cmd_read)
+
+    ls = sub.add_parser("list", help="directory listing (fs_read Directory mode)")
+    ls.add_argument("--corpus", required=True)
+    ls.add_argument("--prefix", default=None)
+    ls.set_defaults(fn=cmd_list)
+
+    s = sub.add_parser("search", help="regex grep with context (fs_read Search mode)")
+    s.add_argument("--corpus", required=True)
+    s.add_argument("--pattern", required=True)
+    s.add_argument("--context-lines", type=int, default=2)
+    s.add_argument("--limit", type=int, default=100)
+    s.set_defaults(fn=cmd_search)
+
+    sy = sub.add_parser("symbols", help="sorted distinct symbols (rag symbols)")
+    sy.add_argument("--corpus", required=True)
+    sy.add_argument("--contains", default=None)
+    sy.add_argument("--lang", default=None)
+    sy.add_argument("--include-parents", action="store_true")
+    sy.add_argument("--limit", type=int, default=50)
+    sy.set_defaults(fn=cmd_symbols)
+
+    c = sub.add_parser("cat", help="reconstruct a file from chunks (rag cat)")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--path", required=True)
+    c.set_defaults(fn=cmd_cat)
+
+    b = sub.add_parser("build", help="build/resume the segment index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    from .config import INDEX_PARTITIONS
+
+    b.add_argument("--partitions", type=int, default=INDEX_PARTITIONS)
+    b.add_argument("--epoch", type=int, default=0)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k (rag search)")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--no-prune", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("stats", help="collection stats + catalog counters")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
+
+        spark = get_spark("contextinator-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        args.fn(args, spark)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""CLI surface tests — every subcommand runs against the sf0.001 testdata
+through the same SparkSession (main(argv, spark=...) skips session
+setup/teardown per command)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from contextinator_spark import cli
+
+SF = "/root/testdata/sf0.001"
+
+
+def run_cli(capsys, spark, *argv) -> list[str]:
+    cli.main(list(argv), spark=spark)
+    out = capsys.readouterr().out.strip()
+    return out.splitlines() if out else []
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_idx"))
+    cli.main(["build", "--corpus", SF, "--index", d], spark=spark)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_search_and_read_and_list(capsys, spark):
+    lines = run_cli(capsys, spark, "search", "--corpus", SF, "--pattern", "the", "--limit", "5")
+    assert 0 < len(lines) <= 5
+    rec = json.loads(lines[0])
+    assert {"doc_id", "line_no", "line"} <= set(rec)
+
+    # pick that doc's synthetic path for a line-range read
+    docs = run_cli(capsys, spark, "list", "--corpus", SF)
+    top = json.loads(docs[0])
+    assert {"name", "is_dir", "n_entries"} <= set(top)
+
+    from contextinator_spark.sources.corpus import documents_as_corpus
+
+    path = documents_as_corpus(spark, SF).limit(1).collect()[0]["path"]
+    out = run_cli(
+        capsys, spark, "read", "--corpus", SF, "--path", path,
+        "--start-line", "1", "--end-line", "2",
+    )
+    rec = json.loads(out[0])
+    assert rec["lines_returned"] <= 2
+
+
+def test_cli_symbols_and_cat(capsys, spark, tmp_path):
+    # symbols/cat need a code-shaped corpus — write the synth corpus out
+    from contextinator_spark.sources.corpus import synth_corpus
+
+    p = str(tmp_path / "corpus.parquet")
+    synth_corpus(spark, n_files=30, seed=7).write.mode("overwrite").parquet(p)
+    syms = run_cli(capsys, spark, "symbols", "--corpus", p, "--limit", "10")
+    assert syms and {"name", "type"} <= set(json.loads(syms[0]))
+
+    row = spark.read.parquet(p).limit(1).collect()[0]
+    out = run_cli(capsys, spark, "cat", "--corpus", p, "--path", row["path"])
+    rec = json.loads(out[0])
+    assert rec["content"] == row["content"]  # exact reconstruction (W2)
+
+
+def test_cli_build_query_stats(capsys, spark, index_dir):
+    assert os.path.exists(os.path.join(index_dir, "stats.json"))
+    res = run_cli(capsys, spark, "query", "--index", index_dir, "--query", "auth token", "--k", "5")
+    assert len(res) <= 5
+    if res:
+        rec = json.loads(res[0])
+        assert rec["rank"] == 1 and "score" in rec
+    st = json.loads(run_cli(capsys, spark, "stats", "--index", index_dir)[0])
+    assert st["stats"]["n_docs"] > 0 and st["epochs"]
