@@ -138,10 +138,13 @@ def main() -> None:
                     "index_build_sec": round(build_sec, 3),
                     "files_per_sec": round(n_files / build_sec, 1),
                     "query_batch_sec": round(qsum, 3),
-                    "queries_per_sec": round(len(per_query) / qsum, 2),
+                    # 4 decimals: at amplify-1600 scale qps is O(0.05) and
+                    # 2-decimal rounding alone moves the derived scaling
+                    # efficiency by ±0.08
+                    "queries_per_sec": round(len(per_query) / qsum, 4),
                     "query_p95_sec": p95,
                     "batch_mode_sec": round(batch_sec, 3),
-                    "batch_queries_per_sec": round(len(BENCH_QUERIES) / batch_sec, 2),
+                    "batch_queries_per_sec": round(len(BENCH_QUERIES) / batch_sec, 4),
                     "build_phases": build_res.get("phases", {}),
                     "cpu_steal_pct": (
                         round(100.0 * (steal1 - steal0) / max(1, total1 - total0), 2)

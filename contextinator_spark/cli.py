@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
+
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession

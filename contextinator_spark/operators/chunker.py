@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..config import CHUNK_TOKEN_BUDGET, CHUNK_TOKEN_OVERLAP
+# CHUNK_TOKEN_OVERLAP (config.py) is deliberately NOT applied to raw
+# content: overlapping splits can't reproduce the file byte-exactly (see
+# module docstring's engineering contract / reconstruction divergence note)
+from ..config import CHUNK_TOKEN_BUDGET
 from .. import schemas
 
 _TOKEN_RE = re.compile("[a-z0-9_]+")

@@ -1,7 +1,9 @@
 """Per-phase build profiler: where does index-build wall time go?
 
-Runs the same phases as segments.write_index but materializes each
-sequentially (so timings don't overlap) at local[$SPARK_GRAFT_CPUS].
+NOTE: profiles the LEGACY (pre-fusion) topology's phases in isolation —
+kept for A/B against the fused default, whose phase timings write_index
+itself now reports (result["phases"], surfaced by bench.py as
+build_phases). For the fused path just read the bench JSON.
 Usage: SPARK_GRAFT_CPUS=4 SPARK_GRAFT_AMPLIFY=100 python scripts/profile_build.py
 """
 from __future__ import annotations
