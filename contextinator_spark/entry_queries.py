@@ -202,12 +202,55 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_MIN = 0.9
 
+# LSH near-dup parameters (pinned; the oracle SQL embeds the ±1 hyperplane
+# matrices derived from these, so both engines run the identical algorithm)
+EMBEDDING_DIM = 64  # driver testdata embeddings.parquet dimensionality
+RHP_BITS = 8
+RHP_TABLES = 4
+LSH_COSINE_MIN = 0.3
+
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import cosine_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_dup_pairs(emb, threshold=COSINE_MIN)
+
+
+def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup path (the 100 TB form of cosine_pairs): RHP-LSH
+    candidates verified with the exact cosine. The oracle reproduces the
+    bucketing itself (literal ±1 hyperplanes), same as the minhash oracle."""
+    from .operators.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_lsh(
+        emb, threshold=LSH_COSINE_MIN, dim=EMBEDDING_DIM,
+        n_bits=RHP_BITS, n_tables=RHP_TABLES,
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the PERSISTED, (table_id, bucket)-partitioned
+    signature table — the scale path where a query reads only its n_tables
+    bucket partitions (partition-pruned scan) instead of recomputing
+    signatures over the corpus."""
+    import hashlib as _h
+    import os as _os
+
+    from .operators.similarity import knn_lsh_indexed, write_signature_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = f"{sf_dir}|sig|D={EMBEDDING_DIM}|B={RHP_BITS}|T={RHP_TABLES}"
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache"
+    )
+    d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
+    if not _os.path.exists(_os.path.join(d, "_SUCCESS")):
+        write_signature_table(emb, d, EMBEDDING_DIM, RHP_BITS, RHP_TABLES)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return knn_lsh_indexed(spark, d, qv, k=10, dim=EMBEDDING_DIM,
+                           n_bits=RHP_BITS, n_tables=RHP_TABLES)
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +457,66 @@ WHERE round({SQL_COS}, 6) >= {COSINE_MIN}
 """
 
 
+def _sql_rhp_ctes() -> str:
+    """Shared CTEs: literal ±1 hyperplanes + per-(vec, table) buckets —
+    the exact algorithm of similarity.lsh_buckets, in SQL."""
+    from .operators.similarity import rhp_sign_matrix
+
+    rows = []
+    for t in range(RHP_TABLES):
+        H = rhp_sign_matrix(EMBEDDING_DIM, RHP_BITS, t)
+        for b in range(RHP_BITS):
+            vec = ", ".join("1.0" if x > 0 else "-1.0" for x in H[b])
+            rows.append(f"({t}, {b}, [{vec}]::DOUBLE[])")
+    values = ", ".join(rows)
+    return f"""
+h(table_id, bit, hv) AS (VALUES {values}),
+buckets AS (
+  SELECT e.vec_id, h.table_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hv) >= 0
+                       THEN (1::BIGINT << h.bit) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN h
+  GROUP BY e.vec_id, h.table_id)
+"""
+
+
+def sql_cosine_pairs_lsh() -> str:
+    return f"""
+WITH {_sql_rhp_ctes()},
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y
+    ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT c.id_a, c.id_b, CAST(round({SQL_COS}, 6) AS DOUBLE) AS cos
+FROM cand c JOIN embeddings a ON c.id_a = a.vec_id
+            JOIN embeddings b ON c.id_b = b.vec_id
+WHERE round({SQL_COS}, 6) >= {LSH_COSINE_MIN}
+"""
+
+
+def sql_knn_lsh() -> str:
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+WITH {_sql_rhp_ctes()},
+qb AS (
+  SELECT h.table_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hv) >= 0
+                       THEN (1::BIGINT << h.bit) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN h WHERE e.vec_id = 0
+  GROUP BY h.table_id),
+pool AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb USING (table_id, bucket)),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id, cos
+FROM (SELECT e.vec_id, CAST(round({cos}, 6) AS DOUBLE) AS cos
+      FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN q)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
 def sql_knn_brute() -> str:
     cos = (
         "list_dot_product(e.embedding::DOUBLE[], q.qv)"
@@ -506,7 +609,9 @@ SELECT doc_id, content_sha256, n_duplicates FROM (
         "simhash": (q_simhash, sql_simhash()),
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
         "cosine_pairs": (q_cosine_pairs, sql_cosine_pairs()),
+        "cosine_pairs_lsh": (q_cosine_pairs_lsh, sql_cosine_pairs_lsh()),
         "knn_brute": (q_knn_brute, sql_knn_brute()),
+        "knn_lsh": (q_knn_lsh, sql_knn_lsh()),
         "lang_id": (q_lang_id, sql_lang_id()),
         "quality": (q_quality, sql_quality()),
         "fingerprint": (

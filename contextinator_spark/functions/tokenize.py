@@ -43,8 +43,11 @@ def tokens_expr(col: Column | str) -> Column:
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def tokens_udf(content: pd.Series) -> pd.Series:
-    """Same token policy, vectorized over Arrow batches."""
-    return content.str.lower().str.findall(TOKEN_PATTERN)
+    """Same token policy, vectorized over Arrow batches.
+
+    Null content tokenizes to [] (the corpus schema declares content
+    non-null, but cli builds over arbitrary parquet may not)."""
+    return content.fillna("").str.lower().str.findall(TOKEN_PATTERN)
 
 
 @pandas_udf(T.IntegerType())
@@ -55,7 +58,7 @@ def token_count_udf(content: pd.Series) -> pd.Series:
     non-ASCII rows fall back to the regex path inside the kernel."""
     from .bytetok import batch_token_counts
 
-    return pd.Series(batch_token_counts(content).astype("int32"))
+    return pd.Series(batch_token_counts(content.fillna("")).astype("int32"))
 
 
 def token_count_expr(col: Column | str) -> Column:
@@ -89,7 +92,7 @@ def termfreq_udf(content: pd.Series) -> pd.DataFrame:
     """
     import numpy as np
 
-    toks = content.str.lower().str.findall(TOKEN_PATTERN)
+    toks = content.fillna("").str.lower().str.findall(TOKEN_PATTERN)
     lens = toks.str.len().fillna(0).astype("int64").to_numpy()
     n = len(toks)
     if lens.sum() == 0:

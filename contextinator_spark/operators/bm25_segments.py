@@ -82,13 +82,25 @@ _TERMS_CACHE_MAX = 4
 
 
 def _terms_version(index_dir: str) -> tuple:
-    """Cheap staleness key: mtimes of terms/ and terms_delta/ (appends —
-    resume epochs, streaming-ingest deltas — touch the directory)."""
+    """Staleness key for the cached dictionary: for terms/ and terms_delta/,
+    the max mtime over the directory AND its immediate children plus the
+    child count. Appends that only add part files inside an existing
+    partition_id=N subdirectory bump that subdirectory's mtime (rename-into
+    always touches the parent), which the old root-only key missed — a
+    long-lived session could keep serving stale df/cf after a delta."""
     v = []
     for d in ("terms", "terms_delta"):
         p = os.path.join(index_dir, d)
         try:
-            v.append(os.path.getmtime(p))
+            m, n = os.path.getmtime(p), 0
+            with os.scandir(p) as it:
+                for e in it:
+                    n += 1
+                    try:
+                        m = max(m, e.stat().st_mtime)
+                    except OSError:
+                        pass
+            v.append((m, n))
         except OSError:
             v.append(None)
     return tuple(v)
@@ -279,6 +291,30 @@ def _batch_thetas(
     need = sorted(set(best_term.values()))
     if not need:
         return {}
+    term_kth = _distributed_term_kth(spark, index_dir, need, info, idf, k, k1, b, avgdl)
+    quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
+    return {
+        qid: max(0.0, term_kth.get(t, 0.0) - quantum) for qid, t in best_term.items()
+    }
+
+
+def _distributed_term_kth(
+    spark: SparkSession,
+    index_dir: str,
+    need: list[str],
+    info: dict[str, dict],
+    idf: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> dict[str, float]:
+    """Per-term lower bound on the k-th best SINGLE-TERM score, computed
+    distributed in ONE job: each slice contributes its local k-th best,
+    groupBy.max takes the tightest. Valid because the k-th largest of any
+    subset (a slice) lower-bounds the k-th largest of the whole list. Only
+    slice blobs are decoded executor-side — nothing posting-sized ever
+    reaches the driver (the collect is |need| rows)."""
     pids = sorted({info[t]["partition_id"] for t in need})
     segb = (
         spark.read.parquet(os.path.join(index_dir, "segments"))
@@ -309,11 +345,7 @@ def _batch_thetas(
         .agg(F.max("kth").alias("kth"))
         .collect()
     )
-    term_kth = {r["term"]: float(r["kth"]) for r in rows}
-    quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
-    return {
-        qid: max(0.0, term_kth.get(t, 0.0) - quantum) for qid, t in best_term.items()
-    }
+    return {r["term"]: float(r["kth"]) for r in rows}
 
 
 def topk_segments_multi(
@@ -501,8 +533,19 @@ def _theta_from_best_term(
     pruned doc can never tie the k-th kept doc after 6-decimal rounding and
     win the ascending-doc_id tiebreak — keeps pruned output bit-identical
     to the exhaustive path.
+
+    Driver-collect is BOUNDED: when even the rarest term's df exceeds
+    DRIVER_TOPK_MAX_DF (every query term is a heavy hitter — "def import"
+    class queries), the k-th is computed distributed via the same
+    per-slice local-kth job the batch path uses (_distributed_term_kth) —
+    slightly looser θ, zero unbounded driver fetch at any corpus scale.
     """
     best = max(idf, key=lambda t: idf[t] * (k1 + 1.0))
+    if int(info[best]["df"]) > DRIVER_TOPK_MAX_DF:
+        kth = _distributed_term_kth(
+            spark, index_dir, [best], info, idf, k, k1, b, avgdl
+        ).get(best, 0.0)
+        return max(0.0, kth - 10.0 ** (-SCORE_ROUND_DECIMALS))
     pid = info[best]["partition_id"]
     rows = (
         spark.read.parquet(os.path.join(index_dir, "segments"))

@@ -217,8 +217,10 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """(id_a, id_b, cos) for all pairs with cosine ≥ threshold.
 
-    Brute self-join — correct baseline; the scale path buckets candidates
-    first (similarity.lsh_buckets) and verifies with this expression.
+    Brute self-join — the CORRECTNESS BASELINE ONLY (quadratic). The scale
+    path is similarity.cosine_pairs_lsh: lsh_buckets → lsh_candidate_pairs
+    → exact verify with this same cosine_expr; recall vs this brute output
+    is pinned by test_lsh_pairs_recall.
     """
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

@@ -211,10 +211,11 @@ def _make_map_combine(heavy_fanout: dict, max_doc_id: int):
                 continue
             docs = np.repeat(pdf["doc_id"].to_numpy(), lens)
             dls = np.repeat(pdf["dl"].to_numpy(), lens)
+            nonempty = lens > 0  # mask (not truthiness) — null rows are NaN
             flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks if len(t)]
+                [np.asarray(t, dtype=object) for t in toks[nonempty]]
             )
-            tfs = np.concatenate([np.asarray(t) for t in pdf["tfs"] if len(t)])
+            tfs = np.concatenate([np.asarray(t) for t in pdf["tfs"][nonempty]])
             codes, uniq = pd.factorize(flat_terms)
             fan = np.fromiter(
                 (heavy_fanout.get(u, 1) for u in uniq), dtype=np.int64, count=len(uniq)
@@ -274,7 +275,9 @@ def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_
 
     def fused(pdf_iter):
         for pdf in pdf_iter:
-            toks = pdf["content"].str.lower().str.findall(_PAT)
+            # null content tokenizes to [] — the corpus schema declares
+            # content non-null, but `cli build` accepts arbitrary parquet
+            toks = pdf["content"].fillna("").str.lower().str.findall(_PAT)
             lens = toks.str.len().fillna(0).astype("int64").to_numpy()
             if lens.sum() == 0:
                 continue

@@ -173,3 +173,43 @@ def test_multi_pruned_equals_exhaustive(spark, index_dir):
     a = bm25_segments.topk_segments_multi(spark, index_dir, QUERIES, k=10, prune=True).collect()
     b = bm25_segments.topk_segments_multi(spark, index_dir, QUERIES, k=10, prune=False).collect()
     assert sorted([tuple(r) for r in a]) == sorted([tuple(r) for r in b])
+
+
+def test_theta_distributed_when_all_terms_heavy(spark, index_dir, monkeypatch):
+    """When every query term's df exceeds the driver-collect cap, the θ pass
+    must route through the distributed per-slice local-kth job instead of
+    collecting a whole term's blobs — and pruning must stay exact."""
+    from contextinator_spark.operators import bm25_segments as B
+
+    # force the cap below any real df: driver short-circuit AND the θ
+    # driver collect are both disallowed, so θ comes from
+    # _distributed_term_kth and top-k from the distributed plan
+    monkeypatch.setattr(B, "DRIVER_TOPK_MAX_DF", 0)
+    collected_terms: list[list[str]] = []
+    orig = B._distributed_term_kth
+
+    def spy(spark_, idx, need, *a, **kw):
+        collected_terms.append(list(need))
+        return orig(spark_, idx, need, *a, **kw)
+
+    monkeypatch.setattr(B, "_distributed_term_kth", spy)
+
+    # k=3 keeps total_df above the 50·k θ-pass gate at this corpus size
+    terms = ["def", "import", "return"]  # all heavy by construction
+    pruned = [
+        tuple(r)
+        for r in B.topk_segments(spark, index_dir, terms, k=3, prune=True).collect()
+    ]
+    assert collected_terms, "θ pass did not use the distributed k-th job"
+    exact = [
+        tuple(r)
+        for r in B.topk_segments(spark, index_dir, terms, k=3, prune=False).collect()
+    ]
+    assert pruned == exact
+    # the distributed θ must also actually prune relative to no θ at all:
+    # it is a valid lower bound (≤ the exact k-th single-term score)
+    stats = B.load_stats(index_dir)
+    info = B.probe_dictionary(spark, index_dir, terms)
+    idf = {t: B._idf(float(info[t]["df"]), float(stats["n_docs"])) for t in info}
+    kth = orig(spark, index_dir, sorted(info), info, idf, 3, 1.2, 0.75, float(stats["avgdl"]))
+    assert all(v > 0.0 for v in kth.values())

@@ -133,3 +133,82 @@ def test_knn_lsh_recall(spark, emb):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"recall {recall}"
     assert 5 in approx  # self must land in its own bucket
+
+
+# --- bucketed cosine near-dup (similarity.cosine_pairs_lsh) -------------------
+
+@pytest.fixture(scope="module")
+def planted_emb(spark):
+    """Deterministic embeddings with PLANTED near-duplicates: 40 base
+    vectors, each with one slightly-perturbed twin (cos > 0.97), plus 120
+    unrelated vectors — the workload cosine near-dup dedup exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.standard_normal((40, dim))
+    twins = base + 0.1 * rng.standard_normal((40, dim))
+    noise = rng.standard_normal((120, dim))
+    M = np.vstack([base, twins, noise])
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+    return df
+
+
+def test_lsh_pairs_recall(spark, planted_emb):
+    """cosine_pairs_lsh ⊆ brute pairs, with recall ≥ 0.9 on planted
+    near-dups at the pinned (8 bits × 4 tables) parameters."""
+    from contextinator_spark.operators.dedup import cosine_dup_pairs
+    from contextinator_spark.operators.similarity import cosine_pairs_lsh
+
+    thr = 0.9
+    brute = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(planted_emb, thr).collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh(planted_emb, thr, dim=64, n_bits=8, n_tables=4).collect()
+    }
+    assert len(brute) >= 30, "fixture should plant ≥30 near-dup pairs"
+    assert lsh <= brute, "LSH-verified pairs must be a subset of brute"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"recall {recall} over {len(brute)} planted pairs"
+
+
+def test_lsh_candidates_prune(spark, planted_emb):
+    """The candidate set must be materially smaller than all-pairs — the
+    whole point of bucketing (no cartesian anywhere in the plan)."""
+    from contextinator_spark.operators.similarity import lsh_buckets, lsh_candidate_pairs
+
+    n = planted_emb.count()
+    cands = lsh_candidate_pairs(lsh_buckets(planted_emb, dim=64, n_bits=8, n_tables=4))
+    n_cand = cands.count()
+    assert n_cand < 0.25 * n * (n - 1) / 2, f"{n_cand} candidates of {n*(n-1)//2} pairs"
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_lsh_indexed_matches_inline(spark, planted_emb, tmp_path):
+    """Persisted signature table (partition-pruned probe) must return the
+    same top-k as recomputing signatures inline."""
+    from contextinator_spark.operators.similarity import (
+        knn_lsh_indexed, lsh_buckets, query_buckets, write_signature_table, knn_brute,
+    )
+
+    sig_path = str(tmp_path / "sig")
+    write_signature_table(planted_emb, sig_path, dim=64, n_bits=8, n_tables=4)
+    qv = [float(x) for x in planted_emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+
+    got = [tuple(r) for r in knn_lsh_indexed(spark, sig_path, qv, k=10, dim=64).collect()]
+
+    # inline reference: same buckets computed on the fly
+    cells = set(query_buckets(qv, 64, 8, 4))
+    bk = lsh_buckets(planted_emb, dim=64, n_bits=8, n_tables=4)
+    pool_ids = {
+        r["vec_id"]
+        for r in bk.collect()
+        if (r["table_id"], r["bucket"]) in cells
+    }
+    pool = planted_emb.filter(F.col("vec_id").isin(list(pool_ids)))
+    want = [tuple(r) for r in knn_brute(pool, qv, k=10).collect()]
+    assert got == want
+    assert got[0][1] == 3  # self is its own nearest neighbor

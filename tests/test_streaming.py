@@ -1,18 +1,27 @@
 from __future__ import annotations
 
+import json
 import shutil
 
 import pytest
 from pyspark.sql import functions as F
 
 from contextinator_spark.operators import bm25_segments, segments as S
-from contextinator_spark.operators.postings import build_postings, doc_meta
-from contextinator_spark.operators import bm25
 from contextinator_spark.streaming.ingest import start_incremental_ingest
 
 
+def _topk(spark, index_dir, terms, **kw):
+    res = bm25_segments.topk_segments(spark, index_dir, terms, k=10, **kw)
+    return [(r["rank"], r["doc_id"], r["score"]) for r in res.collect()]
+
+
 def test_incremental_ingest_matches_batch(spark, corpus, tmp_path_factory):
+    """After a streamed delta, the index must be RANK-IDENTICAL to a fresh
+    full-corpus rebuild: same top-k docIDs AND same BM25 scores. This pins
+    that ingest.py maintains doc_meta + stats (n_docs/avgdl/max_doc_id), not
+    just retrievability — stale stats would shift idf/avgdl and diverge."""
     base_dir = str(tmp_path_factory.mktemp("stream_idx"))
+    fresh_dir = str(tmp_path_factory.mktemp("fresh_idx"))
     drop_dir = str(tmp_path_factory.mktemp("stream_drops"))
     ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
 
@@ -28,19 +37,32 @@ def test_incremental_ingest_matches_batch(spark, corpus, tmp_path_factory):
     q = start_incremental_ingest(spark, f"{drop_dir}/*", base_dir, ckpt)
     q.awaitTermination(120)
 
-    # stats describe the base corpus only; compare vs a batch engine built
-    # over the full corpus but pinned to the same N/avgdl, i.e. same idf —
-    # easiest equivalent check: every streamed doc must now be retrievable
-    res = bm25_segments.topk_segments(spark, base_dir, ["def"], k=10, prune=False)
-    got_ids = {r["doc_id"] for r in res.collect()}
-    assert got_ids, "no results after ingest"
-    streamed_with_def = {
+    # reference: a fresh batch build over the FULL corpus
+    S.write_index(spark, c, fresh_dir)
+
+    # 1) merged stats == fresh stats (idf/avgdl inputs identical)
+    with open(f"{base_dir}/stats.json") as f:
+        merged = json.load(f)
+    with open(f"{fresh_dir}/stats.json") as f:
+        fresh = json.load(f)
+    for key in ("n_docs", "avgdl", "max_doc_id", "total_terms"):
+        assert merged[key] == fresh[key], key
+
+    # 2) doc_meta covers streamed docs (J4 enrichment)
+    dm = spark.read.parquet(f"{base_dir}/doc_meta")
+    assert dm.count() == c.count()
+    streamed_ids = {r["doc_id"] for r in second.select("doc_id").collect()}
+    present = {
         r["doc_id"]
-        for r in second.filter(F.col("content").contains("def ")).select("doc_id").collect()
+        for r in dm.filter(F.col("doc_id").isin(list(streamed_ids))).select("doc_id").collect()
     }
-    # at least one streamed doc ranks in top-10 for the heavy term OR is
-    # scoreable: check a rare term unique to the streamed half
-    probe = second.select("doc_id", F.explode(F.split(F.lower("content"), "[^a-z0-9_]+")).alias("t"))
+    assert present == streamed_ids
+
+    # 3) rank-identical top-k incl. scores: heavy term, multi-term, and a
+    # term that only exists in the streamed half
+    probe = second.select(
+        "doc_id", F.explode(F.split(F.lower("content"), "[^a-z0-9_]+")).alias("t")
+    )
     first_terms = {
         r["t"]
         for r in first.select(F.explode(F.split(F.lower("content"), "[^a-z0-9_]+")).alias("t"))
@@ -55,8 +77,14 @@ def test_incremental_ingest_matches_batch(spark, corpus, tmp_path_factory):
         .first()
     )
     assert rare is not None
-    hits = bm25_segments.topk_segments(spark, base_dir, [rare["t"]], k=10, prune=False).collect()
-    assert len(hits) > 0, f"streamed-only term {rare['t']} not retrievable"
+    for terms in (["def"], ["def", "import", "class"], [rare["t"]]):
+        for prune in (True, False):
+            got = _topk(spark, base_dir, terms, prune=prune)
+            want = _topk(spark, fresh_dir, terms, prune=prune)
+            assert got == want, f"terms={terms} prune={prune}\n{got}\nvs\n{want}"
+        assert got, f"no results for {terms}"
+
     shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(fresh_dir, ignore_errors=True)
     shutil.rmtree(drop_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
