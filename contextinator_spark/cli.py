@@ -44,6 +44,10 @@ def _corpus(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     if "content" not in df.columns and "text" in df.columns:
         df = df.withColumnRenamed("text", "content")
+    if "lang" not in df.columns and "path" in df.columns:
+        from .sources.corpus import with_lang  # P2 ext→language projection
+
+        df = with_lang(df)
     if "doc_id" not in df.columns:
         df = df.withColumn(
             "doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))
@@ -68,12 +72,24 @@ def cmd_read(args, spark) -> None:
 
 
 def cmd_list(args, spark) -> None:
-    """S2/T5 directory listing (directory.rs:16-90): dirs-first, by name."""
-    from .operators.grep import listing
+    """S2/T5 directory listing (directory.rs:16-90): dirs-first, by name.
+    --tree renders the recursive view (repo_structure.py:25-90)."""
+    from .operators.grep import listing, tree_listing
 
     df = _corpus(spark, args.corpus)
     if args.prefix:
         df = df.filter(F.col("path").startswith(args.prefix))
+    if getattr(args, "tree", False):
+        _emit(
+            tree_listing(df, max_depth=args.depth).collect(),
+            args.format,
+            lambda d: "{}{} {}".format(
+                "  " * (d.get("depth", 1) - 1),
+                "d" if d.get("is_dir") else "-",
+                d.get("name"),
+            ),
+        )
+        return
     _emit(
         listing(df).collect(),
         args.format,
@@ -193,6 +209,8 @@ def build_parser() -> argparse.ArgumentParser:
     ls = sub.add_parser("list", help="directory listing (fs_read Directory mode)")
     ls.add_argument("--corpus", required=True)
     ls.add_argument("--prefix", default=None)
+    ls.add_argument("--tree", action="store_true", help="recursive tree view")
+    ls.add_argument("--depth", type=int, default=None, help="max tree depth")
     ls.set_defaults(fn=cmd_list)
 
     s = sub.add_parser("search", help="regex grep with context (fs_read Search mode)")

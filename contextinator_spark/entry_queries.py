@@ -191,6 +191,41 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def sql_simhash_pairs() -> str:
+    """Band-join + popcount Hamming over the sql_simhash signature CTE."""
+    body = sql_simhash().strip()
+    return f"""
+WITH sig AS ({body}),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         substr(simhash, 1 + b.band_idx * 4, 4) AS band_val
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band_idx) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+h AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST((
+           bit_count(xor(('0x' || substr(x.simhash, 1, 4))::BIGINT, ('0x' || substr(y.simhash, 1, 4))::BIGINT)) +
+           bit_count(xor(('0x' || substr(x.simhash, 5, 4))::BIGINT, ('0x' || substr(y.simhash, 5, 4))::BIGINT)) +
+           bit_count(xor(('0x' || substr(x.simhash, 9, 4))::BIGINT, ('0x' || substr(y.simhash, 9, 4))::BIGINT)) +
+           bit_count(xor(('0x' || substr(x.simhash, 13, 4))::BIGINT, ('0x' || substr(y.simhash, 13, 4))::BIGINT))
+         ) AS INT) AS hamming
+  FROM cand c JOIN sig x ON c.doc_a = x.doc_id JOIN sig y ON c.doc_b = y.doc_id)
+SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 JACCARD_MIN = 0.05
 
 
@@ -291,6 +326,67 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.filter(F.col("df") > int(0.05 * n)).select(
         "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
     )
+
+
+# ext→language projection (P2): deterministic synthetic paths over the
+# documents table exercise the full map incl. filename specials + unknowns
+LANG_EXT_CYCLE = [
+    "py", "js", "ts", "tsx", "go", "java", "rs", "rb", "cpp", "h", "cs",
+    "kt", "swift", "php", "scala", "sh", "pl", "r", "lua", "jl", "hs",
+    "ex", "erl", "clj", "ml", "html", "css", "md", "json", "yaml", "toml",
+    "xml", "sql", "proto", "ipynb", "vue", "dart", "zig", "txt", "nosuchext",
+]
+_LANG_SPECIALS = ["Dockerfile", "Makefile", "CMakeLists.txt", "Gemfile"]
+
+
+def q_lang_of_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.corpus import lang_of_path
+
+    n, m = len(LANG_EXT_CYCLE), len(_LANG_SPECIALS)
+    d = load_documents(spark, sf_dir).select("doc_id")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in LANG_EXT_CYCLE]),
+        (F.pmod(F.col("doc_id"), F.lit(n)) + 1).cast("int"),
+    )
+    special = F.element_at(
+        F.array(*[F.lit(s) for s in _LANG_SPECIALS]),
+        (F.pmod(F.col("doc_id"), F.lit(m)) + 1).cast("int"),
+    )
+    path = F.when(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0, F.concat(F.lit("tools/"), special)
+    ).otherwise(
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit("."), ext)
+    )
+    return d.select("doc_id", path.alias("path"), lang_of_path(path).alias("lang"))
+
+
+def sql_lang_of_ext() -> str:
+    from .sources.corpus import LANG_OF_EXT, LANG_OF_FILENAME, UNKNOWN_LANG
+
+    n, m = len(LANG_EXT_CYCLE), len(_LANG_SPECIALS)
+    exts = ", ".join(f"'{e}'" for e in LANG_EXT_CYCLE)
+    specials = ", ".join(f"'{s}'" for s in _LANG_SPECIALS)
+    name_cases = " ".join(
+        f"WHEN fname = '{k}' THEN '{v}'" for k, v in LANG_OF_FILENAME.items()
+    )
+    ext_cases = " ".join(f"WHEN ext = '{k}' THEN '{v}'" for k, v in LANG_OF_EXT.items())
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'tools/' || ([{specials}])[CAST(doc_id % {m} AS INT) + 1]
+              ELSE 'src/f' || CAST(doc_id AS VARCHAR) || '.' ||
+                   ([{exts}])[CAST(doc_id % {n} AS INT) + 1]
+         END AS path
+  FROM documents),
+f AS (SELECT doc_id, path,
+             lower(regexp_extract(path, '[^/]+$')) AS fname,
+             regexp_extract(lower(regexp_extract(path, '[^/]+$')), '\\.([a-z0-9]+)$', 1) AS ext
+      FROM p)
+SELECT doc_id, path,
+       CASE {name_cases} ELSE (CASE {ext_cases} ELSE '{UNKNOWN_LANG}' END) END AS lang
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -607,12 +703,14 @@ SELECT doc_id, content_sha256, n_duplicates FROM (
         "minhash_bands": (q_minhash_bands, sql_minhash_bands()),
         "minhash_pairs": (q_minhash_pairs, sql_minhash_pairs()),
         "simhash": (q_simhash, sql_simhash()),
+        "simhash_pairs": (q_simhash_pairs, sql_simhash_pairs()),
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
         "cosine_pairs": (q_cosine_pairs, sql_cosine_pairs()),
         "cosine_pairs_lsh": (q_cosine_pairs_lsh, sql_cosine_pairs_lsh()),
         "knn_brute": (q_knn_brute, sql_knn_brute()),
         "knn_lsh": (q_knn_lsh, sql_knn_lsh()),
         "lang_id": (q_lang_id, sql_lang_id()),
+        "lang_of_ext": (q_lang_of_ext, sql_lang_of_ext()),
         "quality": (q_quality, sql_quality()),
         "fingerprint": (
             q_fingerprint,

@@ -1,4 +1,12 @@
-"""Byte-level vectorized tokenizer kernel (the hot path of the index build).
+"""Byte-level vectorized tokenizer kernels.
+
+PRODUCTION surface: ``batch_token_counts`` (doc_len in write_index pass A,
+via tokenize.token_count_udf). ``batch_token_runs`` / ``batch_termfreq``
+are EXPERIMENTAL alternatives to the fused combine kernel's str.findall
+(segments._make_fused_combine) — A/B-profiled on this VM the findall path
+won end-to-end, but the byte kernels are kept (and property-tested) as the
+candidate for corpora where findall's per-token Python-string boxing
+dominates.
 
 Semantics are EXACTLY the pinned BM25 token policy (config.TOKEN_PATTERN:
 lowercase, maximal [a-z0-9_] runs) — but computed with numpy byte ops
@@ -195,20 +203,26 @@ def _fixed_width_factorize(buf, starts, lens, token_doc, max_len: int | None = N
 
 
 def batch_termfreq(contents: pd.Series):
-    """Batch → (dl int64[n_rows], doc_idx, codes, tfs, uniq) with per-row
-    (term, tf) pairs sorted by (doc_idx, code).
+    """EXPERIMENTAL — not wired into the production build (the fused
+    combine kernel in segments.py tokenizes with pandas str.findall, which
+    A/B-profiled faster end-to-end on this VM; this byte-level variant is
+    kept as the candidate for corpora where findall's per-row list boxing
+    dominates). Only batch_token_counts below is production (doc_len).
 
-    tf via np.bincount over the compound key (row, code) — O(T + n·|vocab|)
-    instead of an O(T log T) sort over every token instance.
+    Batch → (dl int64[n_rows], doc_idx, codes, tfs, uniq) with per-row
+    (term, tf) pairs sorted by (doc_idx, code). tf via np.unique over the
+    compound key (row, code) — cost scales with TOKEN COUNT (T log T).
+    (A dense np.bincount(minlength=rows·vocab) variant was dropped: it
+    allocates O(rows × batch_vocab) int64 — multiple GB per 8192-row Arrow
+    batch on code corpora.)
     """
     n = len(contents)
     token_doc, codes, uniq = batch_token_runs(contents)
     dl = np.bincount(token_doc, minlength=n).astype(np.int64)
     nu = max(1, len(uniq))
     key = token_doc * nu + codes
-    cnt = np.bincount(key, minlength=n * nu)
-    nz = np.flatnonzero(cnt)
-    return dl, nz // nu, nz % nu, cnt[nz].astype(np.int64), uniq
+    uk, tfs = np.unique(key, return_counts=True)
+    return dl, uk // nu, uk % nu, tfs.astype(np.int64), uniq
 
 
 def batch_token_counts(contents: pd.Series) -> np.ndarray:

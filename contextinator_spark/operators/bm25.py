@@ -41,8 +41,12 @@ def score_terms(
     terms: list[str],
     k1: float = BM25_K1,
     b: float = BM25_B,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-(doc, term) BM25 partial scores for a bag-of-terms query."""
+    """Per-(doc, term) BM25 partial scores for a bag-of-terms query.
+
+    `term_stats` = persisted dictionary → df is a broadcast probe and
+    postings are scanned once (see topk_multi)."""
     spark = postings.sparkSession
     qt = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
     stats = (
@@ -52,7 +56,14 @@ def score_terms(
         )
     )
     matched = postings.join(F.broadcast(qt), "term")  # dictionary probe (J3)
-    tstats = matched.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if term_stats is not None:
+        tstats = term_stats.join(F.broadcast(qt), "term").select(
+            "term", F.col("df").cast("double").alias("df")
+        )
+    else:
+        tstats = matched.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
     return (
         matched.join(F.broadcast(tstats), "term")
         .join(doc_meta.select("doc_id", "doc_len"), "doc_id")
@@ -74,6 +85,7 @@ def topk(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) — global top-k, deterministic tiebreak.
 
@@ -81,7 +93,7 @@ def topk(
     TakeOrderedAndProject — per-partition heaps + driver merge, no full sort.
     """
     scored = (
-        score_terms(postings, doc_meta, terms, k1, b)
+        score_terms(postings, doc_meta, terms, k1, b, term_stats)
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), SCORE_ROUND_DECIMALS).alias("score"))
     )
@@ -101,11 +113,22 @@ def topk_multi(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Batch executor: (query_id, rank, doc_id, score) for many queries.
 
     One plan for the whole batch — per-query row_number window instead of
     N separate jobs (W4). Used by bench.py's query phase.
+
+    `term_stats` (term, df, …) — the engine's persisted dictionary — makes
+    df a broadcast probe of a vocabulary-sized table, so the plan scans
+    postings exactly ONCE (test-pinned). Without it, df falls back to a
+    second postings aggregation, acceptable only at demo scale: the
+    production executor (bm25_segments) always probes its dictionary.
+    (An exchange-reuse form — repartition matched on (term, doc_id) and
+    hang both subtrees off it — was A/B'd here: Catalyst reuses the
+    exchange over in-memory sources but not over parquet scans, so it
+    regressed to two scans + an extra shuffle and was dropped.)
     """
     spark = postings.sparkSession
     rows = [(qid, t) for qid, ts in queries.items() for t in sorted(set(ts))]
@@ -114,11 +137,16 @@ def topk_multi(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
     matched = postings.join(F.broadcast(qt), "term")
-    tstats = (
-        postings.join(F.broadcast(qt.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-    )
+    if term_stats is not None:
+        tstats = term_stats.join(
+            F.broadcast(qt.select("term").distinct()), "term"
+        ).select("term", F.col("df").cast("double").alias("df"))
+    else:
+        tstats = (
+            postings.join(F.broadcast(qt.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        )
     scored = (
         matched.join(F.broadcast(tstats), "term")
         .join(doc_meta.select("doc_id", "doc_len"), "doc_id")

@@ -51,9 +51,56 @@ _PY_CLASS = re.compile(r"^(\s*)class\s+([A-Za-z_]\w*)")
 _JS_FUNC = re.compile(r"^(\s*)(?:export\s+)?(?:async\s+)?function\s*\*?\s*([A-Za-z_$][\w$]*)?")
 _JS_CONST_FN = re.compile(r"^(\s*)(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][\w$]*)\s*=\s*(?:async\s*)?(?:\(|function)")
 _JS_CLASS = re.compile(r"^(\s*)(?:export\s+)?class\s+([A-Za-z_$][\w$]*)")
-_RS_FN = re.compile(r"^(\s*)(?:pub\s+)?(?:async\s+)?fn\s+([A-Za-z_]\w*)")
-_RS_TYPE = re.compile(r"^(\s*)(?:pub\s+)?(?:struct|enum|trait|impl)\s+([A-Za-z_]\w*)")
+_RS_FN = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?(?:async\s+)?fn\s+([A-Za-z_]\w*)")
+_RS_TYPE = re.compile(r"^(\s*)(?:pub(?:\([^)]*\))?\s+)?(?:struct|enum|trait|impl)\s+([A-Za-z_]\w*)")
 _MD_HEADING = re.compile(r"^(#{1,6})\s+(.*)")
+# go / java / c / cpp / ruby declaration patterns — same node-type intent as
+# the reference's tree-sitter NODE_TYPES table (ast_parser.py:230-421),
+# re-expressed as line heuristics (container has no tree-sitter)
+_GO_FUNC = re.compile(r"^(\s*)func\s+(?:\([^)]*\)\s*)?([A-Za-z_]\w*)")
+_GO_TYPE = re.compile(r"^(\s*)type\s+([A-Za-z_]\w*)\s+(?:struct|interface)\b")
+_JAVA_CLASS = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|final|abstract|sealed)\s+)*"
+    r"(?:class|interface|enum|record)\s+([A-Za-z_]\w*)"
+)
+_JAVA_METHOD = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|final|synchronized|abstract|native|default)\s+)+"
+    r"[\w<>\[\],.\s]+?\s+([A-Za-z_]\w*)\s*\("
+)
+_C_TYPE = re.compile(
+    r"^(\s*)(?:typedef\s+)?(?:struct|class|enum|union|namespace)\s+([A-Za-z_]\w*)"
+)
+_C_FN_CALLish = re.compile(r"\b([A-Za-z_]\w*)\s*\(")
+_C_KEYWORDS = {"if", "else", "for", "while", "switch", "return", "case", "do",
+               "break", "continue", "sizeof", "goto"}
+_RB_DEF = re.compile(r"^(\s*)def\s+(?:self\.)?([A-Za-z_]\w*[?!=]?)")
+_RB_CLASS = re.compile(r"^(\s*)(?:class|module)\s+([A-Z]\w*)")
+
+# block terminator tokens that sit at the OPENER's indent and belong to the
+# block (braces; ruby `end`) — included by _node_end so a function chunk
+# carries its closing line, as a tree-sitter node span would
+_CLOSERS = {
+    "go": ("}",), "java": ("}",), "c": ("}",), "cpp": ("}",), "c_sharp": ("}",),
+    "javascript": ("}", "};", "})", "});"), "typescript": ("}", "};", "})", "});"),
+    "rust": ("}",), "ruby": ("end",),
+}
+
+
+def _c_function_decl(ln: str):
+    """C/C++ function-definition heuristic for an indent-0 line: an
+    identifier( with a return type before it, not a control keyword, not a
+    declaration/assignment statement. Returns the name or None."""
+    s = ln.strip()
+    if not s or ln[0].isspace() or "=" in s or s.endswith((";", ",")):
+        return None
+    first = re.match(r"[A-Za-z_]\w*", s)
+    if not first or first.group(0) in _C_KEYWORDS:
+        return None
+    m = _C_FN_CALLish.search(s)
+    if not m or m.group(1) in _C_KEYWORDS:
+        return None
+    # needs a return type token before the name (rules out bare calls)
+    return m.group(1) if s[: m.start()].strip() else None
 
 
 def _token_count(text: str) -> int:
@@ -80,6 +127,22 @@ def _declarations(lines: list[str], lang: str):
         pats = [(_JS_CLASS, "class"), (_JS_FUNC, "function"), (_JS_CONST_FN, "function")]
     elif lang == "rust":
         pats = [(_RS_TYPE, "class"), (_RS_FN, "function")]
+    elif lang == "go":
+        pats = [(_GO_TYPE, "class"), (_GO_FUNC, "function")]
+    elif lang in ("java", "c_sharp"):
+        pats = [(_JAVA_CLASS, "class"), (_JAVA_METHOD, "function")]
+    elif lang == "ruby":
+        pats = [(_RB_CLASS, "class"), (_RB_DEF, "function")]
+    elif lang in ("c", "cpp"):
+        for i, ln in enumerate(lines):
+            m = _C_TYPE.match(ln)
+            if m:
+                decls.append((i, len(m.group(1)), "class", m.group(2)))
+                continue
+            name = _c_function_decl(ln)
+            if name:
+                decls.append((i, 0, "function", name))
+        return decls
     else:
         return []
     for i, ln in enumerate(lines):
@@ -92,9 +155,12 @@ def _declarations(lines: list[str], lang: str):
     return decls
 
 
-def _node_end(lines: list[str], start: int, indent: int) -> int:
+def _node_end(lines: list[str], start: int, indent: int, closers: tuple = ()) -> int:
     """Last line (inclusive) of a block starting at `start` with `indent`:
-    runs until the next non-blank line at indent ≤ indent."""
+    runs until the next non-blank line at indent ≤ indent. A block
+    terminator token at the opener's indent (`}` for brace languages,
+    `end` for ruby — _CLOSERS) belongs to the block, matching the span a
+    tree-sitter node would carry."""
     end = start
     for j in range(start + 1, len(lines)):
         ln = lines[j]
@@ -103,23 +169,29 @@ def _node_end(lines: list[str], start: int, indent: int) -> int:
             continue
         cur = len(ln) - len(ln.lstrip())
         if cur <= indent:
+            if closers and cur == indent and ln.strip() in closers:
+                return j
             break
         end = j
     return end
 
 
-def chunk_file(content: str, lang: str) -> list[dict]:
-    """File → list of chunk-node dicts (schemas.CHUNK_NODE fields)."""
+def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict]:
+    """File (or notebook cell) → structure nodes WITHOUT budget splitting.
+    `line_offset` shifts emitted line numbers (and anonymous names) so
+    notebook cells index into the notebook's concatenated source view.
+    parent_index stays local to the returned list."""
     lines = content.split("\n")
     n = len(lines)
+    closers = _CLOSERS.get(lang, ())
 
     def node(kind, name, s, e, parent=None, is_parent=False):
         text = "\n".join(lines[s : e + 1])
         return {
             "node_type": kind,
-            "node_name": name or f"anonymous_{kind}_line_{s + 1}",
-            "start_line": s + 1,
-            "end_line": e + 1,
+            "node_name": name or f"anonymous_{kind}_line_{line_offset + s + 1}",
+            "start_line": line_offset + s + 1,
+            "end_line": line_offset + e + 1,
             "parent_index": parent,
             "is_parent": is_parent,
             "is_split": False,
@@ -130,23 +202,25 @@ def chunk_file(content: str, lang: str) -> list[dict]:
 
     if _is_probably_binary(content) or not content.strip():
         # fallback whole-file chunk (ast_parser.py:634-675)
-        return _split_over_budget([node("file", None, 0, n - 1)])
+        return [node("file", None, 0, n - 1)]
 
     decls = _declarations(lines, lang)
     top = [(i, ind, k, nm) for (i, ind, k, nm) in decls if ind == 0]
     if not top:
-        return _split_over_budget([node("file", None, 0, n - 1)])
+        return [node("file", None, 0, n - 1)]
 
     out: list[dict] = []
     cursor = 0
     for idx, (i, _ind, kind, name) in enumerate(top):
+        if i <= cursor - 1:
+            continue  # declaration swallowed by the previous block's closer
         if i > cursor:
             out.append(node("code", None, cursor, i - 1))
         if lang == "markdown":
             nxt = top[idx + 1][0] if idx + 1 < len(top) else n
             end = nxt - 1
         else:
-            end = _node_end(lines, i, 0)
+            end = _node_end(lines, i, 0, closers)
         is_cls = kind in ("class", "section")
         parent_pos = len(out)
         out.append(node(kind, name, i, end, is_parent=is_cls))
@@ -154,12 +228,79 @@ def chunk_file(content: str, lang: str) -> list[dict]:
             # children: nested declarations inside the class body (J1)
             for (ci, cind, ck, cn) in decls:
                 if i < ci <= end and cind > 0:
-                    cend = _node_end(lines, ci, cind)
+                    cend = _node_end(lines, ci, cind, closers)
                     out.append(node(ck, cn, ci, min(cend, end), parent=parent_pos))
         cursor = end + 1
     if cursor < n:
         out.append(node("code", None, cursor, n - 1))
-    return _split_over_budget(out)
+    return out
+
+
+def _notebook_nodes(content: str) -> list[dict] | None:
+    """ipynb → cell-structured nodes (reference notebook_parser.py:34-202):
+    code cells route to the kernel language's structure parser, markdown
+    cells to the heading parser, raw cells pass through as one node
+    (:205-241); invalid JSON returns None → whole-file fallback (:244-290).
+
+    Line numbers index the notebook's SOURCE VIEW — the cell sources
+    joined by newlines — so reconstruct_files reproduces that view exactly
+    (the raw JSON is not reconstructable from cell chunks, same as the
+    reference's cat of a notebook)."""
+    import json as _json
+
+    try:
+        nb = _json.loads(content)
+        cells = nb["cells"]
+        assert isinstance(cells, list)
+    except Exception:
+        return None
+    kernel_lang = (
+        nb.get("metadata", {}).get("kernelspec", {}).get("language") or "python"
+    )
+    out: list[dict] = []
+    offset = 0
+    for ci, cell in enumerate(cells):
+        src = cell.get("source", "")
+        if isinstance(src, list):
+            src = "".join(src)
+        ctype = cell.get("cell_type", "raw")
+        if ctype == "code":
+            sub = _structure_nodes(src, kernel_lang, line_offset=offset)
+        elif ctype == "markdown":
+            sub = _structure_nodes(src, "markdown", line_offset=offset)
+        else:  # raw passthrough
+            n_lines = src.count("\n") + 1
+            sub = [
+                {
+                    "node_type": "raw_cell",
+                    "node_name": f"cell_{ci}",
+                    "start_line": offset + 1,
+                    "end_line": offset + n_lines,
+                    "parent_index": None,
+                    "is_parent": False,
+                    "is_split": False,
+                    "split_index": 0,
+                    "token_count": _token_count(src),
+                    "content": src,
+                }
+            ]
+        base = len(out)
+        for nd in sub:
+            if nd["parent_index"] is not None:
+                nd["parent_index"] += base
+        out.extend(sub)
+        offset += src.count("\n") + 1
+    return out or None
+
+
+def chunk_file(content: str, lang: str) -> list[dict]:
+    """File → list of chunk-node dicts (schemas.CHUNK_NODE fields)."""
+    nodes = None
+    if lang == "ipynb":
+        nodes = _notebook_nodes(content)
+    if nodes is None:
+        nodes = _structure_nodes(content, lang)
+    return _split_over_budget(nodes)
 
 
 def _split_over_budget(nodes: list[dict], budget: int = CHUNK_TOKEN_BUDGET) -> list[dict]:
@@ -309,4 +450,21 @@ def reconstruct_files(chunks: DataFrame) -> DataFrame:
             ),
         )
         .select("repo", "path", "content")
+    )
+
+
+def tree_stats(chunks: DataFrame) -> DataFrame:
+    """Per-file structure statistics (A5; reference ast_parser.py:933-959
+    computes node count and max depth by recursive walk — here one
+    aggregation): n_nodes, n_parents, n_splits, max_depth (1 = flat node,
+    2 = has a parent link; the line-structure parser emits a 2-level
+    hierarchy, so depth = 1 + has_parent), total_tokens."""
+    return chunks.groupBy("repo", "path").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("is_parent").cast("int")).alias("n_parents"),
+        F.sum(F.col("is_split").cast("int")).alias("n_splits"),
+        F.max(
+            F.when(F.col("parent_doc_id").isNotNull(), F.lit(2)).otherwise(F.lit(1))
+        ).alias("max_depth"),
+        F.sum("token_count").alias("total_tokens"),
     )

@@ -199,6 +199,71 @@ def simhash(df: DataFrame, content_col: str = "content", id_col: str = "doc_id")
     )
 
 
+def simhash_bands(sig_df: DataFrame, n_bands: int = 4) -> DataFrame:
+    """(doc_id, band_idx, band_val) — the 64-bit signature split into
+    n_bands equal hex substrings. Pigeonhole: two signatures within
+    Hamming distance < n_bands MUST agree on at least one band, so the
+    band equi-join below has EXACT recall for distance ≤ n_bands - 1."""
+    width = 16 // n_bands  # hex chars per band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.substring("simhash", 1 + j * width, width).alias("band_val"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+
+
+def simhash_pairs(df: DataFrame, content_col: str = "content", id_col: str = "doc_id",
+                  max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b, hamming) — near-duplicate pairs by SimHash, the scale
+    path that turns signatures into pairs: band-collision candidates
+    (bounded equi-join on (band_idx, band_val), never all-pairs) verified
+    with the exact popcount Hamming distance. Recall is EXACT when
+    max_hamming < n_bands (pigeonhole, see simhash_bands).
+
+    Fully SQL-expressible (hex bands → int, xor, bit_count) so it carries a
+    DuckDB oracle twin like the MinHash banding path."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    sig = simhash(df, content_col, id_col)
+    bands = simhash_bands(sig, n_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb"))
+    width = 16 // n_bands
+    # per-band xor + popcount keeps every parsed value < 2^(4*width) ≤ 2^16,
+    # clear of int64 sign issues on both engines
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("_ha", 1 + j * width, width), 16, 10).cast("long")
+            .bitwiseXOR(F.conv(F.substring("_hb", 1 + j * width, width), 16, 10).cast("long"))
+        )
+        for j in range(n_bands)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-duplicates
 # ---------------------------------------------------------------------------

@@ -35,19 +35,36 @@ def grep_lines(df: DataFrame, pattern: str, content_col: str = "content",
     """(doc_id, line_no, line) for lines matching the regex.
 
     whole_word wraps in \\b (reference grep_search.py:95), case folding via
-    lower() (grep_search.py:90-93).
+    lower() (grep_search.py:90-93). Documents are prefiltered on the
+    (?m)-mode whole-content regex before the line explode (O2 — see
+    grep_with_context); the line-level filter stays authoritative.
     """
     pat = f"\\b{pattern}\\b" if whole_word else pattern
-    lv = lines_view(df, content_col, id_col)
+    if case_insensitive:
+        pat = pat.lower()
+        doc_target = F.lower(F.col(content_col))
+    else:
+        doc_target = F.col(content_col)
+    lv = lines_view(df.filter(doc_target.rlike(f"(?m){pat}")), content_col, id_col)
     target = F.lower(F.col("line")) if case_insensitive else F.col("line")
-    return lv.filter(target.rlike(pat.lower() if case_insensitive else pat))
+    return lv.filter(target.rlike(pat))
 
 
 def grep_with_context(df: DataFrame, pattern: str, n_context: int = 2,
                       content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """Matches + context_before/context_after line arrays (W1,
-    search.rs:85-93 — default 2 lines, types.rs:24-26)."""
-    lv = lines_view(df, content_col, id_col)
+    search.rs:85-93 — default 2 lines, types.rs:24-26).
+
+    Documents are PREFILTERED on the whole-content regex before the line
+    explode + window (the reference's $contains prefilter, O2,
+    grep_search.py:58-63): a line match implies a (?m)-mode whole-content
+    match ((?m) keeps ^/$ anchored patterns line-relative), so results are
+    identical — but non-matching documents (the vast majority at corpus
+    scale) never pay the posexplode + collect_list window. Catalyst can't
+    infer this from the post-explode line filter."""
+    lv = lines_view(
+        df.filter(F.col(content_col).rlike(f"(?m){pattern}")), content_col, id_col
+    )
     w = Window.partitionBy("doc_id").orderBy("line_no")
     before = F.collect_list("line").over(w.rowsBetween(-n_context, -1))
     after = F.collect_list("line").over(w.rowsBetween(1, n_context))
@@ -123,8 +140,8 @@ def facets(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def listing(df: DataFrame, path_col: str = "path") -> DataFrame:
-    """Dirs-first, then name (T5): treat the first path segment as the
-    directory entry, like the reference's tree view."""
+    """Dirs-first, then name (T5): the first path segment as the directory
+    entry — the one-level view (cli `list` default)."""
     seg = F.split(F.col(path_col), "/")
     return (
         df.select(
@@ -134,4 +151,50 @@ def listing(df: DataFrame, path_col: str = "path") -> DataFrame:
         .groupBy("name", "is_dir")
         .agg(F.count(F.lit(1)).alias("n_entries"))
         .orderBy(F.desc("is_dir"), F.asc("name"))
+    )
+
+
+def tree_listing(df: DataFrame, path_col: str = "path",
+                 max_depth: int | None = None) -> DataFrame:
+    """Recursive tree view (reference repo_structure.py:25-90): one row per
+    directory/file node, emitted in depth-first order with DIRS-FIRST then
+    name at every level (repo_structure.py:43), with per-subtree file
+    counts.
+
+    Relational form of the recursive walk: every path explodes into its
+    prefixes (one row per ancestor + the file itself); the DFS-with-
+    dirs-first ordering is a SORT KEY — each path component is tagged
+    '0'/name for directories and '1'/name for files, so lexicographic
+    order of the tagged component sequence IS the reference's traversal
+    order. One explode + one groupBy; no driver recursion."""
+    lvl = (
+        df.select(F.split(F.col(path_col), "/").alias("parts"))
+        .select(F.explode(F.sequence(F.lit(1), F.size("parts"))).alias("depth"), "parts")
+    )
+    if max_depth is not None:
+        lvl = lvl.filter(F.col("depth") <= max_depth)
+    is_dir = F.col("depth") < F.size("parts")
+    node = F.slice(F.col("parts"), F.lit(1), F.col("depth"))
+    # tagged component c_i: '0<name>' while descending dirs, '1<name>' for
+    # the terminal file component — chr(0x01) separator sorts below any
+    # path character so shorter prefixes (parent dirs) come first
+    tag = F.transform(
+        node,
+        lambda x, i: F.concat(
+            F.when((i < F.col("depth") - 1) | is_dir, F.lit("0")).otherwise(F.lit("1")),
+            x,
+        ),
+    )
+    return (
+        lvl.select(
+            F.concat_ws("/", node).alias("node_path"),
+            F.element_at("parts", F.col("depth")).alias("name"),
+            F.col("depth"),
+            is_dir.alias("is_dir"),
+            F.array_join(tag, "\x01").alias("_sort"),
+        )
+        .groupBy("node_path", "name", "depth", "is_dir", "_sort")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("_sort")
+        .drop("_sort")
     )

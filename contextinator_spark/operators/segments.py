@@ -598,6 +598,31 @@ def committed_partitions(spark: SparkSession, index_dir: str) -> set[int]:
     return {r["partition_id"] for r in cat.select("partition_id").distinct().collect()}
 
 
+def _clean_uncommitted(index_dir: str, done: set[int]) -> list[str]:
+    """Remove segments/ and terms/ partition directories whose partition_id
+    is NOT in the catalog. The build appends slice rows in a job that
+    commits BEFORE catalog/ is written; a crash in that window leaves data
+    for partitions the catalog doesn't know about, and a blind resume would
+    re-append them — double-counted postings and inflated df/cf. The
+    catalog is the single source of commit truth, so anything outside it is
+    garbage by definition. (Posix/HDFS form; an Iceberg store gets this
+    from snapshot atomicity instead.)"""
+    import re
+    import shutil
+
+    removed: list[str] = []
+    for sub in ("segments", "terms"):
+        base = os.path.join(index_dir, sub)
+        if not os.path.isdir(base):
+            continue
+        for entry in os.listdir(base):
+            m = re.fullmatch(r"partition_id=(\d+)", entry)
+            if m and int(m.group(1)) not in done:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                removed.append(f"{sub}/{entry}")
+    return removed
+
+
 def write_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -650,6 +675,8 @@ def write_index(
     done = committed_partitions(spark, index_dir)
     all_parts = set(range(n_partitions))
     todo = sorted((all_parts - done) & (only_partitions or all_parts))
+    if done:  # resuming: scrub data from the append-before-commit window
+        _clean_uncommitted(index_dir, done)
     t0 = time.perf_counter()
 
     par = spark.sparkContext.defaultParallelism
@@ -782,6 +809,8 @@ def _write_index_legacy(
     done = committed_partitions(spark, index_dir)
     all_parts = set(range(n_partitions))
     todo = sorted((all_parts - done) & (only_partitions or all_parts))
+    if done:  # resuming: scrub data from the append-before-commit window
+        _clean_uncommitted(index_dir, done)
     t0 = time.perf_counter()
 
     # ONE tokenize+termfreq pass feeds doc_meta, dictionary and slices.

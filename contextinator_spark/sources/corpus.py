@@ -19,13 +19,91 @@ from __future__ import annotations
 import hashlib
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
 
 _KEYWORDS = ["def", "import", "class", "return", "if", "else", "for", "while",
              "try", "except", "with", "lambda", "yield", "raise", "pass"]
+
+# Extension → language projection (P2). Same contract as the reference's
+# ~60-extension table (settings.py:23-120): map a file's suffix (or special
+# filename) to a language id so ingest jobs over raw repo trees can populate
+# the corpus `lang` column. Re-expressed as a literal map column expression
+# (broadcast by construction — the map lives in the plan, no join).
+LANG_OF_EXT = {
+    "py": "python", "pyw": "python", "pyi": "python",
+    "js": "javascript", "jsx": "javascript", "mjs": "javascript", "cjs": "javascript",
+    "ts": "typescript", "tsx": "typescript",
+    "java": "java",
+    "c": "c", "h": "c",
+    "cpp": "cpp", "cc": "cpp", "cxx": "cpp", "hpp": "cpp", "hh": "cpp", "hxx": "cpp",
+    "cs": "c_sharp",
+    "go": "go",
+    "rs": "rust",
+    "rb": "ruby", "rake": "ruby",
+    "php": "php",
+    "swift": "swift",
+    "kt": "kotlin", "kts": "kotlin",
+    "scala": "scala",
+    "sh": "bash", "bash": "bash", "zsh": "bash",
+    "pl": "perl", "pm": "perl",
+    "r": "r",
+    "lua": "lua",
+    "jl": "julia",
+    "hs": "haskell",
+    "ex": "elixir", "exs": "elixir",
+    "erl": "erlang",
+    "clj": "clojure", "cljs": "clojure",
+    "ml": "ocaml", "mli": "ocaml",
+    "html": "html", "htm": "html",
+    "css": "css", "scss": "css", "less": "css",
+    "md": "markdown", "markdown": "markdown", "rst": "markdown",
+    "json": "json",
+    "yaml": "yaml", "yml": "yaml",
+    "toml": "toml",
+    "xml": "xml",
+    "sql": "sql",
+    "proto": "protobuf",
+    "ipynb": "ipynb",
+    "vue": "vue",
+    "svelte": "svelte",
+    "dart": "dart",
+    "zig": "zig",
+    "txt": "text",
+}
+# whole-filename specials (no meaningful extension)
+LANG_OF_FILENAME = {
+    "dockerfile": "dockerfile",
+    "makefile": "makefile",
+    "cmakelists.txt": "cmake",
+    "gemfile": "ruby",
+    "rakefile": "ruby",
+}
+UNKNOWN_LANG = "unknown"
+
+
+def lang_of_path(path) -> Column:
+    """Language id from a repo path — pure columnar (create_map literals),
+    usable in any ingest plan: filename specials first, then the lowercase
+    extension, else 'unknown'."""
+    p = F.col(path) if isinstance(path, str) else path
+    fname = F.lower(F.element_at(F.split(p, "/"), -1))
+    ext = F.regexp_extract(fname, r"\.([a-z0-9]+)$", 1)
+    ext_map = F.create_map(*[F.lit(x) for kv in LANG_OF_EXT.items() for x in kv])
+    name_map = F.create_map(*[F.lit(x) for kv in LANG_OF_FILENAME.items() for x in kv])
+    return F.coalesce(
+        F.element_at(name_map, fname), F.element_at(ext_map, ext), F.lit(UNKNOWN_LANG)
+    )
+
+
+def with_lang(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Populate a missing/null `lang` column from the path (ingest helper)."""
+    if "lang" in df.columns:
+        return df.withColumn("lang", F.coalesce(F.col("lang"), lang_of_path(path_col)))
+    return df.withColumn("lang", lang_of_path(path_col))
+
 
 _LANG_OF_EXT = {".py": "python", ".js": "javascript", ".rs": "rust", ".md": "markdown"}
 _EXT_WEIGHTS = [(".py", 5), (".js", 3), (".rs", 2), (".md", 2)]

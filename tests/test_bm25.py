@@ -62,3 +62,35 @@ def test_doc_meta_invariants(spark, corpus, indexed):
     # sum(tf) per doc == doc_len
     tot = post.groupBy("doc_id").agg(F.sum("tf").alias("s")).join(meta, "doc_id")
     assert tot.filter(F.col("s") != F.col("doc_len")).count() == 0
+
+
+def test_topk_with_dictionary_single_postings_scan(spark, tmp_path):
+    """With the persisted dictionary passed as term_stats, the executor's
+    plan must contain exactly ONE scan of the postings table — df becomes a
+    broadcast probe instead of a second postings aggregation."""
+    from contextinator_spark.operators import bm25, postings as P
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3} delta" * (i % 4 + 1)) for i in range(30)],
+        "doc_id long, content string",
+    )
+    post_path, dict_path = str(tmp_path / "post"), str(tmp_path / "dict")
+    P.build_postings(docs, use_expr=True).write.parquet(post_path)
+    meta = P.doc_meta(docs, use_expr=True)
+    post = spark.read.parquet(post_path)
+    P.term_stats(post).write.parquet(dict_path)
+    tstats = spark.read.parquet(dict_path)
+
+    res = bm25.topk_multi(
+        post, meta, {1: ["alpha", "beta"], 2: ["delta"]}, k=5, term_stats=tstats
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    n_post_scans = sum(1 for ln in plan.splitlines() if "FileScan parquet" in ln and "post" in ln)
+    assert n_post_scans == 1, plan
+    # and values equal the no-dictionary fallback
+    a = sorted(tuple(r) for r in res.collect())
+    b = sorted(tuple(r) for r in bm25.topk_multi(post, meta, {1: ["alpha", "beta"], 2: ["delta"]}, k=5).collect())
+    assert a == b
+    c = sorted(tuple(r) for r in bm25.topk(post, meta, ["alpha", "delta"], k=5, term_stats=tstats).collect())
+    d = sorted(tuple(r) for r in bm25.topk(post, meta, ["alpha", "delta"], k=5).collect())
+    assert c == d

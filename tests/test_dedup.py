@@ -87,3 +87,29 @@ def test_cosine_pairs_self_similarity(spark):
     for r in pairs.collect():
         assert r["id_a"] < r["id_b"]
         assert r["cos"] <= 1.000001
+
+
+def test_simhash_pairs_exact_recall(spark, corpus):
+    """Band-join candidates must find EVERY pair within the Hamming bound
+    (pigeonhole: max_hamming < n_bands), pinned against the brute-force
+    all-pairs Hamming computed in numpy. The synth corpus plants ~3%
+    duplicate contents → guaranteed hamming-0 pairs."""
+    from pyspark.sql import functions as F
+
+    from contextinator_spark.operators.dedup import simhash, simhash_pairs
+
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(c, max_hamming=3).collect()
+    }
+    sigs = {r["doc_id"]: int(r["simhash"], 16) for r in simhash(c).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert any(h == 0 for h in want.values()), "planted duplicates should be hamming-0"

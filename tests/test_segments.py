@@ -213,3 +213,49 @@ def test_theta_distributed_when_all_terms_heavy(spark, index_dir, monkeypatch):
     idf = {t: B._idf(float(info[t]["df"]), float(stats["n_docs"])) for t in info}
     kth = orig(spark, index_dir, sorted(info), info, idf, 3, 1.2, 0.75, float(stats["avgdl"]))
     assert all(v > 0.0 for v in kth.values())
+
+
+def test_resume_scrubs_uncommitted_partitions(spark, corpus, tmp_path_factory):
+    """A crash between the segments append and the catalog commit leaves
+    slice rows for partitions the catalog doesn't record; resume must scrub
+    them instead of appending duplicates (double-counted postings)."""
+    import os
+    import shutil as sh
+
+    d = str(tmp_path_factory.mktemp("dirty_idx"))
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    from contextinator_spark.config import INDEX_PARTITIONS
+
+    half = set(range(INDEX_PARTITIONS // 2))
+    S.write_index(spark, c, d, only_partitions=half, epoch=0)
+
+    # simulate the crash window: copy a committed partition's files into an
+    # UNCOMMITTED partition dir (slice rows present, no catalog row)
+    seg_base = os.path.join(d, "segments")
+    committed_dir = next(p for p in sorted(os.listdir(seg_base)) if p.startswith("partition_id="))
+    dirty_pid = max(
+        set(range(INDEX_PARTITIONS)) - half
+    )
+    dirty_dir = os.path.join(seg_base, f"partition_id={dirty_pid}")
+    sh.copytree(os.path.join(seg_base, committed_dir), dirty_dir)
+
+    # resume: the dirty partition must be scrubbed, then rebuilt cleanly
+    S.write_index(spark, c, d, epoch=1)
+    seg = spark.read.parquet(os.path.join(d, "segments"))
+    tdict = spark.read.parquet(os.path.join(d, "terms"))
+    # invariant: dictionary df == sum of slice dfs per term, postings sane
+    joined = (
+        seg.groupBy("term").agg(F.sum("df_slice").alias("df_seg"))
+        .join(tdict.groupBy("term").agg(F.sum("df").alias("df_dict")), "term")
+    )
+    bad = joined.filter(F.col("df_seg") != F.col("df_dict")).count()
+    assert bad == 0
+    # and the rebuilt index answers identically to a clean one-shot build
+    d2 = str(tmp_path_factory.mktemp("clean_idx"))
+    S.write_index(spark, c, d2)
+    for terms in (["def"], ["auth", "token"]):
+        a = [tuple(r) for r in bm25_segments.topk_segments(spark, d, terms, k=10).collect()]
+        b = [tuple(r) for r in bm25_segments.topk_segments(spark, d2, terms, k=10).collect()]
+        assert a == b, terms
+    sh.rmtree(d, ignore_errors=True)
+    sh.rmtree(d2, ignore_errors=True)

@@ -212,3 +212,49 @@ def test_knn_lsh_indexed_matches_inline(spark, planted_emb, tmp_path):
     want = [tuple(r) for r in knn_brute(pool, qv, k=10).collect()]
     assert got == want
     assert got[0][1] == 3  # self is its own nearest neighbor
+
+
+def test_tree_listing_reference_order(spark):
+    """DFS with dirs-first-then-name at every level — the traversal order
+    repo_structure.py:25-90 renders (its sort: repo_structure.py:43)."""
+    from contextinator_spark.operators.grep import tree_listing
+
+    paths = [
+        "src/app/main.py", "src/app/util.py", "src/readme.md",
+        "docs/index.md", "zz.txt", "src/app.txt",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    rows = tree_listing(df).collect()
+    got = [(r["node_path"], r["depth"], r["is_dir"], r["n_files"]) for r in rows]
+    want = [
+        ("docs", 1, True, 1),
+        ("docs/index.md", 2, False, 1),
+        ("src", 1, True, 4),
+        ("src/app", 2, True, 2),
+        ("src/app/main.py", 3, False, 1),
+        ("src/app/util.py", 3, False, 1),
+        ("src/app.txt", 2, False, 1),
+        ("src/readme.md", 2, False, 1),
+        ("zz.txt", 1, False, 1),
+    ]
+    assert got == want
+    # max_depth prunes the walk like the reference's depth parameter
+    shallow = [r["node_path"] for r in tree_listing(df, max_depth=1).collect()]
+    assert shallow == ["docs", "src", "zz.txt"]
+
+
+def test_grep_prefilter_keeps_anchored_patterns(spark):
+    """The (?m) whole-content prefilter must not drop docs whose match is
+    line-anchored (^/$) on a non-first line."""
+    from contextinator_spark.operators.grep import grep_lines, grep_with_context
+
+    df = spark.createDataFrame(
+        [(1, "x = 1\nimport os\ny"), (2, "no match here"), (3, "import io\nz")],
+        "doc_id long, content string",
+    )
+    got = {(r["doc_id"], r["line_no"]) for r in grep_lines(df, "^import").collect()}
+    assert got == {(1, 2), (3, 1)}
+    ctx = grep_with_context(df, "^import", n_context=1).collect()
+    assert {(r["doc_id"], r["line_no"]) for r in ctx} == {(1, 2), (3, 1)}
+    r1 = next(r for r in ctx if r["doc_id"] == 1)
+    assert r1["context_before"] == ["x = 1"] and r1["context_after"] == ["y"]
