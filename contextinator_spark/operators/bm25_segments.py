@@ -125,7 +125,11 @@ def _terms_df(spark: SparkSession, index_dir: str) -> DataFrame:
     base = spark.read.parquet(os.path.join(index_dir, "terms"))
     delta_path = os.path.join(index_dir, "terms_delta")
     if os.path.exists(delta_path):  # streaming-ingest deltas (df/cf additive)
-        base = base.unionByName(spark.read.parquet(delta_path))
+        # deltas carry no impact metadata (kth_tfnorm) — null-filled; the
+        # θ shortcut is already invalidated by the delta's avgdl change
+        base = base.unionByName(
+            spark.read.parquet(delta_path), allowMissingColumns=True
+        )
     df = base.persist(StorageLevel.MEMORY_AND_DISK)
     if len(_TERMS_CACHE) >= _TERMS_CACHE_MAX:
         old_key, (_, old_df) = next(iter(_TERMS_CACHE.items()))
@@ -152,13 +156,25 @@ def probe_dictionary(
     terms = sorted(set(terms))
     pids = sorted({term_partition(t, n_partitions) for t in terms})
     base = _terms_df(spark, index_dir)
+    has_impact = "kth_tfnorm" in base.columns
+    aggs = [F.sum("df").alias("df"), F.sum("cf").alias("cf")]
+    if has_impact:
+        aggs.append(F.max("kth_tfnorm").alias("kth_tfnorm"))
     tdict = (
         base.filter(F.col("partition_id").isin(pids) & F.col("term").isin(terms))
         .groupBy("term", "partition_id")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .agg(*aggs)
         .collect()
     )
-    return {r["term"]: {"df": r["df"], "cf": r["cf"], "partition_id": r["partition_id"]} for r in tdict}
+    return {
+        r["term"]: {
+            "df": r["df"],
+            "cf": r["cf"],
+            "partition_id": r["partition_id"],
+            "kth_tfnorm": r["kth_tfnorm"] if has_impact else None,
+        }
+        for r in tdict
+    }
 
 
 def topk_segments(
@@ -200,7 +216,9 @@ def topk_segments(
     # is big enough for pruning to pay (heavy lists), so gate on total df
     total_df = sum(info[t]["df"] for t in matched)
     if prune and len(matched) > 1 and total_df > 50 * k:
-        theta = _theta_from_best_term(spark, index_dir, info, idf, k, k1, b, avgdl)
+        theta = _theta_from_best_term(
+            spark, index_dir, info, idf, k, k1, b, avgdl, stats
+        )
 
     pids = sorted({info[t]["partition_id"] for t in matched})
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
@@ -261,6 +279,23 @@ def topk_segments(
     )
 
 
+def _impact_ok(stats: dict, k: int, k1: float, b: float) -> bool:
+    """True when the dictionary's stored kth_tfnorm values are valid θ
+    sources for this query: built under the SAME k1/b/avgdl (exact float
+    equality — same build wrote both), and the stored k is ≥ the query k
+    (the k0-th largest lower-bounds the k-th largest for k ≤ k0). A
+    streaming delta rewrites stats.json's avgdl, which breaks the equality
+    and auto-falls back to the job-based θ pass."""
+    imp = stats.get("impact")
+    return (
+        imp is not None
+        and k <= int(imp["k"])
+        and k1 == float(imp["k1"])
+        and b == float(imp["b"])
+        and float(stats["avgdl"]) == float(imp["avgdl"])
+    )
+
+
 def _batch_thetas(
     spark: SparkSession,
     index_dir: str,
@@ -271,6 +306,7 @@ def _batch_thetas(
     k1: float,
     b: float,
     avgdl: float,
+    stats: dict | None = None,
 ) -> dict[int, float]:
     """Per-query pruning thresholds for the batch executor, ONE Spark job.
 
@@ -291,7 +327,19 @@ def _batch_thetas(
     need = sorted(set(best_term.values()))
     if not need:
         return {}
-    term_kth = _distributed_term_kth(spark, index_dir, need, info, idf, k, k1, b, avgdl)
+    # build-time impact metadata first: terms whose stored per-slice k-th
+    # rode the dictionary probe cost ZERO extra jobs here
+    term_kth: dict[str, float] = {}
+    if stats is not None and _impact_ok(stats, k, k1, b):
+        for t in need:
+            v = info[t].get("kth_tfnorm")
+            if v is not None:
+                term_kth[t] = idf[t] * float(v)
+    missing = [t for t in need if t not in term_kth]
+    if missing:
+        term_kth.update(
+            _distributed_term_kth(spark, index_dir, missing, info, idf, k, k1, b, avgdl)
+        )
     quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
     return {
         qid: max(0.0, term_kth.get(t, 0.0) - quantum) for qid, t in best_term.items()
@@ -392,7 +440,9 @@ def topk_segments_multi(
     total_df = sum(info[t]["df"] for t in matched)
     thetas: dict[int, float] = {}
     if prune and total_df > 50 * k:
-        thetas = _batch_thetas(spark, index_dir, queries, info, idf, k, k1, b, avgdl)
+        thetas = _batch_thetas(
+            spark, index_dir, queries, info, idf, k, k1, b, avgdl, stats
+        )
 
     pids = sorted({info[t]["partition_id"] for t in matched})
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
@@ -521,8 +571,15 @@ def _theta_from_best_term(
     k1: float,
     b: float,
     avgdl: float,
+    stats: dict | None = None,
 ) -> float:
     """Exact scores of the highest-ub term's postings → k-th best = θ.
+
+    FAST PATH (zero jobs): when the index carries build-time impact
+    metadata valid for this query's (k, k1, b, avgdl) — see _impact_ok —
+    θ comes straight from the dictionary probe's stored kth_tfnorm
+    (slightly looser than the exact k-th below, still a valid lower
+    bound), and no θ job runs at all.
 
     These single-term scores are lower bounds on total scores, so the k-th
     largest is a valid (conservative) threshold. Costs one pruned scan of
@@ -541,6 +598,10 @@ def _theta_from_best_term(
     slightly looser θ, zero unbounded driver fetch at any corpus scale.
     """
     best = max(idf, key=lambda t: idf[t] * (k1 + 1.0))
+    if stats is not None and _impact_ok(stats, k, k1, b):
+        v = info[best].get("kth_tfnorm")
+        if v is not None:
+            return max(0.0, idf[best] * float(v) - 10.0 ** (-SCORE_ROUND_DECIMALS))
     if int(info[best]["df"]) > DRIVER_TOPK_MAX_DF:
         kth = _distributed_term_kth(
             spark, index_dir, [best], info, idf, k, k1, b, avgdl

@@ -95,6 +95,7 @@ _SLICE_SCHEMA = T.StructType(
         T.StructField("cf_slice", T.LongType()),
         T.StructField("blob", T.BinaryType()),
         _ENC_TYPE["block_max"],
+        T.StructField("kth_tfnorm", T.DoubleType()),
         T.StructField("partition_id", T.IntegerType()),
     ]
 )
@@ -128,6 +129,7 @@ def _make_encode_stream(n_partitions: int):
                     "cf_slice": int(t.sum()),
                     "blob": encode_postings(d, t, l),
                     "block_max": block_max(d, t, l, BLOCK_SIZE),
+                    "kth_tfnorm": None,  # impact metadata: fused path only
                     "partition_id": term_partition(str(term), n_partitions),
                 }
             )
@@ -404,19 +406,40 @@ _MERGE_TYPE = T.StructType(
         T.StructField("cf_slice", T.LongType()),
         T.StructField("blob", T.BinaryType()),
         _ENC_TYPE["block_max"],
+        T.StructField("kth_tfnorm", T.DoubleType()),
     ]
 )
 
 
-def _make_merge_udf(n_partitions: int):
+def _make_merge_udf(
+    n_partitions: int,
+    avgdl: float | None = None,
+    impact_k: int | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+):
     """Batched reduce: each input ROW is one (term, slice) group carrying
     the list of partial arrays collected from map tasks; merge+sort+encode
     per row, one output batch per Arrow batch (≈512 groups) — no per-group
     DataFrame construction overhead. JVM agg state is lists of primitive
-    ARRAYS (UnsafeArrayData), not per-posting objects."""
+    ARRAYS (UnsafeArrayData), not per-posting objects.
+
+    With `avgdl` set, each slice also records IMPACT METADATA: the
+    impact_k-th largest tf-normalized score within the slice (the
+    Lucene/block-max-WAND "max impact" idea, shifted to build time). The
+    query executor derives its pruning threshold θ from these values with
+    ZERO extra jobs — per-slice k-th ≤ global k-th ≤ k-th best total score,
+    so θ stays a conservative lower bound (see bm25_segments θ proof).
+    avgdl=None (legacy/delta paths) → null, executor falls back to the
+    job-based θ pass."""
+    from ..config import BM25_B, BM25_K1, DEFAULT_TOP_K
+
+    kk = impact_k or DEFAULT_TOP_K
+    k1v = BM25_K1 if k1 is None else k1
+    bv = BM25_B if b is None else b
 
     def fn(docs_ll: pd.Series, tfs_ll: pd.Series, dls_ll: pd.Series) -> pd.DataFrame:
-        out = {"df_slice": [], "cf_slice": [], "blob": [], "block_max": []}
+        out = {"df_slice": [], "cf_slice": [], "blob": [], "block_max": [], "kth_tfnorm": []}
         for docs, tfs, dls in zip(docs_ll, tfs_ll, dls_ll):
             d = np.concatenate([np.asarray(x, dtype=np.int64) for x in docs])
             t = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs])
@@ -428,6 +451,14 @@ def _make_merge_udf(n_partitions: int):
             out["cf_slice"].append(int(t.sum()))
             out["blob"].append(encode_postings(d, t, l))
             out["block_max"].append(block_max(d, t, l, BLOCK_SIZE))
+            if avgdl is not None and d.size >= kk:
+                tf = t.astype(np.float64)
+                sc = (tf * (k1v + 1.0)) / (
+                    tf + k1v * (1.0 - bv + bv * l.astype(np.float64) / avgdl)
+                )
+                out["kth_tfnorm"].append(float(np.partition(sc, sc.size - kk)[sc.size - kk]))
+            else:
+                out["kth_tfnorm"].append(None)
         return pd.DataFrame(out)
 
     return F.pandas_udf(fn, returnType=_MERGE_TYPE)
@@ -476,6 +507,7 @@ def build_slices_combine(
         enc["cf_slice"].alias("cf_slice"),
         enc["blob"].alias("blob"),
         enc["block_max"].alias("block_max"),
+        enc["kth_tfnorm"].alias("kth_tfnorm"),
         F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
     )
 
@@ -562,6 +594,7 @@ def build_slices(
         "cf_slice",
         enc["blob"].alias("blob"),
         enc["block_max"].alias("block_max"),
+        F.lit(None).cast("double").alias("kth_tfnorm"),
         F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
     )
 
@@ -704,6 +737,8 @@ def write_index(
         )
         meta.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_meta"))
         g = obs.get
+        from ..config import BM25_B, BM25_K1, DEFAULT_TOP_K
+
         stats = {
             "n_docs": int(g["n_docs"]),
             "avgdl": float(g["avgdl"]),
@@ -711,6 +746,16 @@ def write_index(
             "total_terms": int(g["total_terms"]),
             "n_partitions": n_partitions,
             "block_size": BLOCK_SIZE,
+            # impact-metadata stamp: per-slice kth_tfnorm values below are
+            # valid pruning bounds ONLY under these exact params; a
+            # streaming delta changes avgdl, which auto-invalidates the
+            # stamp (executor compares and falls back to the θ job)
+            "impact": {
+                "k": DEFAULT_TOP_K,
+                "k1": BM25_K1,
+                "b": BM25_B,
+                "avgdl": float(g["avgdl"]),
+            },
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -736,7 +781,7 @@ def write_index(
             F.collect_list("tfs").alias("tfs_ll"),
             F.collect_list("dls").alias("dls_ll"),
         )
-        enc = _make_merge_udf(n_partitions)(
+        enc = _make_merge_udf(n_partitions, avgdl=float(stats["avgdl"]))(
             F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")
         )
         slices = grouped.select(
@@ -746,6 +791,7 @@ def write_index(
             enc["cf_slice"].alias("cf_slice"),
             enc["blob"].alias("blob"),
             enc["block_max"].alias("block_max"),
+            enc["kth_tfnorm"].alias("kth_tfnorm"),
             F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
         ).filter(F.col("partition_id").isin(todo))
         slices.repartition(len(todo), "partition_id").write.mode("append").partitionBy(
@@ -761,8 +807,12 @@ def write_index(
             F.col("partition_id").isin(todo)
         )
         seg.groupBy("term", "partition_id").agg(
-            F.sum("df_slice").alias("df"), F.sum("cf_slice").alias("cf")
-        ).select("term", "df", "cf", "partition_id").repartition(
+            F.sum("df_slice").alias("df"),
+            F.sum("cf_slice").alias("cf"),
+            # impact metadata: max over slices is the tightest of the
+            # per-slice k-th lower bounds — still ≤ the term's global k-th
+            F.max("kth_tfnorm").alias("kth_tfnorm"),
+        ).select("term", "df", "cf", "kth_tfnorm", "partition_id").repartition(
             len(todo), "partition_id"
         ).write.mode("append").partitionBy("partition_id").parquet(
             os.path.join(index_dir, "terms")
@@ -965,6 +1015,17 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     blob (slice ranges are disjoint & ordered ⇒ decode-concat-encode, no
     re-sort). Returns the compacted slices DataFrame (one row per term)."""
     seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    has_impact = "kth_tfnorm" in seg.columns
+    # recompute impact metadata over the WHOLE merged list (now exact, not
+    # per-slice) when the index carries a still-valid impact stamp
+    imp = None
+    try:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        if st.get("impact") and float(st["avgdl"]) == float(st["impact"]["avgdl"]):
+            imp = st["impact"]
+    except OSError:
+        pass
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         from .compress import decode_postings
@@ -983,17 +1044,24 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
         if d.size > 1 and not (np.diff(d) > 0).all():
             order = np.argsort(d, kind="stable")
             d, t, l = d[order], t[order], l[order]
-        return pd.DataFrame(
-            {
-                "term": [grp["term"].iloc[0]],
-                "slice_id": [0],
-                "df_slice": [int(d.size)],
-                "cf_slice": [int(t.sum())],
-                "blob": [encode_postings(d, t, l)],
-                "block_max": [block_max(d, t, l)],
-                "partition_id": [int(grp["partition_id"].iloc[0])],
-            }
-        )
+        kth = None
+        if imp is not None and d.size >= int(imp["k"]):
+            tf = t.astype(np.float64)
+            k1v, bv, av, kk = float(imp["k1"]), float(imp["b"]), float(imp["avgdl"]), int(imp["k"])
+            sc = (tf * (k1v + 1.0)) / (tf + k1v * (1.0 - bv + bv * l.astype(np.float64) / av))
+            kth = float(np.partition(sc, sc.size - kk)[sc.size - kk])
+        row = {
+            "term": [grp["term"].iloc[0]],
+            "slice_id": [0],
+            "df_slice": [int(d.size)],
+            "cf_slice": [int(t.sum())],
+            "blob": [encode_postings(d, t, l)],
+            "block_max": [block_max(d, t, l)],
+            "partition_id": [int(grp["partition_id"].iloc[0])],
+        }
+        if has_impact:
+            row["kth_tfnorm"] = [kth]
+        return pd.DataFrame(row)
 
     # groupBy(term).applyInPandas guarantees all of a term's slices arrive in
     # one group regardless of Arrow batch splits (unlike mapInPandas)

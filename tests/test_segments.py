@@ -185,6 +185,9 @@ def test_theta_distributed_when_all_terms_heavy(spark, index_dir, monkeypatch):
     # driver collect are both disallowed, so θ comes from
     # _distributed_term_kth and top-k from the distributed plan
     monkeypatch.setattr(B, "DRIVER_TOPK_MAX_DF", 0)
+    # disable the build-time impact-metadata shortcut — this test pins the
+    # job-based fallback that stale/absent impact stamps route through
+    monkeypatch.setattr(B, "_impact_ok", lambda *a, **kw: False)
     collected_terms: list[list[str]] = []
     orig = B._distributed_term_kth
 
@@ -213,6 +216,51 @@ def test_theta_distributed_when_all_terms_heavy(spark, index_dir, monkeypatch):
     idf = {t: B._idf(float(info[t]["df"]), float(stats["n_docs"])) for t in info}
     kth = orig(spark, index_dir, sorted(info), info, idf, 3, 1.2, 0.75, float(stats["avgdl"]))
     assert all(v > 0.0 for v in kth.values())
+
+
+def test_impact_theta_needs_no_spark_job(spark, index_dir):
+    """Build-time impact metadata (per-slice k-th tf-norm in the dictionary)
+    makes θ a pure driver-side lookup: valid stamp ⇒ _theta_from_best_term
+    returns before touching Spark AT ALL (spark=None would raise otherwise),
+    and the stored bound is ≤ the exact k-th (conservative ⇒ pruning exact,
+    covered by test_pruned_equals_exhaustive)."""
+    from contextinator_spark.operators import bm25_segments as B
+
+    stats = B.load_stats(index_dir)
+    assert stats.get("impact"), "fused build must stamp impact params"
+    terms = ["def", "import", "return"]
+    info = B.probe_dictionary(spark, index_dir, terms)
+    assert all(info[t].get("kth_tfnorm") is not None for t in info)
+    idf = {t: B._idf(float(info[t]["df"]), float(stats["n_docs"])) for t in info}
+    th_fast = B._theta_from_best_term(
+        None, index_dir, info, idf, 10, 1.2, 0.75, float(stats["avgdl"]), stats
+    )
+    th_exact = B._theta_from_best_term(
+        spark, index_dir, info, idf, 10, 1.2, 0.75, float(stats["avgdl"]), None
+    )
+    assert 0.0 < th_fast <= th_exact + 1e-12
+    # batch path: every query's θ resolves from the stamp, zero jobs
+    thetas = B._batch_thetas(
+        None, index_dir, {1: terms, 2: ["def"]}, info, idf, 10, 1.2, 0.75,
+        float(stats["avgdl"]), stats,
+    )
+    assert set(thetas) == {1, 2} and all(v >= 0.0 for v in thetas.values())
+
+
+def test_impact_stamp_invalidation(index_dir):
+    """The stamp guards exact param equality: a different k1/b, a larger
+    query k, or a post-delta avgdl drift all disable the shortcut."""
+    from contextinator_spark.operators import bm25_segments as B
+
+    stats = B.load_stats(index_dir)
+    assert B._impact_ok(stats, 10, 1.2, 0.75)
+    assert B._impact_ok(stats, 5, 1.2, 0.75)       # smaller k: still a lower bound
+    assert not B._impact_ok(stats, 20, 1.2, 0.75)  # larger k: bound invalid
+    assert not B._impact_ok(stats, 10, 1.5, 0.75)
+    assert not B._impact_ok(stats, 10, 1.2, 0.5)
+    drifted = {**stats, "avgdl": stats["avgdl"] * 1.01}  # streaming delta moved avgdl
+    assert not B._impact_ok(drifted, 10, 1.2, 0.75)
+    assert not B._impact_ok({k: v for k, v in stats.items() if k != "impact"}, 10, 1.2, 0.75)
 
 
 def test_resume_scrubs_uncommitted_partitions(spark, corpus, tmp_path_factory):
