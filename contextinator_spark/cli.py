@@ -17,8 +17,9 @@ workflows against a corpus table + segment index:
 
 --corpus accepts an sf-style directory (documents.parquet) or a parquet
 path with the corpus schema. Output is JSON lines (--format text for a
-human rendering). Heavy lifting stays in operators/ — this file only
-parses arguments and formats rows.
+human rendering; --format toon for the reference CLI's compact TOON
+export, output_formatter.py:170-191). Heavy lifting stays in operators/ —
+this file only parses arguments and formats rows.
 """
 
 from __future__ import annotations
@@ -56,8 +57,15 @@ def _corpus(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _emit(rows, fmt: str, text_fn: Callable[[dict], str]) -> None:
-    for r in rows:
-        d = r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r)
+    dicts = [
+        r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r) for r in rows
+    ]
+    if fmt == "toon":  # one tabular document (output_formatter.py:170-191)
+        from .functions.toon import toon_encode
+
+        print(toon_encode(dicts))
+        return
+    for d in dicts:
         print(text_fn(d) if fmt == "text" else json.dumps(d, default=str))
 
 
@@ -196,7 +204,7 @@ def cmd_stats(args, spark) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="contextinator-spark")
-    p.add_argument("--format", choices=["json", "text"], default="json")
+    p.add_argument("--format", choices=["json", "text", "toon"], default="json")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("read", help="file line-range read (fs_read Line mode)")

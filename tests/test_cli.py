@@ -75,3 +75,41 @@ def test_cli_build_query_stats(capsys, spark, index_dir):
         assert rec["rank"] == 1 and "score" in rec
     st = json.loads(run_cli(capsys, spark, "stats", "--index", index_dir)[0])
     assert st["stats"]["n_docs"] > 0 and st["epochs"]
+
+
+def test_toon_encoder_shapes():
+    """Minimal public-spec TOON shapes (toon_encoder.py:18-43 wraps the
+    public toon-format lib; this pins our standalone subset)."""
+    from contextinator_spark.functions.toon import toon_encode
+
+    # the docstring example from the reference's wrapper
+    assert toon_encode({"tags": ["jazz", "chill", "lofi"], "count": 3}) == (
+        "tags[3]: jazz,chill,lofi\ncount: 3"
+    )
+    # uniform object array → tabular header + CSV rows
+    rows = [{"rank": 1, "doc_id": 7, "score": 1.5}, {"rank": 2, "doc_id": 9, "score": 1.25}]
+    assert toon_encode(rows) == (
+        "[2]{rank,doc_id,score}:\n  1,7,1.5\n  2,9,1.25"
+    )
+    # quoting: delimiters, numeric-looking strings, bools, whitespace
+    out = toon_encode({"a": "x,y", "b": "12", "c": "true", "d": " pad ", "e": "plain"})
+    assert '"x,y"' in out and '"12"' in out and '"true"' in out and '" pad "' in out
+    assert "e: plain" in out
+    # nested dict + null
+    assert toon_encode({"m": {"k": None}}) == "m:\n  k: null"
+
+
+def test_cli_format_toon(capsys, spark):
+    # scalar-uniform rows (symbols) take the tabular fast path
+    lines = run_cli(
+        capsys, spark, "--format", "toon", "symbols", "--corpus", SF, "--limit", "3",
+    )
+    assert lines[0].startswith("[") and "{" in lines[0] and "name" in lines[0]
+    n = int(lines[0][1 : lines[0].index("]")])
+    assert len(lines) == 1 + n and all(l.startswith("  ") for l in lines[1:])
+    # rows with array fields (search context) render per-item, not tabular
+    lines = run_cli(
+        capsys, spark, "--format", "toon", "search", "--corpus", SF,
+        "--pattern", "the", "--limit", "2",
+    )
+    assert lines[0] == "[2]:" and "doc_id:" in "".join(lines)
