@@ -504,9 +504,30 @@ def topk_segments_multi(
     scored = partials.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
+
+    # Per-partition local top-k BEFORE the per-query window. The window must
+    # repartition by query_id — at most n_queries partitions, a parallelism
+    # cliff that sorts every scored doc on a handful of tasks no matter how
+    # many cores the cluster has. The global top-k per query is a subset of
+    # the union of per-partition top-ks (same (score desc, doc_id asc)
+    # order), so cutting each agg partition to k rows per query first is
+    # exact and shrinks the window's input from O(matched docs) to
+    # ≤ n_partitions · n_queries · k rows.
+    def local_topk(pdf_iter):
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "score", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    pre = scored.mapInPandas(local_topk, schema="query_id int, doc_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        pre.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )

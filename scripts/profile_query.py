@@ -1,0 +1,100 @@
+"""Diagnose batch-query scaling: build ONE amplified index, then time the
+batch executor's phases at a given core count (pin externally via taskset).
+
+  SPARK_GRAFT_CPUS=8 taskset -c 0-7 python scripts/profile_query.py build
+  SPARK_GRAFT_CPUS=8 taskset -c 0-7 python scripts/profile_query.py query
+  SPARK_GRAFT_CPUS=2 taskset -c 0-1 python scripts/profile_query.py query
+
+`build` writes the amplified index to /dev/shm/ctx_profile_idx (reused by
+every subsequent `query` run); `query` prints per-phase wall seconds:
+probe (dictionary), theta (should be ~0 with impact metadata), plan
+(DataFrame construction), exec (job run), per repeat.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from contextinator_spark.session import get_spark  # noqa: E402
+
+IDX = "/dev/shm/ctx_profile_idx"
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1600"))
+
+
+def build() -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from contextinator_spark.entry_queries import _docs
+    from contextinator_spark.operators import segments as S
+
+    spark = get_spark("profile-build")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    shutil.rmtree(IDX, ignore_errors=True)
+    base = _docs(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    corpus = (
+        base.repartition(4 * cpus)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        .withColumn("doc_id", F.col("doc_id") * AMPLIFY + F.col("rep"))
+        .drop("rep")
+    )
+    n = corpus.count()
+    hints = S.sampled_heavy_fanout(
+        base.repartition(cpus), "doc_id", n_docs=n, df_multiplier=AMPLIFY
+    )
+    t0 = time.perf_counter()
+    res = S.write_index(spark, corpus, IDX, id_col="doc_id", heavy_fanout=hints)
+    print(json.dumps({"n": n, "build_sec": round(time.perf_counter() - t0, 2),
+                      "phases": res.get("phases")}))
+    spark.stop()
+
+
+def query() -> None:
+    from contextinator_spark.operators import bm25_segments as B
+    from contextinator_spark.entry_queries import BM25_QUERIES
+
+    queries = {
+        **BM25_QUERIES,
+        6: ["scan", "table"], 7: ["dup", "small"], 8: ["fast", "key", "order", "sort"],
+        9: ["part", "window", "stream"], 10: ["batch"],
+    }
+    spark = get_spark("profile-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    B.topk_segments(spark, IDX, ["warmup"], k=10).collect()  # worker init
+
+    for rep in range(int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))):
+        stats = B.load_stats(IDX)
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+        t0 = time.perf_counter()
+        all_terms = sorted({t for ts in queries.values() for t in ts})
+        info = B.probe_dictionary(spark, IDX, all_terms)
+        t_probe = time.perf_counter()
+        idf = {t: B._idf(float(info[t]["df"]), n) for t in info}
+        thetas = B._batch_thetas(spark, IDX, queries, info, idf, 10, 1.2, 0.75, avgdl, stats)
+        t_theta = time.perf_counter()
+        df = B.topk_segments_multi(spark, IDX, queries, k=10)
+        t_plan = time.perf_counter()
+        rows = df.collect()
+        t_exec = time.perf_counter()
+        print(json.dumps({
+            "rep": rep,
+            "probe_sec": round(t_probe - t0, 3),
+            "theta_sec": round(t_theta - t_probe, 3),
+            "plan_sec": round(t_plan - t_theta, 3),
+            "exec_sec": round(t_exec - t_plan, 3),
+            "total_sec": round(t_exec - t0, 3),
+            "rows": len(rows),
+            "thetas_nonzero": sum(1 for v in thetas.values() if v > 0),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    {"build": build, "query": query}[sys.argv[1]]()

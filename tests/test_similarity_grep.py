@@ -213,6 +213,15 @@ def test_knn_lsh_indexed_matches_inline(spark, planted_emb, tmp_path):
     assert got == want
     assert got[0][1] == 3  # self is its own nearest neighbor
 
+    # the probe is PARTITION-PRUNED: (table_id, bucket) are directory keys,
+    # so the OR-of-equalities lands in PartitionFilters — the scan never
+    # lists, let alone reads, the other 4·2^8 bucket directories
+    df = knn_lsh_indexed(spark, sig_path, qv, k=10, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan = plan[plan.index("PartitionFilters"):]
+    assert "table_id" in scan[: scan.index("]")] and "bucket" in scan[: scan.index("]")]
+
 
 def test_tree_listing_reference_order(spark):
     """DFS with dirs-first-then-name at every level — the traversal order
