@@ -235,7 +235,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_MIN)
 
 
-COSINE_MIN = 0.9
+# 0.3 (not 0.9): the driver's stub embeddings have no pairs above 0.9, which
+# made the round-2 oracle check vacuously pass on an empty set. At 0.3 the
+# brute path returns real rows (its LSH twin finds 86 at sf0.01), so the
+# driver actually exercises the kernel.
+COSINE_MIN = 0.3
 
 # LSH near-dup parameters (pinned; the oracle SQL embeds the ±1 hyperplane
 # matrices derived from these, so both engines run the identical algorithm)
@@ -272,14 +276,26 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures over the corpus."""
     import hashlib as _h
     import os as _os
+    import tempfile as _tmp
 
     from .operators.similarity import knn_lsh_indexed, write_signature_table
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    key = f"{sf_dir}|sig|D={EMBEDDING_DIM}|B={RHP_BITS}|T={RHP_TABLES}"
-    root = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache"
+    # cache key folds a DATA fingerprint (every parquet part's name, size,
+    # mtime) so a regenerated embeddings.parquet at the same path can never
+    # serve stale signatures; the cache lives under the system temp dir,
+    # not the repo tree (ADVICE round 2)
+    src = f"{sf_dir}/embeddings.parquet"
+    parts = []
+    for root_, _dirs, files in _os.walk(src):
+        for fn in sorted(files):
+            st = _os.stat(_os.path.join(root_, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    key = (
+        f"{sf_dir}|sig|D={EMBEDDING_DIM}|B={RHP_BITS}|T={RHP_TABLES}|"
+        + ";".join(parts)
     )
+    root = _os.path.join(_tmp.gettempdir(), "contextinator_spark_idx_cache")
     d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
     if not _os.path.exists(_os.path.join(d, "_SUCCESS")):
         write_signature_table(emb, d, EMBEDDING_DIM, RHP_BITS, RHP_TABLES)

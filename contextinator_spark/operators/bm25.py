@@ -122,9 +122,10 @@ def topk_multi(
 
     `term_stats` (term, df, …) — the engine's persisted dictionary — makes
     df a broadcast probe of a vocabulary-sized table, so the plan scans
-    postings exactly ONCE (test-pinned). Without it, df falls back to a
-    second postings aggregation, acceptable only at demo scale: the
-    production executor (bm25_segments) always probes its dictionary.
+    postings exactly ONCE (test-pinned). Without it, df comes from a
+    count() window over the matched postings — still a single postings
+    scan, at the cost of one extra per-term shuffle; the production
+    executor (bm25_segments) always probes its dictionary.
     (An exchange-reuse form — repartition matched on (term, doc_id) and
     hang both subtrees off it — was A/B'd here: Catalyst reuses the
     exchange over in-memory sources but not over parquet scans, so it
@@ -136,20 +137,31 @@ def topk_multi(
     stats = doc_meta.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("doc_len").alias("avgdl")
     )
-    matched = postings.join(F.broadcast(qt), "term")
     if term_stats is not None:
         tstats = term_stats.join(
             F.broadcast(qt.select("term").distinct()), "term"
         ).select("term", F.col("df").cast("double").alias("df"))
+        matched = postings.join(F.broadcast(qt), "term").join(
+            F.broadcast(tstats), "term"
+        )
     else:
-        tstats = (
+        # Single-scan fallback: df comes from a count() window over the
+        # matched postings themselves (rows are unique on (term, doc_id),
+        # so the per-term row count IS df) — postings is scanned exactly
+        # once either way. The per-query fan-out joins AFTER the window so
+        # a term shared by many queries is not double-counted.
+        matched = (
             postings.join(F.broadcast(qt.select("term").distinct()), "term")
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .withColumn(
+                "df",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("term"))
+                .cast("double"),
+            )
+            .join(F.broadcast(qt), "term")
         )
     scored = (
-        matched.join(F.broadcast(tstats), "term")
-        .join(doc_meta.select("doc_id", "doc_len"), "doc_id")
+        matched.join(doc_meta.select("doc_id", "doc_len"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "term_score",

@@ -45,6 +45,10 @@ from ..config import (
     SCORE_ROUND_DECIMALS,
 )
 
+# Batch-executor qid-chunking: bound the (qids × postings) broadcast temp in
+# score_slices to ~4M float64 elements (~32 MB) per chunk.
+_QID_CHUNK_ELEMS = 4 * 1024 * 1024
+
 
 def _spread_slices(seg: DataFrame, spark: SparkSession, total_df: int) -> DataFrame:
     """Scan-stage parallelism equals the number of pruned FILES (a few per
@@ -450,26 +454,43 @@ def topk_segments_multi(
     )
     seg = _spread_slices(seg, spark, total_df)
 
+    # Per-term dense arrays for the executor kernel: qids using the term,
+    # their rest-of-query upper bounds and θ thresholds — computed once on
+    # the driver so the hot loop does zero dict lookups per posting.
+    term_qarr = {t: np.asarray(term_queries[t], dtype=np.int32) for t in matched}
+    term_ru = {
+        t: np.asarray([rest_ub[(t, q)] for q in term_queries[t]], dtype=np.float64)
+        for t in matched
+    }
+    term_th = {
+        t: np.asarray(
+            [thetas.get(q, 0.0) for q in term_queries[t]], dtype=np.float64
+        )
+        for t in matched
+    }
+
     def score_slices(pdf_iter):
         from .compress import decode_postings
 
         for pdf in pdf_iter:
             qids_out, docs_out, scores_out = [], [], []
             for term, blob, bm in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
-                qids = term_queries[term]
+                qarr, ru, th = term_qarr[term], term_ru[term], term_th[term]
                 doc_ids, tfs, dls = decode_postings(bytes(blob))
                 if doc_ids.size == 0:
                     continue
                 if thetas and bm is not None and len(bm) > 0:
                     # union block skip: keep a block iff it survives for at
-                    # least one query using this term
+                    # least one query using this term. One broadcasted
+                    # comparison over the (qid, block) grid — same FP
+                    # expression as the scalar loop it replaced.
                     bmax = np.asarray(
                         [(e["max_tf"], e["min_dl"]) for e in bm], dtype=np.float64
                     )
                     blk_ub = idf[term] * _tf_norm(bmax[:, 0], bmax[:, 1], avgdl, k1, b)
-                    keep_blk = np.zeros(blk_ub.size, dtype=bool)
-                    for qid in qids:
-                        keep_blk |= (blk_ub + rest_ub[(term, qid)]) >= thetas.get(qid, 0.0)
+                    keep_blk = (
+                        (blk_ub[None, :] + ru[:, None]) >= th[:, None]
+                    ).any(axis=0)
                     if not keep_blk.all():
                         blk_idx = np.arange(doc_ids.size) // BLOCK_SIZE
                         m = keep_blk[blk_idx]
@@ -479,18 +500,21 @@ def topk_segments_multi(
                 scores = idf[term] * _tf_norm(
                     tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
                 )
-                for qid in qids:
-                    th = thetas.get(qid, 0.0)
-                    if th > 0.0:
-                        m = (scores + rest_ub[(term, qid)]) >= th
-                        if not m.any():
-                            continue
-                        d_q, s_q = doc_ids[m], scores[m]
-                    else:
-                        d_q, s_q = doc_ids, scores
-                    qids_out.append(np.full(d_q.size, qid, dtype=np.int32))
-                    docs_out.append(d_q)
-                    scores_out.append(s_q)
+                # Vectorized per-query masking: scores + rest_ub[q] >= θ_q as
+                # one broadcasted comparison per qid-chunk instead of a
+                # Python loop over qids (θ=0 rows pass automatically —
+                # idf ≥ 0 so scores ≥ 0). Chunked so the (qids × postings)
+                # temp stays ≤ ~32 MB at 1,000-query batches.
+                step = max(1, _QID_CHUNK_ELEMS // doc_ids.size)
+                for lo in range(0, qarr.size, step):
+                    m = (
+                        scores[None, :] + ru[lo : lo + step, None]
+                    ) >= th[lo : lo + step, None]
+                    qi, pi = np.nonzero(m)
+                    if qi.size:
+                        qids_out.append(qarr[lo : lo + step][qi])
+                        docs_out.append(doc_ids[pi])
+                        scores_out.append(scores[pi])
             if docs_out:
                 yield pd.DataFrame(
                     {

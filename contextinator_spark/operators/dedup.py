@@ -175,21 +175,55 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str = "content",
 def simhash64_udf(tokens: pd.Series) -> pd.Series:
     """16-hex-char SimHash. Token hash = first 16 hex chars of md5 (so the
     DuckDB oracle can reproduce it); weight = term frequency; bit set when
-    the weighted sum is >= 0."""
-    out = []
-    for toks in tokens:
-        if toks is None or len(toks) == 0:
-            out.append("0" * 16)
-            continue
-        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        hs = np.array(
-            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in vals], dtype=np.uint64
-        )
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        w = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
-        sig_bits = (w.sum(axis=0) >= 0).astype(np.uint64)
-        sig = np.bitwise_or.reduce(sig_bits << np.arange(64, dtype=np.uint64))
-        out.append(f"{int(sig):016x}")
+    the weighted sum is >= 0.
+
+    Batch-vectorized: tokens are factorized across the WHOLE Arrow batch
+    and each batch-unique term is md5-hashed exactly once (code corpora
+    share most of their vocabulary across files, so this cuts the Python
+    hash calls ~10× vs hashing per doc-unique term); the per-doc
+    tf-weighted bit sums reduce to one bincount per bit over the token
+    stream, because summing ±1 once per OCCURRENCE equals weighting each
+    unique term by its tf. Bit-identical to the per-doc form — the sums
+    are small integers (exact in float64) and order-independent."""
+    import itertools
+
+    n = len(tokens)
+    lens = np.array(
+        [0 if t is None else len(t) for t in tokens], dtype=np.int64
+    )
+    if lens.sum() == 0:
+        return pd.Series(["0" * 16] * n)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = np.array(
+        list(
+            itertools.chain.from_iterable(t for t in tokens if t is not None)
+        ),
+        dtype=object,
+    )
+    codes, uniques = pd.factorize(flat)
+    hs = np.fromiter(
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    # per-unique-term bit matrix in {0,1}; bit j of doc d is set when
+    # 2 * Σ_tokens b_j - n_tokens >= 0
+    bits01 = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.float64)
+    # compress the token stream to (doc, term) pairs with tf counts — a
+    # hash factorize, not a sort — so repetitive docs don't pay the 64-bit
+    # loop once per occurrence
+    u = np.int64(len(uniques))
+    pcodes, pvals = pd.factorize(doc_idx * u + codes)
+    tf = np.bincount(pcodes).astype(np.float64)
+    d, c = pvals // u, pvals % u
+    sigs = np.zeros(n, dtype=np.uint64)
+    for j in range(64):
+        s = np.bincount(d, weights=tf * bits01[c, j], minlength=n)
+        sigs |= ((2.0 * s - lens) >= 0).astype(np.uint64) << np.uint64(j)
+    out = np.array([f"{int(s):016x}" for s in sigs], dtype=object)
+    out[lens == 0] = "0" * 16
     return pd.Series(out)
 
 

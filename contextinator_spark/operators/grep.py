@@ -17,8 +17,21 @@ context lines are window collect_lists — no UDFs anywhere.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# The whole-content (?m) prefilter is implied by a line-level match ONLY for
+# patterns whose assertions never cross a line boundary. \A/\z/\Z anchors and
+# explicit \n/\r escapes (e.g. foo(?!\nbar)) can match a lone exploded line
+# yet fail against the full content — for those, skip the prefilter and pay
+# the full explode rather than silently dropping matches.
+_PREFILTER_UNSAFE = _re.compile(r"\\[AzZnr]")
+
+
+def _prefilter_safe(pattern: str) -> bool:
+    return not _PREFILTER_UNSAFE.search(pattern)
 
 
 def lines_view(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
@@ -45,7 +58,8 @@ def grep_lines(df: DataFrame, pattern: str, content_col: str = "content",
         doc_target = F.lower(F.col(content_col))
     else:
         doc_target = F.col(content_col)
-    lv = lines_view(df.filter(doc_target.rlike(f"(?m){pat}")), content_col, id_col)
+    pre = df.filter(doc_target.rlike(f"(?m){pat}")) if _prefilter_safe(pat) else df
+    lv = lines_view(pre, content_col, id_col)
     target = F.lower(F.col("line")) if case_insensitive else F.col("line")
     return lv.filter(target.rlike(pat))
 
@@ -61,10 +75,14 @@ def grep_with_context(df: DataFrame, pattern: str, n_context: int = 2,
     match ((?m) keeps ^/$ anchored patterns line-relative), so results are
     identical — but non-matching documents (the vast majority at corpus
     scale) never pay the posexplode + collect_list window. Catalyst can't
-    infer this from the post-explode line filter."""
-    lv = lines_view(
-        df.filter(F.col(content_col).rlike(f"(?m){pattern}")), content_col, id_col
+    infer this from the post-explode line filter. Patterns with
+    line-crossing assertions skip the prefilter (see _prefilter_safe)."""
+    pre = (
+        df.filter(F.col(content_col).rlike(f"(?m){pattern}"))
+        if _prefilter_safe(pattern)
+        else df
     )
+    lv = lines_view(pre, content_col, id_col)
     w = Window.partitionBy("doc_id").orderBy("line_no")
     before = F.collect_list("line").over(w.rowsBetween(-n_context, -1))
     after = F.collect_list("line").over(w.rowsBetween(1, n_context))

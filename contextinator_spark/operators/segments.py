@@ -638,10 +638,12 @@ def _clean_uncommitted(index_dir: str, done: set[int]) -> list[str]:
     for partitions the catalog doesn't know about, and a blind resume would
     re-append them — double-counted postings and inflated df/cf. The
     catalog is the single source of commit truth, so anything outside it is
-    garbage by definition. (Posix/HDFS form; an Iceberg store gets this
-    from snapshot atomicity instead.)"""
+    garbage by definition — EXCEPT streaming-delta files (named
+    ingest-b{batch}-*.parquet by streaming/ingest.py), which commit through
+    stats.json's last_batch_id rather than the catalog and must survive a
+    base-build resume. (Posix/HDFS form; an Iceberg store gets this from
+    snapshot atomicity instead.)"""
     import re
-    import shutil
 
     removed: list[str] = []
     for sub in ("segments", "terms"):
@@ -650,9 +652,18 @@ def _clean_uncommitted(index_dir: str, done: set[int]) -> list[str]:
             continue
         for entry in os.listdir(base):
             m = re.fullmatch(r"partition_id=(\d+)", entry)
-            if m and int(m.group(1)) not in done:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-                removed.append(f"{sub}/{entry}")
+            if not (m and int(m.group(1)) not in done):
+                continue
+            pdir = os.path.join(base, entry)
+            kept = 0
+            for fn in os.listdir(pdir):
+                if fn.startswith("ingest-b"):
+                    kept += 1
+                else:
+                    os.remove(os.path.join(pdir, fn))
+                    removed.append(f"{sub}/{entry}/{fn}")
+            if not kept:
+                os.rmdir(pdir)
     return removed
 
 

@@ -94,3 +94,26 @@ def test_topk_with_dictionary_single_postings_scan(spark, tmp_path):
     c = sorted(tuple(r) for r in bm25.topk(post, meta, ["alpha", "delta"], k=5, term_stats=tstats).collect())
     d = sorted(tuple(r) for r in bm25.topk(post, meta, ["alpha", "delta"], k=5).collect())
     assert c == d
+
+
+def test_topk_multi_fallback_single_postings_scan(spark, tmp_path):
+    """WITHOUT a dictionary, df now comes from a count() window over the
+    matched postings — the plan must still scan the postings table exactly
+    once (the round-2 driver-graded entry query took a two-scan fallback)."""
+    from contextinator_spark.operators import bm25, postings as P
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3} delta" * (i % 4 + 1)) for i in range(30)],
+        "doc_id long, content string",
+    )
+    post_path = str(tmp_path / "post")
+    P.build_postings(docs, use_expr=True).write.parquet(post_path)
+    meta = P.doc_meta(docs, use_expr=True)
+    post = spark.read.parquet(post_path)
+
+    res = bm25.topk_multi(post, meta, {1: ["alpha", "beta"], 2: ["delta"]}, k=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    n_post_scans = sum(
+        1 for ln in plan.splitlines() if "FileScan parquet" in ln and "post" in ln
+    )
+    assert n_post_scans == 1, plan

@@ -51,8 +51,18 @@ def test_manifest_and_column_pruning(spark, media, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("media")) + "/media.parquet"
     media.write.parquet(d)
     mp = spark.read.parquet(d)
-    # metadata-only query must NOT read the payload column
-    meta_only = mp.groupBy("media_type").count()
-    plan = meta_only._jdf.queryExecution().executedPlan().toString()
-    assert "payload" not in plan, "payload column not pruned from scan"
-    assert media_manifest(mp).count() == 3
+    # metadata-only queries must NOT read the payload column — including
+    # media_manifest itself, whose byte totals come from stored n_bytes
+    for meta_only in (mp.groupBy("media_type").count(), media_manifest(mp)):
+        plan = meta_only._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan, "payload column not pruned from scan"
+    rows = {r["media_type"]: r for r in media_manifest(mp).collect()}
+    assert len(rows) == 3
+    # n_bytes metadata agrees with the actual payload sizes
+    truth = {
+        r["media_type"]: r["t"]
+        for r in mp.groupBy("media_type")
+        .agg(F.sum(F.length("payload")).alias("t"))
+        .collect()
+    }
+    assert {k: r["total_bytes"] for k, r in rows.items()} == truth

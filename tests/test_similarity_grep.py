@@ -267,3 +267,23 @@ def test_grep_prefilter_keeps_anchored_patterns(spark):
     assert {(r["doc_id"], r["line_no"]) for r in ctx} == {(1, 2), (3, 1)}
     r1 = next(r for r in ctx if r["doc_id"] == 1)
     assert r1["context_before"] == ["x = 1"] and r1["context_after"] == ["y"]
+
+
+def test_grep_prefilter_skipped_for_line_crossing_assertions(spark):
+    """Patterns with \\n inside assertions can match an exploded line while
+    FAILING on the whole content — the prefilter must be skipped for them
+    (ADVICE round 2): foo(?!\\nbar) matches the line 'foo' in doc 1 even
+    though 'foo\\nbar' fails the whole-content probe."""
+    from contextinator_spark.operators.grep import _prefilter_safe, grep_lines
+
+    assert _prefilter_safe("^import") and _prefilter_safe("spark.*hash")
+    for p in (r"foo(?!\nbar)", r"\Afoo", r"foo\Z", r"foo\z", r"a\rb"):
+        assert not _prefilter_safe(p)
+
+    df = spark.createDataFrame(
+        [(1, "foo\nbar"), (2, "foo\nqux")], "doc_id long, content string"
+    )
+    got = {(r["doc_id"], r["line_no"]) for r in grep_lines(df, r"foo(?!\nbar)").collect()}
+    # line-level semantics: the exploded line "foo" has no following \nbar,
+    # so BOTH docs match — doc 1 must not be dropped by a content prefilter
+    assert got == {(1, 1), (2, 1)}

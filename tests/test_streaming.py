@@ -88,3 +88,82 @@ def test_incremental_ingest_matches_batch(spark, corpus, tmp_path_factory):
     shutil.rmtree(fresh_dir, ignore_errors=True)
     shutil.rmtree(drop_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_ingest_replay_idempotent(spark, corpus, tmp_path_factory):
+    """foreachBatch is at-least-once: a crash after the file moves but
+    before the stats commit, followed by a replay of the SAME batch_id,
+    must converge to exactly-once state (no doubled doc_meta rows, no
+    doubled tf, stats counted once); and a replay after a successful
+    commit must be a pure no-op."""
+    import os
+
+    from contextinator_spark.streaming.ingest import apply_ingest_batch
+
+    base_dir = str(tmp_path_factory.mktemp("replay_idx"))
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    first, second = c.filter(F.col("doc_id") % 2 == 0), c.filter(F.col("doc_id") % 2 == 1)
+    S.write_index(spark, first, base_dir)
+    batch = second.select("doc_id", "repo", "path", "commit", "lang", "content")
+
+    def state():
+        with open(f"{base_dir}/stats.json") as f:
+            st = json.load(f)
+        dm = spark.read.parquet(f"{base_dir}/doc_meta").count()
+        return st, dm, _topk(spark, base_dir, ["def", "import"])
+
+    # (a) crash in the at-least-once window: files moved, commit missing
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_ingest_batch(batch, 0, base_dir, _crash_before_commit=True)
+    assert not os.path.exists(f"{base_dir}/stats.json.tmp.0")
+    # (b) the replay scrubs the partial files and applies exactly once
+    apply_ingest_batch(batch, 0, base_dir)
+    st, dm, topk = state()
+    assert st["n_docs"] == c.count() and dm == c.count()
+    assert st["last_batch_id"] == 0
+    # (c) full replay after commit: early-return, state unchanged
+    apply_ingest_batch(batch, 0, base_dir)
+    assert state() == (st, dm, topk)
+
+
+def test_ingest_refuses_uncommitted_base(spark, corpus, tmp_path_factory):
+    """A partially-committed base build (segment partition dirs outside the
+    catalog) must be rejected up front — write_index's resume scrub would
+    delete delta slices streamed into it."""
+    import os
+
+    base_dir = str(tmp_path_factory.mktemp("refuse_idx"))
+    drop_dir = str(tmp_path_factory.mktemp("refuse_drops"))
+    ckpt = str(tmp_path_factory.mktemp("refuse_ckpt"))
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    S.write_index(spark, c, base_dir)
+    c.limit(1).select("doc_id", "repo", "path", "commit", "lang", "content").write.parquet(
+        f"{drop_dir}/drop1"
+    )
+    # fake an uncommitted partition left by a crashed base build
+    fake = f"{base_dir}/segments/partition_id=987654"
+    os.makedirs(fake)
+    open(f"{fake}/part-00000-dead.parquet", "wb").close()
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        start_incremental_ingest(spark, f"{drop_dir}/*", base_dir, ckpt)
+    # but a dir holding ONLY ingest-tagged files is fine
+    os.remove(f"{fake}/part-00000-dead.parquet")
+    open(f"{fake}/ingest-b0-0.parquet", "wb").close()
+    q = start_incremental_ingest(spark, f"{drop_dir}/*", base_dir, ckpt)
+    q.awaitTermination(120)
+
+
+def test_clean_uncommitted_spares_ingest_deltas(tmp_path):
+    """write_index's resume scrub must delete uncommitted BASE files but
+    keep streaming-delta files (which commit via stats.json, not the
+    catalog) living in the same partition dir."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    pdir = f"{idx}/segments/partition_id=3"
+    os.makedirs(pdir)
+    open(f"{pdir}/part-00000-stale.parquet", "wb").close()
+    open(f"{pdir}/ingest-b2-0.parquet", "wb").close()
+    removed = S._clean_uncommitted(idx, done=set())
+    assert removed == ["segments/partition_id=3/part-00000-stale.parquet"]
+    assert os.path.exists(f"{pdir}/ingest-b2-0.parquet")
