@@ -56,17 +56,38 @@ def _corpus(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def _emit(rows, fmt: str, text_fn: Callable[[dict], str]) -> None:
+def _emit(rows, fmt: str, text_fn: Callable[[dict], str], fold: bool = False) -> None:
     dicts = [
         r.asDict(recursive=True) if hasattr(r, "asDict") else dict(r) for r in rows
     ]
     if fmt == "toon":  # one tabular document (output_formatter.py:170-191)
         from .functions.toon import toon_encode
 
-        print(toon_encode(dicts))
+        print(toon_encode(dicts, fold_keys=fold))
         return
     for d in dicts:
         print(text_fn(d) if fmt == "text" else json.dumps(d, default=str))
+
+
+def _emit_facets(result_df: DataFrame, cols: list[str], fmt: str,
+                 fold: bool = False) -> None:
+    """Facet summary block after the results (A6; the reference renders
+    result counts + distinct metadata values, output_formatter.py:14-75 /
+    semantic_search.py:123-144)."""
+    from .operators.grep import facets
+
+    row = facets(result_df, cols).collect()[0].asDict(recursive=True)
+    if fmt == "toon":
+        from .functions.toon import toon_encode
+
+        print(toon_encode({"facets": row}, fold_keys=fold))
+    elif fmt == "text":
+        print(f"Found: {row['n_results']} result(s)")
+        for c in cols:
+            vals = row.get(f"{c}s") or []
+            print(f"{c.capitalize()}s: " + ", ".join(str(v) for v in vals))
+    else:
+        print(json.dumps({"facets": row}, default=str))
 
 
 def cmd_read(args, spark) -> None:
@@ -114,12 +135,16 @@ def cmd_search(args, spark) -> None:
         out = grep_with_context(df, args.pattern, n_context=args.context_lines)
     else:
         out = grep_lines(df, args.pattern)
-    out = out.limit(args.limit)
+    fold = getattr(args, "toon_fold", False)
     _emit(
-        out.collect(),
+        out.limit(args.limit).collect(),
         args.format,
         lambda d: f"{d.get('doc_id')}:{d.get('line_no')}: {d.get('line')}",
+        fold,
     )
+    if getattr(args, "facets", False):
+        enr = out.join(df.select("doc_id", "lang", "path"), "doc_id")
+        _emit_facets(enr, ["lang", "path"], args.format, fold)
 
 
 def cmd_symbols(args, spark) -> None:
@@ -175,11 +200,21 @@ def cmd_query(args, spark) -> None:
     out = topk_segments(
         spark, args.index, tokenize(args.query), k=args.k, prune=not args.no_prune
     )
+    rows = out.collect()
+    fold = getattr(args, "toon_fold", False)
     _emit(
-        out.collect(),
+        rows,
         args.format,
         lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+        fold,
     )
+    if getattr(args, "facets", False):
+        meta = spark.read.parquet(f"{args.index}/doc_meta")
+        cols = [c for c in ("lang", "repo") if c in meta.columns]
+        hits = spark.createDataFrame(
+            [(r["doc_id"],) for r in rows], "doc_id long"
+        ).join(meta, "doc_id")
+        _emit_facets(hits, cols, args.format, fold)
 
 
 def cmd_stats(args, spark) -> None:
@@ -205,6 +240,10 @@ def cmd_stats(args, spark) -> None:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="contextinator-spark")
     p.add_argument("--format", choices=["json", "text", "toon"], default="json")
+    p.add_argument(
+        "--toon-fold", action="store_true",
+        help="TOON keyFolding: collapse single-key object chains to a.b.c",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("read", help="file line-range read (fs_read Line mode)")
@@ -226,6 +265,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--pattern", required=True)
     s.add_argument("--context-lines", type=int, default=2)
     s.add_argument("--limit", type=int, default=100)
+    s.add_argument("--facets", action="store_true", help="append facet summary")
     s.set_defaults(fn=cmd_search)
 
     sy = sub.add_parser("symbols", help="sorted distinct symbols (rag symbols)")
@@ -255,6 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true")
+    q.add_argument("--facets", action="store_true", help="append facet summary")
     q.set_defaults(fn=cmd_query)
 
     st = sub.add_parser("stats", help="collection stats + catalog counters")

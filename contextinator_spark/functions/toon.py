@@ -12,6 +12,8 @@ result shapes need:
   uniform object array    key[N]{f1,f2}:   then one indented CSV row each
   nested object           key:             then indented fields
   non-uniform array       key[N]:          then one indented "- item" each
+  key folding (opt-in)    a: {b: {c: 1}} → a.b.c: 1 when every segment is
+                          a bare identifier (the spec's keyFolding option)
 
 Strings are quoted only when they would be ambiguous (contain the
 delimiter, a colon, quotes, newlines, look numeric/boolean, or carry
@@ -22,9 +24,11 @@ token saving over JSON comes from.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 _INDENT = "  "
+_SAFE_KEY = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _needs_quotes(s: str) -> bool:
@@ -68,7 +72,8 @@ def _uniform_keys(items: list) -> list[str] | None:
     return keys
 
 
-def _encode_list(key: str, items: list, depth: int, out: list[str]) -> None:
+def _encode_list(key: str, items: list, depth: int, out: list[str],
+                 fold: bool = False) -> None:
     pad = _INDENT * depth
     keys = _uniform_keys(items)
     if keys is not None:
@@ -83,30 +88,42 @@ def _encode_list(key: str, items: list, depth: int, out: list[str]) -> None:
     for x in items:
         if isinstance(x, dict):
             out.append(pad + _INDENT + "-")
-            _encode_dict(x, depth + 2, out)
+            _encode_dict(x, depth + 2, out, fold)
         elif isinstance(x, list):
-            _encode_list("-", x, depth + 1, out)
+            _encode_list("-", x, depth + 1, out, fold)
         else:
             out.append(pad + _INDENT + "- " + _scalar(x))
 
 
-def _encode_dict(d: dict, depth: int, out: list[str]) -> None:
+def _encode_dict(d: dict, depth: int, out: list[str], fold: bool = False) -> None:
     pad = _INDENT * depth
     for k, v in d.items():
+        k = str(k)
+        if fold and isinstance(v, dict) and _SAFE_KEY.match(k):
+            # fold chains of single-key objects into a dotted path
+            while (
+                isinstance(v, dict)
+                and len(v) == 1
+                and _SAFE_KEY.match(next(iter(v)))
+            ):
+                nk, v = next(iter(v.items()))
+                k = f"{k}.{nk}"
         if isinstance(v, dict):
             out.append(f"{pad}{k}:")
-            _encode_dict(v, depth + 1, out)
+            _encode_dict(v, depth + 1, out, fold)
         elif isinstance(v, list):
-            _encode_list(str(k), v, depth, out)
+            _encode_list(k, v, depth, out, fold)
         else:
             out.append(f"{pad}{k}: {_scalar(v)}")
 
 
-def toon_encode(data: Any) -> str:
-    """Encode dict / list / scalar to a TOON string (no trailing newline)."""
+def toon_encode(data: Any, fold_keys: bool = False) -> str:
+    """Encode dict / list / scalar to a TOON string (no trailing newline).
+    `fold_keys` enables the spec's keyFolding option (off by default, same
+    as the reference's toon-format library)."""
     out: list[str] = []
     if isinstance(data, dict):
-        _encode_dict(data, 0, out)
+        _encode_dict(data, 0, out, fold_keys)
     elif isinstance(data, list):
         keys = _uniform_keys(data)
         if keys is not None:
@@ -114,7 +131,7 @@ def toon_encode(data: Any) -> str:
             for x in data:
                 out.append(_INDENT + ",".join(_scalar(x[k]) for k in keys))
         else:
-            _encode_list("", data, 0, out)
+            _encode_list("", data, 0, out, fold_keys)
     else:
         out.append(_scalar(data))
     return "\n".join(out)

@@ -42,9 +42,8 @@ from pyspark.sql.functions import pandas_udf
 # content: overlapping splits can't reproduce the file byte-exactly (see
 # module docstring's engineering contract / reconstruction divergence note)
 from ..config import CHUNK_TOKEN_BUDGET
+from ..functions.bpe_estimate import approx_bpe_len
 from .. import schemas
-
-_TOKEN_RE = re.compile("[a-z0-9_]+")
 
 _PY_DEF = re.compile(r"^(\s*)(?:async\s+)?def\s+([A-Za-z_]\w*)")
 _PY_CLASS = re.compile(r"^(\s*)class\s+([A-Za-z_]\w*)")
@@ -104,7 +103,12 @@ def _c_function_decl(ln: str):
 
 
 def _token_count(text: str) -> int:
-    return len(_TOKEN_RE.findall(text.lower()))
+    """Budget-token count for chunk splitting: the approximate-BPE cost
+    model (functions/bpe_estimate.py), matching the reference's tiktoken
+    budgeting semantics (rag/utils/token_counter.py:15-74) within the
+    documented approximation — NOT the BM25 term count (doc_len), which
+    stays separate per SURVEY §7.3."""
+    return approx_bpe_len(text)
 
 
 def _is_probably_binary(content: str) -> bool:
@@ -176,16 +180,47 @@ def _node_end(lines: list[str], start: int, indent: int, closers: tuple = ()) ->
     return end
 
 
+# languages whose definitions may be preceded by @-prefixed attachment lines
+# (python decorators, java/c# annotations, ts/js decorators); the reference
+# emits `decorated_definition` nodes SPANNING the decorator (NODE_TYPES
+# python, ast_parser.py:234) — here the decorator lines extend the node start
+_DECORATOR_LANGS = {"python", "java", "c_sharp", "typescript", "javascript"}
+
+
+def _decor_start(lines: list[str], i: int, indent: int, lang: str) -> int:
+    """First line of the decorator run immediately above a declaration at
+    line `i` (same indent, @-prefixed), else `i` itself."""
+    if lang not in _DECORATOR_LANGS:
+        return i
+    s = i
+    while s - 1 >= 0:
+        ln = lines[s - 1]
+        if ln.strip().startswith("@") and len(ln) - len(ln.lstrip()) == indent:
+            s -= 1
+        else:
+            break
+    return s
+
+
 def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict]:
     """File (or notebook cell) → structure nodes WITHOUT budget splitting.
     `line_offset` shifts emitted line numbers (and anonymous names) so
     notebook cells index into the notebook's concatenated source view.
-    parent_index stays local to the returned list."""
+    parent_index stays local to the returned list.
+
+    Hierarchy follows the reference traversal (ast_parser.py:737-806):
+    only class-like nodes are parents (PARENT_NODE_TYPES:424-476 —
+    function_definition is NOT among them), so a nested declaration's
+    parent is its nearest ENCLOSING CLASS, reached through any number of
+    intervening function bodies; nested classes produce parent chains
+    deeper than 2 (depth tracks the chain length). Nested declarations are
+    emitted for function tops too — contained in their top node's range,
+    so reconstruction's containment drop keeps files byte-exact."""
     lines = content.split("\n")
     n = len(lines)
     closers = _CLOSERS.get(lang, ())
 
-    def node(kind, name, s, e, parent=None, is_parent=False):
+    def node(kind, name, s, e, parent=None, is_parent=False, depth=1):
         text = "\n".join(lines[s : e + 1])
         return {
             "node_type": kind,
@@ -197,6 +232,7 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
             "is_split": False,
             "split_index": 0,
             "token_count": _token_count(text),
+            "depth": depth,
             "content": text,
         }
 
@@ -214,22 +250,39 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
     for idx, (i, _ind, kind, name) in enumerate(top):
         if i <= cursor - 1:
             continue  # declaration swallowed by the previous block's closer
-        if i > cursor:
-            out.append(node("code", None, cursor, i - 1))
+        s0 = max(_decor_start(lines, i, 0, lang), cursor)
+        if s0 > cursor:
+            out.append(node("code", None, cursor, s0 - 1))
         if lang == "markdown":
             nxt = top[idx + 1][0] if idx + 1 < len(top) else n
             end = nxt - 1
         else:
             end = _node_end(lines, i, 0, closers)
         is_cls = kind in ("class", "section")
-        parent_pos = len(out)
-        out.append(node(kind, name, i, end, is_parent=is_cls))
-        if is_cls and lang != "markdown":
-            # children: nested declarations inside the class body (J1)
+        top_pos = len(out)
+        out.append(node(kind, name, s0, end, is_parent=is_cls, depth=1))
+        if lang != "markdown":
+            # nested declarations inside this block (J1). Stack of
+            # enclosing emitted nodes: (start, end, kind, out_pos, depth)
+            stack = [(i, end, kind, top_pos, 1)]
             for (ci, cind, ck, cn) in decls:
-                if i < ci <= end and cind > 0:
-                    cend = _node_end(lines, ci, cind, closers)
-                    out.append(node(ck, cn, ci, min(cend, end), parent=parent_pos))
+                if not (i < ci <= end) or cind <= 0:
+                    continue
+                cend = min(_node_end(lines, ci, cind, closers), end)
+                while len(stack) > 1 and ci > stack[-1][1]:
+                    stack.pop()
+                # reference parent rule: nearest enclosing CLASS
+                parent_pos, cdepth = None, 1
+                for (_ss, _se, sk, sp, sd) in reversed(stack):
+                    if sk == "class":
+                        parent_pos, cdepth = sp, sd + 1
+                        break
+                cs = _decor_start(lines, ci, cind, lang)
+                out.append(
+                    node(ck, cn, cs, cend, parent=parent_pos,
+                         is_parent=(ck == "class"), depth=cdepth)
+                )
+                stack.append((ci, cend, ck, len(out) - 1, cdepth))
         cursor = end + 1
     if cursor < n:
         out.append(node("code", None, cursor, n - 1))
@@ -281,6 +334,7 @@ def _notebook_nodes(content: str) -> list[dict] | None:
                     "is_split": False,
                     "split_index": 0,
                     "token_count": _token_count(src),
+                    "depth": 1,
                     "content": src,
                 }
             ]
@@ -377,6 +431,7 @@ def chunk_corpus(corpus: DataFrame) -> DataFrame:
         F.col("nd.is_split").alias("is_split"),
         F.col("nd.split_index").alias("split_index"),
         F.col("nd.token_count").alias("token_count"),
+        F.col("nd.depth").alias("depth"),
         F.col("nd.content").alias("content"),
         F.sha2(F.col("nd.content"), 256).alias("content_sha256"),
     )
@@ -456,15 +511,13 @@ def reconstruct_files(chunks: DataFrame) -> DataFrame:
 def tree_stats(chunks: DataFrame) -> DataFrame:
     """Per-file structure statistics (A5; reference ast_parser.py:933-959
     computes node count and max depth by recursive walk — here one
-    aggregation): n_nodes, n_parents, n_splits, max_depth (1 = flat node,
-    2 = has a parent link; the line-structure parser emits a 2-level
-    hierarchy, so depth = 1 + has_parent), total_tokens."""
+    aggregation): n_nodes, n_parents, n_splits, max_depth (length of the
+    longest parent chain, computed by the chunker: nested classes produce
+    depth > 2), total_tokens."""
     return chunks.groupBy("repo", "path").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.col("is_parent").cast("int")).alias("n_parents"),
         F.sum(F.col("is_split").cast("int")).alias("n_splits"),
-        F.max(
-            F.when(F.col("parent_doc_id").isNotNull(), F.lit(2)).otherwise(F.lit(1))
-        ).alias("max_depth"),
+        F.max("depth").alias("max_depth"),
         F.sum("token_count").alias("total_tokens"),
     )

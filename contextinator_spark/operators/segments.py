@@ -757,6 +757,10 @@ def write_index(
             "total_terms": int(g["total_terms"]),
             "n_partitions": n_partitions,
             "block_size": BLOCK_SIZE,
+            # blob layout version (operators/positions.py): 1 = standard
+            # [df][deltas][tfs][doc_lens]; 2 would carry the optional
+            # positions section — readers can tell without sniffing blobs
+            "posting_format": 1,
             # impact-metadata stamp: per-slice kth_tfnorm values below are
             # valid pruning bounds ONLY under these exact params; a
             # streaming delta changes avgdl, which auto-invalidates the
@@ -962,6 +966,7 @@ def _write_index_legacy(
             # INDEX_PARTITIONS default stays readable forever
             "n_partitions": n_partitions,
             "block_size": BLOCK_SIZE,
+            "posting_format": 1,
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)

@@ -36,6 +36,7 @@ CHUNKS = T.StructType(
         T.StructField("is_split", T.BooleanType(), False),
         T.StructField("split_index", T.IntegerType(), False),
         T.StructField("token_count", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
         T.StructField("content", T.StringType(), False),
         T.StructField("content_sha256", T.StringType(), False),
     ]
@@ -53,6 +54,7 @@ CHUNK_NODE = T.StructType(
         T.StructField("is_split", T.BooleanType(), False),
         T.StructField("split_index", T.IntegerType(), False),
         T.StructField("token_count", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
         T.StructField("content", T.StringType(), False),
     ]
 )

@@ -113,3 +113,37 @@ def test_cli_format_toon(capsys, spark):
         "--pattern", "the", "--limit", "2",
     )
     assert lines[0] == "[2]:" and "doc_id:" in "".join(lines)
+
+
+def test_toon_key_folding():
+    from contextinator_spark.functions.toon import toon_encode
+
+    d = {"a": {"b": {"c": 1}}, "x": {"y": {"k1": 1, "k2": 2}}, "not a key": {"v": 3}}
+    folded = toon_encode(d, fold_keys=True)
+    assert "a.b.c: 1" in folded
+    assert "x.y:" in folded  # chain stops at the multi-key dict
+    assert '"not a key"' in folded or "not a key:" in folded  # unsafe key unfolded
+    # default stays unfolded (reference library default)
+    assert "a.b.c" not in toon_encode(d)
+
+
+def test_cli_search_facets(capsys, spark):
+    lines = run_cli(
+        capsys, spark, "search", "--corpus", SF, "--pattern", "spark",
+        "--context-lines", "0", "--limit", "5", "--facets",
+    )
+    facet_lines = [ln for ln in lines if '"facets"' in ln]
+    assert len(facet_lines) == 1
+    f = json.loads(facet_lines[0])["facets"]
+    assert f["n_results"] >= 1 and "langs" in f and "paths" in f
+
+
+def test_cli_query_facets(capsys, spark, index_dir):
+    lines = run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "spark hash",
+        "--k", "5", "--facets",
+    )
+    facet_lines = [ln for ln in lines if '"facets"' in ln]
+    assert len(facet_lines) == 1
+    f = json.loads(facet_lines[0])["facets"]
+    assert f["n_results"] >= 1

@@ -86,3 +86,42 @@ def test_bytetok_matches_regex_reference():
         got[int(d)][uniq[c]] = int(t)
     for i, r in enumerate(ref):
         assert dict(Counter(r)) == got[i], (i, docs[i][:60] if docs[i] else docs[i])
+
+
+def test_approx_bpe_cost_model():
+    """Char-class cost model pinned against cl100k's published ballpark:
+    ~3-4 chars/token on source code, ~4-5 on English prose; exact count
+    hand-derived from the model's rules on a canonical snippet."""
+    from contextinator_spark.functions.bpe_estimate import approx_bpe_len
+
+    snippet = "def foo(bar):\n    return bar + 1"
+    # def(1) foo(1) ( (1) bar(1) )(1) :(1) \n+indent(2) return(1) bar(1)
+    # +(1) 1(1) — single spaces fold into the following token
+    assert approx_bpe_len(snippet) == 12
+
+    code = snippet * 50 + "\nvery_long_identifier_name = compute_the_value(x)\n" * 20
+    ratio = len(code) / approx_bpe_len(code)
+    assert 2.5 <= ratio <= 4.5, ratio
+
+    prose = "The quick brown fox jumps over the lazy dog near the river bank. " * 20
+    ratio_p = len(prose) / approx_bpe_len(prose)
+    assert 3.5 <= ratio_p <= 5.5, ratio_p
+
+
+def test_chunk_split_counts_track_bpe_budget():
+    """Split counts on an over-budget fixture match ceil(total/512) within
+    ±1 — the budget is now denominated in approximate-BPE tokens (F2), so
+    boundaries approximate the reference's 512-tiktoken splits."""
+    import math
+
+    from contextinator_spark.operators.chunker import _token_count, chunk_file
+
+    body = "\n".join(
+        "    value_%d = compute(alpha, beta_%d) + 17" % (i, i) for i in range(400)
+    )
+    big = "def big():\n" + body
+    nodes = chunk_file(big, "python")
+    splits = [n for n in nodes if n["is_split"]]
+    total = _token_count(big)
+    expect = math.ceil(total / 512)
+    assert abs(len(splits) - expect) <= 1, (len(splits), expect)
