@@ -217,6 +217,39 @@ def cmd_query(args, spark) -> None:
         _emit_facets(hits, cols, args.format, fold)
 
 
+def cmd_phrase(args, spark) -> None:
+    """Consecutive-token phrase search, BM25-scored (operators/phrase.py).
+    With --index: probe a positions index (write with `phrase-build`);
+    otherwise: one scan over --corpus."""
+    from .oracle import tokenize
+
+    terms = tokenize(args.query)
+    if not terms:
+        raise SystemExit("phrase query tokenized to nothing")
+    if args.index:
+        from .operators.phrase import phrase_topk_indexed
+
+        out = phrase_topk_indexed(spark, args.index, terms, k=args.k)
+    else:
+        from .operators.phrase import phrase_topk
+
+        out = phrase_topk(_corpus(spark, args.corpus), terms, k=args.k)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+        getattr(args, "toon_fold", False),
+    )
+
+
+def cmd_phrase_build(args, spark) -> None:
+    """Write the positions-carrying phrase index (posting_format=2)."""
+    from .operators.phrase import write_phrase_index
+
+    res = write_phrase_index(_corpus(spark, args.corpus), args.index)
+    print(json.dumps(res, default=str))
+
+
 def cmd_stats(args, spark) -> None:
     """A4 collection counts + catalog counters (chroma_store.py:445-491)."""
     from .operators.bm25_segments import load_stats
@@ -297,6 +330,18 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--no-prune", action="store_true")
     q.add_argument("--facets", action="store_true", help="append facet summary")
     q.set_defaults(fn=cmd_query)
+
+    ph = sub.add_parser("phrase", help="consecutive-token phrase search (BM25)")
+    ph.add_argument("--query", required=True)
+    ph.add_argument("--corpus", help="corpus parquet (scan form)")
+    ph.add_argument("--index", help="positions index dir (indexed form)")
+    ph.add_argument("--k", type=int, default=10)
+    ph.set_defaults(fn=cmd_phrase)
+
+    pb = sub.add_parser("phrase-build", help="write the positions phrase index")
+    pb.add_argument("--corpus", required=True)
+    pb.add_argument("--index", required=True)
+    pb.set_defaults(fn=cmd_phrase_build)
 
     st = sub.add_parser("stats", help="collection stats + catalog counters")
     st.add_argument("--index", required=True)

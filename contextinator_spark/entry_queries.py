@@ -461,6 +461,100 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_segments(spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10)
 
 
+PHRASE_TERMS = ["table", "hash"]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-token phrase match, one corpus scan (operators/phrase.py;
+    new surface — the reference has no phrase search, SURVEY §1.4 marks
+    positions as the reserved extension)."""
+    from .operators.phrase import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), PHRASE_TERMS)
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-BM25 top-10 (phrase as one synthetic term), scan form."""
+    from .operators.phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir), PHRASE_TERMS, k=10)
+
+
+def _cached_phrase_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the positions-carrying phrase index for sf_dir."""
+    import hashlib as _h
+    import os as _os
+
+    from .operators.phrase import PHRASE_INDEX_PARTITIONS
+
+    key = f"{sf_dir}|phrase|P={PHRASE_INDEX_PARTITIONS}"
+    root = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache"
+    )
+    d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
+    if not _os.path.exists(_os.path.join(d, "stats.json")):
+        from .operators.phrase import write_phrase_index
+
+        _os.makedirs(d, exist_ok=True)
+        write_phrase_index(_docs(spark, sf_dir), d)
+    return d
+
+
+def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-BM25 top-10 from the positions index — same oracle as
+    phrase_topk because the two strategies are result-identical (tested)."""
+    from .operators.phrase import phrase_topk_indexed
+
+    return phrase_topk_indexed(
+        spark, _cached_phrase_index_dir(spark, sf_dir), PHRASE_TERMS, k=10
+    )
+
+
+def sql_phrase_tf() -> str:
+    """Shared CTE: per-doc phrase_tf + doc_len via DuckDB list lambdas —
+    1-based list indexing, range() end-exclusive (empty when the doc is
+    shorter than the phrase), overlaps counted like the Spark form."""
+    n = len(PHRASE_TERMS)
+    cond = " AND ".join(
+        f"t[i+{j}] = '{term}'" if j else f"t[i] = '{term}'"
+        for j, term in enumerate(PHRASE_TERMS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(t) - {n} + 2), i -> {cond})) AS INT) AS phrase_tf,
+             CAST(len(t) AS INT) AS doc_len
+      FROM toks)
+"""
+
+
+def sql_phrase_match() -> str:
+    return sql_phrase_tf() + "SELECT doc_id, phrase_tf, doc_len FROM m WHERE phrase_tf > 0"
+
+
+def sql_phrase_topk() -> str:
+    k1, b = BM25_K1, BM25_B
+    return (
+        sql_phrase_tf()
+        + f""",
+mt AS (SELECT * FROM m WHERE phrase_tf > 0),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM m),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df_phrase FROM mt),
+scored AS (
+  SELECT mt.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - d.df_phrase + 0.5) / (d.df_phrase + 0.5))
+           * (mt.phrase_tf * ({k1} + 1.0))
+           / (mt.phrase_tf + {k1} * (1.0 - {b} + {b} * mt.doc_len / s.avgdl)),
+         {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM mt CROSS JOIN stats s CROSS JOIN dfp d)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+    )
+
+
 def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunker output over the corpus adapter (not SQL-expressible —
     driver records the rows-only check; pytest holds the real invariants)."""
@@ -770,6 +864,9 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
             "WHERE lang = 'en' AND contains(text, 'spark')",
         ),
         "bm25_wand": (q_bm25_wand, sql_bm25_topk()),
+        "phrase_match": (q_phrase_match, sql_phrase_match()),
+        "phrase_topk": (q_phrase_topk, sql_phrase_topk()),
+        "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "reconstruct": (
             q_reconstruct,

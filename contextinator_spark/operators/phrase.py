@@ -1,0 +1,312 @@
+"""Phrase search — consecutive-token match, scan form and positions-index
+form (the forward-looking capability SURVEY §1.4's optional `positions`
+column reserves room for; neither the reference nor the round-2 engine had
+it, so both forms are new surface, not parity).
+
+Two execution strategies, result-identical (test-pinned, shared oracle):
+
+* ``phrase_match`` / ``phrase_topk`` — one corpus scan, pure Catalyst
+  higher-order functions: ``F.filter(tokens, (x, i) -> ...)`` counts the
+  start offsets where all n phrase terms line up. ``F.get`` (0-based,
+  null past the end) keeps the predicate total without ANSI index errors,
+  so the whole match stays inside whole-stage codegen — no UDF, no
+  explode, no shuffle before the (tiny) matched set.
+* ``write_phrase_index`` / ``phrase_topk_indexed`` — a positions-carrying
+  posting store (operators/positions.py blob layout, posting_format=2,
+  partitioned by term hash). A phrase query reads ONLY its terms'
+  partitions (partition-pruned), decodes positions, and intersects
+  per-doc position sets shifted by term offset:
+  occurrences = |P0 ∩ (P1−1) ∩ … ∩ (P(n−1)−(n−1))| — array_intersect
+  on decoded columns, JVM-side. At 100 TB the scan form touches the whole
+  corpus per query; the indexed form touches df(term) postings only.
+
+Scoring treats the phrase as one synthetic term: BM25 with
+df = |docs containing the phrase|, tf = occurrence count — the natural
+extension of the engine's pinned scoring (operators/bm25.py), rounded to
+SCORE_ROUND_DECIMALS with the ascending-doc_id tiebreak.
+"""
+
+from __future__ import annotations
+
+import json
+import operator
+import os
+from functools import reduce
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import BM25_B, BM25_K1, DEFAULT_TOP_K, SCORE_ROUND_DECIMALS
+from ..functions.tokenize import tokens_expr
+from .bm25 import idf_expr, tf_norm_expr
+from .positions import (
+    POSTING_FORMAT_POSITIONS,
+    decode_postings_with_positions,
+    encode_postings_with_positions,
+)
+
+PHRASE_INDEX_PARTITIONS = 32
+
+
+def phrase_tf_expr(toks: Column, terms: list[str]) -> Column:
+    """Occurrence count of the consecutive phrase in a token array.
+
+    Counts every start offset (overlaps included: "a a a" contains
+    "a a" twice). F.get returns null out of bounds, and null == term is
+    null → filtered out, so no size guard is needed."""
+    if not terms:
+        raise ValueError("phrase needs at least one term")
+
+    def is_start(_x: Column, i: Column) -> Column:
+        return reduce(
+            operator.and_,
+            [F.get(toks, i + F.lit(j)) == F.lit(t) for j, t in enumerate(terms)],
+        )
+
+    return F.size(F.filter(toks, is_start))
+
+
+def phrase_match(
+    df: DataFrame, terms: list[str], content_col: str = "content"
+) -> DataFrame:
+    """(doc_id, phrase_tf, doc_len) for documents containing the phrase —
+    single scan, fully columnar."""
+    toks = tokens_expr(content_col)
+    return (
+        df.select(
+            "doc_id",
+            phrase_tf_expr(toks, terms).alias("phrase_tf"),
+            F.size(toks).alias("doc_len"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def _rank_matches(
+    matches: DataFrame, stats: DataFrame, k: int, k1: float, b: float
+) -> DataFrame:
+    """Shared ranking tail: BM25 single-synthetic-term scoring of the
+    matched set (doc_id, phrase_tf, doc_len). `stats` is a 1-row
+    (n_docs, avgdl) frame; df_phrase is counted from the matched set —
+    both broadcast crossJoins, so everything stays one lazy plan ending in
+    TakeOrderedAndProject."""
+    dfp = matches.agg(F.count(F.lit(1)).cast("double").alias("df_phrase"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        matches.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+        .withColumn(
+            "score",
+            F.round(
+                idf_expr(F.col("df_phrase"), F.col("n_docs"))
+                * tf_norm_expr(
+                    F.col("phrase_tf").cast("double"),
+                    F.col("doc_len").cast("double"),
+                    F.col("avgdl"),
+                    k1,
+                    b,
+                ),
+                SCORE_ROUND_DECIMALS,
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def phrase_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    content_col: str = "content",
+) -> DataFrame:
+    """(rank, doc_id, score) — phrase-BM25 top-k from one corpus scan."""
+    toks = tokens_expr(content_col)
+    meta = df.select(
+        "doc_id",
+        phrase_tf_expr(toks, terms).alias("phrase_tf"),
+        F.size(toks).alias("doc_len"),
+    )
+    stats = meta.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    return _rank_matches(meta.filter(F.col("phrase_tf") > 0), stats, k, k1, b)
+
+
+# ---------------------------------------------------------------------------
+# positions-index form
+# ---------------------------------------------------------------------------
+
+_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("ord", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def write_phrase_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    n_partitions: int = PHRASE_INDEX_PARTITIONS,
+) -> dict:
+    """Positions-carrying posting store: one blob per term
+    ([df][deltas][tfs][doc_lens][position deltas], positions.py layout),
+    parquet partitioned by pmod(hash(term)) for partition-pruned phrase
+    probes. A secondary artifact next to the main (positions-less) segment
+    index — stats.json is stamped posting_format=2 so readers can tell.
+
+    Plan: tokenize → posexplode → groupBy(term, doc) [shuffle 1, combines
+    map-side] → repartition by term-part + per-partition encode [shuffle 2,
+    bounded by term-hash uniformity]. doc_len rides the first aggregation
+    (size of the token array, no separate join)."""
+    toks = tokens_expr("content")
+    pos = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("doc_len"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    grouped = pos.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.first("doc_len").alias("doc_len"),
+    )
+
+    # partition id = pmod(xxhash64(term)) — the same value the probe
+    # recomputes DRIVER-side via the pure-Python twin (functions/xxhash.py,
+    # Spark-identical by test), so reads prune to the phrase terms' parts
+    # with zero extra jobs, exactly like the main segment store
+    grouped = grouped.withColumn(
+        "part", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int")
+    )
+
+    def encode_part(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (part, term), g in pdf.groupby(["part", "term"], sort=False):
+            g = g.sort_values("doc_id")
+            docs = g["doc_id"].to_numpy(dtype=np.int64)
+            poss = [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+            tfs = np.array([p.size for p in poss], dtype=np.int64)
+            dls = g["doc_len"].to_numpy(dtype=np.int64)
+            rows.append(
+                (int(part), term, encode_postings_with_positions(docs, tfs, dls, poss))
+            )
+        return pd.DataFrame(rows, columns=["part", "term", "blob"])
+
+    blobs = grouped.repartition("part").groupBy("part").applyInPandas(
+        lambda _key, pdf: encode_part(pdf), schema=_BLOB_SCHEMA
+    )
+    blobs.write.mode("overwrite").partitionBy("part").parquet(
+        os.path.join(index_dir, "terms")
+    )
+    meta = corpus.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("doc_len")
+    )
+    agg = meta.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(agg["n_docs"]),
+        "avgdl": float(agg["avgdl"]),
+        "n_partitions": n_partitions,
+        "posting_format": POSTING_FORMAT_POSITIONS,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def phrase_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(rank, doc_id, score) from the positions index — result-identical to
+    phrase_topk on the same corpus (shared oracle), but reads only the
+    phrase terms' blobs instead of scanning the corpus.
+
+    Adjacency check: decode each term's positions, pivot to one row per
+    candidate doc, then |∩_j (P_j − j)| via array_intersect/transform —
+    all JVM-side after the Arrow decode."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
+        raise ValueError(
+            f"{index_dir} is not a positions index "
+            f"(posting_format={stats.get('posting_format')})"
+        )
+    n_partitions = stats["n_partitions"]
+    uniq = sorted(set(terms))
+    from ..functions.xxhash import term_partition
+
+    parts = sorted({term_partition(t, n_partitions) for t in uniq})
+    store = spark.read.parquet(os.path.join(index_dir, "terms"))
+    probe = store.filter(F.col("part").isin(parts) & F.col("term").isin(uniq))
+
+    def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ords = {}
+        for j, t in enumerate(terms):
+            ords.setdefault(t, []).append(j)
+        for pdf in pdf_iter:
+            out = {"ord": [], "doc_id": [], "doc_len": [], "positions": []}
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                docs, _tfs, dls, poss = decode_postings_with_positions(bytes(blob))
+                for j in ords[term]:
+                    for d, dl, p in zip(docs, dls, poss):
+                        out["ord"].append(j)
+                        out["doc_id"].append(int(d))
+                        out["doc_len"].append(int(dl))
+                        out["positions"].append(p.astype(np.int32))
+            if out["ord"]:  # empty frames confuse the Arrow object→list cast
+                yield pd.DataFrame(out)
+
+    decoded = probe.mapInPandas(decode, schema=_DECODED_SCHEMA)
+    n = len(terms)
+    # doc_len is functionally dependent on doc_id, so grouping by both
+    # keeps it through the pivot — ONE decode pass, one shuffle, no join
+    pivoted = (
+        decoded.groupBy("doc_id", "doc_len")
+        .pivot("ord", list(range(n)))
+        .agg(F.first("positions"))
+    )
+
+    def _shift(j: int):
+        # NOTE: transform's 2-arg lambda form means (element, INDEX) —
+        # a defaulted second parameter would silently receive the index
+        return lambda x: x - F.lit(j)
+
+    inter = F.col("0")
+    for j in range(1, n):
+        inter = F.array_intersect(inter, F.transform(F.col(str(j)), _shift(j)))
+    matched = (
+        pivoted.dropna(subset=[str(j) for j in range(n)])
+        .withColumn("phrase_tf", F.size(inter))
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "phrase_tf", "doc_len")
+    )
+    stats_df = spark.createDataFrame(
+        [(float(stats["n_docs"]), float(stats["avgdl"]))], "n_docs double, avgdl double"
+    )
+    return _rank_matches(matched, stats_df, k, k1, b)

@@ -147,3 +147,20 @@ def test_cli_query_facets(capsys, spark, index_dir):
     assert len(facet_lines) == 1
     f = json.loads(facet_lines[0])["facets"]
     assert f["n_results"] >= 1
+
+
+def test_cli_phrase_scan_and_indexed(capsys, spark, tmp_path_factory):
+    scan = run_cli(
+        capsys, spark, "phrase", "--corpus", SF, "--query", "table hash", "--k", "5"
+    )
+    assert scan, "phrase scan returned no rows"
+    rec = json.loads(scan[0])
+    assert {"rank", "doc_id", "score"} <= set(rec)
+
+    d = str(tmp_path_factory.mktemp("cli_phrase_idx"))
+    out = run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    assert json.loads(out[0])["posting_format"] == 2
+    idx = run_cli(
+        capsys, spark, "phrase", "--index", d, "--query", "table hash", "--k", "5"
+    )
+    assert [json.loads(x) for x in idx] == [json.loads(x) for x in scan]

@@ -1,0 +1,110 @@
+"""Phrase search: scan form ≡ indexed form, overlap semantics, pruning.
+
+The two strategies in operators/phrase.py must be result-identical (they
+share one oracle in entry_queries), and the indexed probe must prune to
+the phrase terms' partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from contextinator_spark.operators import phrase as PH
+
+DOCS = [
+    (0, "table hash join table hash"),
+    (1, "a a a"),
+    (2, "hash table"),
+    (3, "table  hash, extra"),
+    (4, "nothing here"),
+    (5, "x table hash y table hash table hash"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, content string")
+
+
+@pytest.fixture(scope="module")
+def phrase_idx(spark, docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phrase_idx"))
+    stats = PH.write_phrase_index(docs, d)
+    assert stats["posting_format"] == 2
+    return d
+
+
+def test_phrase_match_counts_and_overlaps(docs):
+    rows = {
+        r.doc_id: (r.phrase_tf, r.doc_len)
+        for r in PH.phrase_match(docs, ["table", "hash"]).collect()
+    }
+    # punctuation splits like whitespace; reversed order is not a match
+    assert rows == {0: (2, 5), 3: (1, 3), 5: (3, 8)}
+    # overlapping starts each count: "a a a" contains "a a" twice
+    over = PH.phrase_match(docs, ["a", "a"]).collect()
+    assert [(r.doc_id, r.phrase_tf) for r in over] == [(1, 2)]
+
+
+def test_phrase_match_absent_and_single(docs):
+    assert PH.phrase_match(docs, ["zzz", "qqq"]).count() == 0
+    # single-term phrase degenerates to plain tf
+    one = {r.doc_id: r.phrase_tf for r in PH.phrase_match(docs, ["table"]).collect()}
+    assert one == {0: 2, 2: 1, 3: 1, 5: 3}
+
+
+def test_scan_and_indexed_identical(spark, docs, phrase_idx):
+    for terms in (["table", "hash"], ["a", "a"], ["table", "hash", "y"], ["zzz", "x"]):
+        scan = [
+            (r.rank, r.doc_id, r.score)
+            for r in PH.phrase_topk(docs, terms, k=10).collect()
+        ]
+        idx = [
+            (r.rank, r.doc_id, r.score)
+            for r in PH.phrase_topk_indexed(spark, phrase_idx, terms, k=10).collect()
+        ]
+        assert scan == idx, terms
+
+
+def test_indexed_probe_prunes_partitions(spark, phrase_idx):
+    """The probe's plan must carry a partition filter on `part` (the
+    xxhash64-derived write-time partition id) — only the phrase terms'
+    partitions are read."""
+    from contextinator_spark.functions.xxhash import term_partition
+
+    terms = ["table", "hash"]
+    n_parts = PH.PHRASE_INDEX_PARTITIONS
+    expected = sorted({term_partition(t, n_parts) for t in terms})
+    store = spark.read.parquet(os.path.join(phrase_idx, "terms"))
+    probe = store.filter(
+        F.col("part").isin(expected) & F.col("term").isin(terms)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
+    # and the python twin agrees with the JVM hash that wrote the files
+    written = {
+        int(r.part)
+        for r in store.filter(F.col("term").isin(terms)).select("part").collect()
+    }
+    assert written == set(expected)
+
+
+def test_posting_format_guard(spark, tmp_path):
+    import json
+
+    d = str(tmp_path / "not_a_phrase_idx")
+    os.makedirs(d)
+    with open(os.path.join(d, "stats.json"), "w") as f:
+        json.dump({"posting_format": 1, "n_partitions": 8}, f)
+    with pytest.raises(ValueError, match="not a positions index"):
+        PH.phrase_topk_indexed(spark, d, ["a", "b"])
+
+
+def test_phrase_tf_expr_short_docs(spark):
+    """Docs shorter than the phrase can't error under ANSI mode (F.get
+    returns null past the end)."""
+    df = spark.createDataFrame([(0, "table"), (1, "")], "doc_id long, content string")
+    assert PH.phrase_match(df, ["table", "hash", "join"]).count() == 0
