@@ -226,14 +226,24 @@ def cmd_phrase(args, spark) -> None:
     terms = tokenize(args.query)
     if not terms:
         raise SystemExit("phrase query tokenized to nothing")
+    w = getattr(args, "window", 0) or 0
     if args.index:
-        from .operators.phrase import phrase_topk_indexed
+        from .operators.phrase import near_topk_indexed, phrase_topk_indexed
 
-        out = phrase_topk_indexed(spark, args.index, terms, k=args.k)
+        out = (
+            near_topk_indexed(spark, args.index, terms, w, k=args.k)
+            if w
+            else phrase_topk_indexed(spark, args.index, terms, k=args.k)
+        )
     else:
-        from .operators.phrase import phrase_topk
+        from .operators.phrase import near_topk, phrase_topk
 
-        out = phrase_topk(_corpus(spark, args.corpus), terms, k=args.k)
+        corpus = _corpus(spark, args.corpus)
+        out = (
+            near_topk(corpus, terms, w, k=args.k)
+            if w
+            else phrase_topk(corpus, terms, k=args.k)
+        )
     _emit(
         out.collect(),
         args.format,
@@ -336,6 +346,11 @@ def build_parser() -> argparse.ArgumentParser:
     ph.add_argument("--corpus", help="corpus parquet (scan form)")
     ph.add_argument("--index", help="positions index dir (indexed form)")
     ph.add_argument("--k", type=int, default=10)
+    ph.add_argument(
+        "--window", type=int, default=0,
+        help="proximity mode: all terms within ±N tokens of the first "
+             "(0 = exact consecutive phrase)",
+    )
     ph.set_defaults(fn=cmd_phrase)
 
     pb = sub.add_parser("phrase-build", help="write the positions phrase index")

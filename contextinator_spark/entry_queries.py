@@ -532,11 +532,11 @@ def sql_phrase_match() -> str:
     return sql_phrase_tf() + "SELECT doc_id, phrase_tf, doc_len FROM m WHERE phrase_tf > 0"
 
 
-def sql_phrase_topk() -> str:
+def _sql_positional_rank_tail() -> str:
+    """Scoring tail shared by phrase and proximity oracles: BM25 with the
+    positional match as one synthetic term (mirrors phrase._rank_matches)."""
     k1, b = BM25_K1, BM25_B
-    return (
-        sql_phrase_tf()
-        + f""",
+    return f""",
 mt AS (SELECT * FROM m WHERE phrase_tf > 0),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM m),
 dfp AS (SELECT CAST(count(*) AS DOUBLE) AS df_phrase FROM mt),
@@ -552,6 +552,54 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
   SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
   FROM scored) WHERE rank <= 10
 """
+
+
+def sql_phrase_topk() -> str:
+    return sql_phrase_tf() + _sql_positional_rank_tail()
+
+
+NEAR_WINDOW = 3
+
+
+def q_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-BM25 top-10 (all terms within ±NEAR_WINDOW of an anchor
+    terms[0] occurrence), scan form."""
+    from .operators.phrase import near_topk
+
+    return near_topk(_docs(spark, sf_dir), PHRASE_TERMS, NEAR_WINDOW, k=10)
+
+
+def q_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-BM25 top-10 from the positions index — same oracle as
+    near_topk (strategies are result-identical, tested)."""
+    from .operators.phrase import near_topk_indexed
+
+    return near_topk_indexed(
+        spark, _cached_phrase_index_dir(spark, sf_dir), PHRASE_TERMS, NEAR_WINDOW, k=10
+    )
+
+
+def sql_near_topk() -> str:
+    """Proximity oracle: per-term 1-based position lists via list_filter
+    over range(); the |pj − p0| ≤ W predicate is basis-invariant, so the
+    0-based Spark form and this 1-based form agree exactly."""
+    anchor, rest = PHRASE_TERMS[0], PHRASE_TERMS[1:]
+
+    def pos(term: str) -> str:
+        return f"list_filter(range(1, len(t)+1), i -> t[i] = '{term}')"
+
+    near = " AND ".join(
+        f"len(list_filter({pos(term)}, p{j+1} -> abs(p{j+1} - p0) <= {NEAR_WINDOW})) > 0"
+        for j, term in enumerate(rest)
+    ) or "TRUE"
+    return (
+        f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+m AS (SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
+             CAST(len(list_filter({pos(anchor)}, p0 -> {near})) AS INT) AS phrase_tf
+      FROM toks)
+"""
+        + _sql_positional_rank_tail()
     )
 
 
@@ -867,6 +915,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "phrase_match": (q_phrase_match, sql_phrase_match()),
         "phrase_topk": (q_phrase_topk, sql_phrase_topk()),
         "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),
+        "near_topk": (q_near_topk, sql_near_topk()),
+        "near_indexed": (q_near_indexed, sql_near_topk()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "reconstruct": (
             q_reconstruct,

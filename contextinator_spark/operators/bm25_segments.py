@@ -65,7 +65,21 @@ def _idf(df: float, n: float) -> float:
 
 
 def _tf_norm(tf, dl, avgdl, k1=BM25_K1, b=BM25_B):
-    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    if not isinstance(tf, np.ndarray):
+        return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    # array form: identical op ORDER to the scalar expression (so results
+    # stay bit-identical), but built with two buffers instead of seven
+    # temporaries — this runs over every surviving posting, and the 8-core
+    # phase is DRAM-bandwidth-bound (BENCH/BASELINE.md round-3 notes)
+    tf = np.asarray(tf, dtype=np.float64)
+    denom = np.multiply(np.asarray(dl, dtype=np.float64), b)  # b * dl
+    np.divide(denom, avgdl, out=denom)  # / avgdl
+    np.add(denom, 1.0 - b, out=denom)  # (1.0 - b) + …
+    np.multiply(denom, k1, out=denom)  # k1 * …
+    np.add(denom, tf, out=denom)  # tf + …
+    num = np.multiply(tf, k1 + 1.0)  # tf * (k1 + 1.0)
+    np.divide(num, denom, out=num)
+    return num
 
 
 def load_stats(index_dir: str) -> dict:

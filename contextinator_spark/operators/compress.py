@@ -103,28 +103,44 @@ def vb_decode(data: np.ndarray, offset: int = 0, count: int | None = None) -> tu
     """Decode `count` LEB128 values starting at byte `offset`.
 
     Returns (values uint64, next_offset). count=None decodes to end.
-    Vectorized: terminator bytes (high bit 0) delimit values; contributions
-    are scattered with np.add.at.
-    """
+
+    Hot path of every query (three sections per posting blob), so the
+    kernel's memory traffic is sized to the VALUE count, not the byte
+    count: single-byte values (the overwhelming majority in delta/tf/dl
+    data) are one gather; multi-byte values get a masked shift-or loop
+    bounded by the widest value (≤10 iterations over only the multi-byte
+    subset). The earlier form materialized three word-sized arrays PER
+    BYTE and np.add.at-scattered them — ~25× more DRAM traffic plus an
+    unbuffered scatter, which made the 8-core batch phase bandwidth-bound
+    (BENCH/BASELINE.md round-3 scaling notes)."""
     d = data[offset:]
     term_mask = (d & 0x80) == 0
+    ends_idx = np.nonzero(term_mask)[0]
     if count is not None:
-        ends = np.nonzero(term_mask)[0][:count]
-        if ends.size < count:
+        if ends_idx.size < count:
             raise ValueError("varbyte stream truncated")
-        d = d[: ends[-1] + 1] if ends.size else d[:0]
-        term_mask = term_mask[: d.size]
-    n_vals = int(term_mask.sum())
+        ends_idx = ends_idx[:count]
+    n_vals = ends_idx.size
     if n_vals == 0:
         return np.empty(0, dtype=np.uint64), offset
-    vidx = np.concatenate(([0], np.cumsum(term_mask[:-1])))  # value index per byte
-    starts = np.zeros(n_vals, dtype=np.int64)
-    ends_idx = np.nonzero(term_mask)[0]
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
     starts[1:] = ends_idx[:-1] + 1
-    k = np.arange(d.size, dtype=np.int64) - starts[vidx]
-    contrib = (d & 0x7F).astype(np.uint64) << (7 * k).astype(np.uint64)
+    nb = ends_idx - starts + 1  # bytes per value
     out = np.zeros(n_vals, dtype=np.uint64)
-    np.add.at(out, vidx, contrib)
+    single = nb == 1
+    out[single] = d[ends_idx[single]]  # terminator byte < 0x80, no mask needed
+    if not single.all():
+        multi = ~single
+        sm = starts[multi]
+        nbm = nb[multi]
+        acc = np.zeros(sm.size, dtype=np.uint64)
+        for j in range(int(nbm.max())):
+            m = nbm > j
+            acc[m] |= (d[sm[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(
+                7 * j
+            )
+        out[multi] = acc
     return out, offset + int(ends_idx[-1]) + 1
 
 
@@ -158,7 +174,7 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs, off = vb_decode(data, off, df)
     dls, off = vb_decode(data, off, df)
     return (
-        np.cumsum(deltas.astype(np.int64)),
+        np.cumsum(deltas, dtype=np.int64),
         tfs.astype(np.int32),
         dls.astype(np.int32),
     )

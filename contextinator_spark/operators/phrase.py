@@ -235,21 +235,13 @@ def write_phrase_index(
     return stats
 
 
-def phrase_topk_indexed(
-    spark: SparkSession,
-    index_dir: str,
-    terms: list[str],
-    k: int = DEFAULT_TOP_K,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> DataFrame:
-    """(rank, doc_id, score) from the positions index — result-identical to
-    phrase_topk on the same corpus (shared oracle), but reads only the
-    phrase terms' blobs instead of scanning the corpus.
-
-    Adjacency check: decode each term's positions, pivot to one row per
-    candidate doc, then |∩_j (P_j − j)| via array_intersect/transform —
-    all JVM-side after the Arrow decode."""
+def _candidate_positions(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Shared probe for positional queries: decode the phrase terms' blobs
+    (partition-pruned) and pivot to one row per candidate doc with columns
+    "0".."n-1" = that term-slot's position array (null if the doc lacks the
+    term). Returns (pivoted, 1-row stats_df from stats.json)."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
@@ -283,14 +275,36 @@ def phrase_topk_indexed(
                 yield pd.DataFrame(out)
 
     decoded = probe.mapInPandas(decode, schema=_DECODED_SCHEMA)
-    n = len(terms)
     # doc_len is functionally dependent on doc_id, so grouping by both
     # keeps it through the pivot — ONE decode pass, one shuffle, no join
     pivoted = (
         decoded.groupBy("doc_id", "doc_len")
-        .pivot("ord", list(range(n)))
+        .pivot("ord", list(range(len(terms))))
         .agg(F.first("positions"))
     )
+    stats_df = spark.createDataFrame(
+        [(float(stats["n_docs"]), float(stats["avgdl"]))], "n_docs double, avgdl double"
+    )
+    return pivoted, stats_df
+
+
+def phrase_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(rank, doc_id, score) from the positions index — result-identical to
+    phrase_topk on the same corpus (shared oracle), but reads only the
+    phrase terms' blobs instead of scanning the corpus.
+
+    Adjacency check: decode each term's positions, pivot to one row per
+    candidate doc, then |∩_j (P_j − j)| via array_intersect/transform —
+    all JVM-side after the Arrow decode."""
+    pivoted, stats_df = _candidate_positions(spark, index_dir, terms)
+    n = len(terms)
 
     def _shift(j: int):
         # NOTE: transform's 2-arg lambda form means (element, INDEX) —
@@ -306,7 +320,109 @@ def phrase_topk_indexed(
         .filter(F.col("phrase_tf") > 0)
         .select("doc_id", "phrase_tf", "doc_len")
     )
-    stats_df = spark.createDataFrame(
-        [(float(stats["n_docs"]), float(stats["avgdl"]))], "n_docs double, avgdl double"
+    return _rank_matches(matched, stats_df, k, k1, b)
+
+
+# ---------------------------------------------------------------------------
+# proximity (NEAR) search — same machinery, window instead of adjacency
+# ---------------------------------------------------------------------------
+
+
+def _positions_of(toks: Column, term: str) -> Column:
+    """0-based positions of `term` in a token array, as array<int> —
+    transform to (index | null) then drop nulls, all codegen-side."""
+
+    def mark(x: Column, i: Column) -> Column:
+        return F.when(x == F.lit(term), i)
+
+    return F.filter(F.transform(toks, mark), lambda v: v.isNotNull())
+
+
+def _near_anchor_cond(rest: list[Column], window: int):
+    """Predicate for an anchor position p0: every other term has an
+    occurrence within `window` tokens. Factory-bound to dodge the 2-arg
+    lambda index pitfall and loop late binding."""
+
+    def within(p0: Column):
+        def chk(pj_arr: Column) -> Column:
+            return F.exists(pj_arr, lambda pj: F.abs(pj - p0) <= F.lit(window))
+
+        conds = [chk(arr) for arr in rest]
+        return reduce(operator.and_, conds) if conds else F.lit(True)
+
+    return within
+
+
+def near_tf_expr(toks: Column, terms: list[str], window: int) -> Column:
+    """Proximity count: anchor occurrences of terms[0] with every other
+    term within ±window tokens —
+    |{p0 ∈ P0 : ∀j≥1 ∃pj ∈ Pj, |pj − p0| ≤ window}|."""
+    if not terms:
+        raise ValueError("proximity query needs at least one term")
+    ps = [_positions_of(toks, t) for t in terms]
+    cond = _near_anchor_cond(ps[1:], window)
+    return F.size(F.filter(ps[0], cond))
+
+
+def near_match(
+    df: DataFrame, terms: list[str], window: int, content_col: str = "content"
+) -> DataFrame:
+    """(doc_id, near_tf, doc_len) for docs where all terms co-occur within
+    a ±window token span of an anchor terms[0] occurrence — one scan."""
+    toks = tokens_expr(content_col)
+    return (
+        df.select(
+            "doc_id",
+            near_tf_expr(toks, terms, window).alias("near_tf"),
+            F.size(toks).alias("doc_len"),
+        )
+        .filter(F.col("near_tf") > 0)
+    )
+
+
+def near_topk(
+    df: DataFrame,
+    terms: list[str],
+    window: int,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    content_col: str = "content",
+) -> DataFrame:
+    """(rank, doc_id, score) — proximity-BM25 top-k, scan form (near_tf as
+    the synthetic term's tf)."""
+    toks = tokens_expr(content_col)
+    meta = df.select(
+        "doc_id",
+        near_tf_expr(toks, terms, window).alias("phrase_tf"),
+        F.size(toks).alias("doc_len"),
+    )
+    stats = meta.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    return _rank_matches(meta.filter(F.col("phrase_tf") > 0), stats, k, k1, b)
+
+
+def near_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    window: int,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Proximity-BM25 top-k from the positions index — result-identical to
+    near_topk (the probe and pivot are shared with phrase_topk_indexed;
+    only the per-doc position predicate differs)."""
+    pivoted, stats_df = _candidate_positions(spark, index_dir, terms)
+    n = len(terms)
+    cond = _near_anchor_cond([F.col(str(j)) for j in range(1, n)], window)
+    matched = (
+        pivoted.dropna(subset=[str(j) for j in range(n)])
+        .withColumn("phrase_tf", F.size(F.filter(F.col("0"), cond)))
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "phrase_tf", "doc_len")
     )
     return _rank_matches(matched, stats_df, k, k1, b)

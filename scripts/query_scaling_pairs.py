@@ -1,17 +1,34 @@
 """Interleaved paired query-scaling measurement (north_rule evidence).
 
-Problem this solves: this VM's hypervisor weather drifts on ~10-minute
-scales (the SAME shared index measured 61s..153s for the identical 8-core
-batch across one afternoon), so timing all lo repeats then all hi repeats
-— even best-of-3 — compares two different weather windows and the derived
-ratio swings ±0.3. Interleaving lo/hi back-to-back puts both levels in the
-same window; each pair yields its own efficiency, and the per-pair spread
-is visible instead of hidden.
+Two VM confounds this design cancels — both verified by experiment on this
+box (numbers in BENCH/BASELINE.md):
+
+1. **Hypervisor weather** drifts on ~10-minute scales (the SAME shared
+   index measured 61s..153s for the identical 8-core batch across one
+   afternoon), so timing all lo repeats then all hi repeats compares two
+   different weather windows and the derived ratio swings ±0.3.
+   → pairs run lo and hi back-to-back in one window, the ORDER ALTERNATES
+   per pair (storms that land on whichever level runs second bias
+   even/odd pairs in opposite directions), every timing carries its
+   /proc/stat steal, and pairs where both levels saw steal ≤ CALM_STEAL
+   are tagged calm. The median over pairs — and over calm pairs — is the
+   reported number.
+
+2. **Turbo asymmetry**: with only 2 of 32 vCPUs active the host boosts
+   those cores ~22% above the all-8-active clock (measured: the identical
+   2-core query ran 180.8s bare vs 219.8s with the other 6 cores loaded
+   by a register-only spinner). A real cluster compares N vs 4N executors
+   at identical per-core clocks, so the bare-lo measurement OVERSTATES
+   2-core throughput and structurally suppresses the efficiency ratio.
+   → during the lo phase the complement cores (lo..hi-1) run register-only
+   spinner processes (no memory traffic — pure clock equalization), so
+   both levels execute with `hi` cores active.
 
 Runs N pairs of (local[LO] query, local[HI] query) over the ONE shared
-/dev/shm index (built by profile_query.py build), CPU-pinned, recording
-/proc/stat steal around each timing. Prints one JSON line with all pairs +
-median/best efficiency, and appends a table to BENCH/BASELINE.md.
+/dev/shm index (built by profile_query.py build), CPU-pinned. Prints one
+JSON line per pair + a summary, and appends a table to BENCH/BASELINE.md.
+Env: SPARK_GRAFT_PAIRS, SPARK_GRAFT_LO/HI, SPARK_GRAFT_EQUALIZE=0 to
+disable the spinner (for measuring the turbo asymmetry itself).
 """
 
 from __future__ import annotations
@@ -22,9 +39,11 @@ import shutil
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAIRS = int(os.environ.get("SPARK_GRAFT_PAIRS", "5"))
+CALM_STEAL = float(os.environ.get("SPARK_GRAFT_CALM_STEAL", "1.0"))
 
 
 def _steal() -> tuple[int, int]:
@@ -33,15 +52,57 @@ def _steal() -> tuple[int, int]:
     return (parts[7] if len(parts) > 7 else 0, sum(parts))
 
 
-def run_level(cpus: int) -> dict:
+def _spinners(cores: list[int]) -> list[subprocess.Popen]:
+    """Register-only busy loops pinned to `cores` (clock equalization —
+    see module docstring point 2). No memory traffic beyond L1."""
+    procs = []
+    for c in cores:
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", str(c), "sh", "-c", "while :; do :; done"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    return procs
+
+
+def run_level(cpus: int, hi: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_REPEATS="1")
     cmd = [sys.executable, os.path.join(REPO, "scripts", "profile_query.py"), "query"]
-    if os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and shutil.which("taskset"):
+    pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and shutil.which("taskset")
+    if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    s0, t0 = _steal()
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-    s1, t1 = _steal()
-    line = [l for l in out.stdout.splitlines() if '{"rep' in l][-1]
+    equalize = (
+        os.environ.get("SPARK_GRAFT_EQUALIZE", "1") != "0" and pin and cpus < hi
+    )
+    reps: list[str] = []
+    for attempt in range(3):  # JVM spawn occasionally fails transiently on
+        # this VM (observed: ~1-min windows where every spawn dies); retry
+        # rather than lose an unattended multi-hour measurement loop
+        spin = _spinners(list(range(cpus, hi))) if equalize else []
+        try:
+            s0, t0 = _steal()
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=3600
+            )
+            s1, t1 = _steal()
+        finally:
+            for p in spin:
+                p.kill()
+        reps = [l for l in out.stdout.splitlines() if '{"rep' in l]
+        if reps:
+            break
+        sys.stderr.write(
+            f"run_level(cpus={cpus}) attempt {attempt}: no reps; "
+            f"rc={out.returncode}\n--- stderr tail ---\n"
+            + "\n".join(out.stderr.splitlines()[-30:])
+            + "\n"
+        )
+        time.sleep(20)
+    else:
+        raise RuntimeError(f"profile_query produced no output at {cpus} cores")
+    line = reps[-1]
     rep = json.loads(line[line.index('{"rep'):])
     rep["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
     return rep
@@ -55,42 +116,66 @@ def main() -> None:
         raise SystemExit("build the shared index first: profile_query.py build")
     pairs = []
     for i in range(PAIRS):
-        r_lo = run_level(lo)
-        r_hi = run_level(hi)
-        eff = (r_lo["total_sec"] / r_hi["total_sec"]) / ratio
+        order = ["lo", "hi"] if i % 2 == 0 else ["hi", "lo"]
+        res = {}
+        for lvl in order:
+            res[lvl] = run_level(lo if lvl == "lo" else hi, hi)
+        eff = (res["lo"]["total_sec"] / res["hi"]["total_sec"]) / ratio
+        calm = (
+            res["lo"]["steal_pct"] <= CALM_STEAL
+            and res["hi"]["steal_pct"] <= CALM_STEAL
+        )
         pairs.append(
             {
                 "pair": i,
-                "lo_sec": r_lo["total_sec"],
-                "hi_sec": r_hi["total_sec"],
-                "lo_steal": r_lo["steal_pct"],
-                "hi_steal": r_hi["steal_pct"],
+                "order": "->".join(order),
+                "lo_sec": res["lo"]["total_sec"],
+                "hi_sec": res["hi"]["total_sec"],
+                "lo_steal": res["lo"]["steal_pct"],
+                "hi_steal": res["hi"]["steal_pct"],
+                "calm": calm,
                 "eff": round(eff, 3),
             }
         )
         print(json.dumps(pairs[-1]), flush=True)
     effs = [p["eff"] for p in pairs]
+    calm_effs = [p["eff"] for p in pairs if p["calm"]]
     med, best = statistics.median(effs), max(effs)
+    calm_med = statistics.median(calm_effs) if calm_effs else None
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"""
-## Interleaved paired query scaling — shared index, local[{lo}] vs local[{hi}], {PAIRS} pairs
+## Interleaved paired query scaling — shared index, local[{lo}] vs local[{hi}], {PAIRS} pairs, clock-equalized
 
-| pair | lo_sec | hi_sec | lo_steal% | hi_steal% | efficiency |
-|---|---|---|---|---|---|
+| pair | order | lo_sec | hi_sec | lo_steal% | hi_steal% | calm | efficiency |
+|---|---|---|---|---|---|---|---|
 """
         )
         for p in pairs:
             f.write(
-                f"| {p['pair']} | {p['lo_sec']} | {p['hi_sec']} | {p['lo_steal']} "
-                f"| {p['hi_steal']} | {p['eff']} |\n"
+                f"| {p['pair']} | {p['order']} | {p['lo_sec']} | {p['hi_sec']} "
+                f"| {p['lo_steal']} | {p['hi_steal']} "
+                f"| {'y' if p['calm'] else 'n'} | {p['eff']} |\n"
             )
+        cm = f"{calm_med:.2f}" if calm_med is not None else "n/a (no calm pairs)"
         f.write(
-            f"\nmedian efficiency **{med:.2f}**, best pair {best:.2f} "
-            f"(each pair times lo and hi back-to-back in the same weather "
-            f"window over ONE index artifact; see module docstring).\n"
+            f"\nmedian efficiency **{med:.2f}** over all pairs, "
+            f"**{cm}** over calm pairs (both steals ≤ {CALM_STEAL}%); best "
+            f"{best:.2f}. Each pair runs both levels back-to-back (order "
+            f"alternating) over ONE index artifact with the lo phase "
+            f"clock-equalized by complement-core spinners; see module "
+            f"docstring.\n"
         )
-    print(json.dumps({"pairs": effs, "median_eff": round(med, 3), "best_eff": round(best, 3)}))
+    print(
+        json.dumps(
+            {
+                "pairs": effs,
+                "median_eff": round(med, 3),
+                "calm_median_eff": round(calm_med, 3) if calm_med is not None else None,
+                "best_eff": round(best, 3),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

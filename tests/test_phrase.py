@@ -108,3 +108,34 @@ def test_phrase_tf_expr_short_docs(spark):
     returns null past the end)."""
     df = spark.createDataFrame([(0, "table"), (1, "")], "doc_id long, content string")
     assert PH.phrase_match(df, ["table", "hash", "join"]).count() == 0
+
+
+def test_near_match_window_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "x table q q hash"),     # distance 3
+            (1, "table a hash table"),   # anchors at 0 (d=2) and 3 (d=1)
+            (2, "table q q q q hash"),   # distance 5
+        ],
+        "doc_id long, content string",
+    )
+    w3 = {r.doc_id: r.near_tf for r in PH.near_match(df, ["table", "hash"], 3).collect()}
+    assert w3 == {0: 1, 1: 2}
+    w2 = {r.doc_id: r.near_tf for r in PH.near_match(df, ["table", "hash"], 2).collect()}
+    assert w2 == {1: 2}
+    # phrase matches are a subset of near matches at any window ≥ phrase span
+    w9 = {r.doc_id: r.near_tf for r in PH.near_match(df, ["table", "hash"], 9).collect()}
+    assert set(w3) <= set(w9)
+
+
+def test_near_scan_and_indexed_identical(spark, docs, phrase_idx):
+    for terms, w in ((["table", "hash"], 3), (["table", "hash"], 1), (["a", "a"], 2)):
+        scan = [
+            (r.rank, r.doc_id, r.score)
+            for r in PH.near_topk(docs, terms, w, k=10).collect()
+        ]
+        idx = [
+            (r.rank, r.doc_id, r.score)
+            for r in PH.near_topk_indexed(spark, phrase_idx, terms, w, k=10).collect()
+        ]
+        assert scan == idx, (terms, w)
