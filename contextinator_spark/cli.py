@@ -256,8 +256,54 @@ def cmd_phrase_build(args, spark) -> None:
     """Write the positions-carrying phrase index (posting_format=2)."""
     from .operators.phrase import write_phrase_index
 
-    res = write_phrase_index(_corpus(spark, args.corpus), args.index)
+    res = write_phrase_index(spark, _corpus(spark, args.corpus), args.index)
     print(json.dumps(res, default=str))
+
+
+def cmd_compact(args, spark) -> None:
+    """Fold each term's slices into one blob and rewrite segments/ in place
+    (maintenance verb for long-lived indexes: many streaming epochs leave
+    slice proliferation that degrades probe locality). Results are
+    query-identical before/after (tested); catalog counters are re-derived
+    from the rewritten bytes with lineage=compact."""
+    import os
+    import shutil
+
+    from .operators.segments import compact_segments
+
+    seg_dir = os.path.join(args.index, "segments")
+    tmp_dir = os.path.join(args.index, "segments.compact.tmp")
+    old_dir = os.path.join(args.index, "segments.compact.old")
+    compacted = compact_segments(spark, args.index)
+    compacted.repartition("partition_id").write.mode("overwrite").partitionBy(
+        "partition_id"
+    ).parquet(tmp_dir)
+    # swap: segments -> .old, tmp -> segments, drop .old (posix rename is
+    # atomic per step; a crash mid-swap leaves either the old or new store
+    # fully intact under one of the two names)
+    os.rename(seg_dir, old_dir)
+    os.rename(tmp_dir, seg_dir)
+    shutil.rmtree(old_dir)
+    seg = spark.read.parquet(seg_dir)
+    cat = seg.groupBy("partition_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("df_slice").alias("n_postings"),
+        F.sum(F.length("blob")).alias("bytes"),
+    ).select(
+        F.concat(F.lit("seg-"), F.col("partition_id").cast("string")).alias("segment_id"),
+        "partition_id",
+        "n_terms",
+        "n_postings",
+        "bytes",
+        F.lit(0).cast("int").alias("checkpoint_epoch"),
+        F.lit("compact").alias("lineage"),
+    )
+    cat.write.mode("overwrite").parquet(os.path.join(args.index, "catalog"))
+    stats = cat.agg(
+        F.sum("n_terms").alias("terms"), F.sum("n_postings").alias("postings"),
+        F.sum("bytes").alias("bytes"),
+    ).collect()[0]
+    print(json.dumps({"compacted": True, **{k: int(v) for k, v in stats.asDict().items()}}))
 
 
 def cmd_stats(args, spark) -> None:
@@ -343,8 +389,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     ph = sub.add_parser("phrase", help="consecutive-token phrase search (BM25)")
     ph.add_argument("--query", required=True)
-    ph.add_argument("--corpus", help="corpus parquet (scan form)")
-    ph.add_argument("--index", help="positions index dir (indexed form)")
+    ph_src = ph.add_mutually_exclusive_group(required=True)
+    ph_src.add_argument("--corpus", help="corpus parquet (scan form)")
+    ph_src.add_argument("--index", help="positions index dir (indexed form)")
     ph.add_argument("--k", type=int, default=10)
     ph.add_argument(
         "--window", type=int, default=0,
@@ -357,6 +404,10 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--corpus", required=True)
     pb.add_argument("--index", required=True)
     pb.set_defaults(fn=cmd_phrase_build)
+
+    cp = sub.add_parser("compact", help="fold slices per term, rewrite segments/")
+    cp.add_argument("--index", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("stats", help="collection stats + catalog counters")
     st.add_argument("--index", required=True)

@@ -274,9 +274,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table — the scale path where a query reads only its n_tables
     bucket partitions (partition-pruned scan) instead of recomputing
     signatures over the corpus."""
-    import hashlib as _h
     import os as _os
-    import tempfile as _tmp
 
     from .operators.similarity import knn_lsh_indexed, write_signature_table
 
@@ -285,18 +283,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mtime) so a regenerated embeddings.parquet at the same path can never
     # serve stale signatures; the cache lives under the system temp dir,
     # not the repo tree (ADVICE round 2)
-    src = f"{sf_dir}/embeddings.parquet"
-    parts = []
-    for root_, _dirs, files in _os.walk(src):
-        for fn in sorted(files):
-            st = _os.stat(_os.path.join(root_, fn))
-            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
     key = (
         f"{sf_dir}|sig|D={EMBEDDING_DIM}|B={RHP_BITS}|T={RHP_TABLES}|"
-        + ";".join(parts)
+        + _data_fingerprint(f"{sf_dir}/embeddings.parquet")
     )
-    root = _os.path.join(_tmp.gettempdir(), "contextinator_spark_idx_cache")
-    d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
+    d = _cache_dir(key)
     if not _os.path.exists(_os.path.join(d, "_SUCCESS")):
         write_signature_table(emb, d, EMBEDDING_DIM, RHP_BITS, RHP_TABLES)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
@@ -433,18 +424,43 @@ def q_symbol_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # segment-store executor + chunker round-trip
 # ---------------------------------------------------------------------------
 
+def _data_fingerprint(src: str) -> str:
+    """Every parquet part's name, size and mtime under `src` — folded into
+    cache keys so a regenerated table at the same path can never serve a
+    stale derived index (ADVICE rounds 2+3)."""
+    import os as _os
+
+    parts = []
+    for root_, _dirs, files in _os.walk(src):
+        for fn in sorted(files):
+            st = _os.stat(_os.path.join(root_, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def _cache_dir(key: str) -> str:
+    """Keyed cache directory under the system temp dir (never the repo tree)."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _tmp
+
+    root = _os.path.join(_tmp.gettempdir(), "contextinator_spark_idx_cache")
+    return _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
+
+
 def _cached_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the compressed segment index for sf_dir's documents."""
-    import hashlib as _h
     import os as _os
 
     from .config import BLOCK_SIZE, HEAVY_SALT_FANOUT, INDEX_PARTITIONS, SLICE_TARGET_POSTINGS
 
     # layout-affecting config is part of the cache key: a stale index built
     # under an older layout must rebuild, not serve wrong partitions
-    key = f"{sf_dir}|P={INDEX_PARTITIONS}|B={BLOCK_SIZE}|F={HEAVY_SALT_FANOUT}|S={SLICE_TARGET_POSTINGS}"
-    root = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache")
-    d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
+    key = (
+        f"{sf_dir}|P={INDEX_PARTITIONS}|B={BLOCK_SIZE}|F={HEAVY_SALT_FANOUT}"
+        f"|S={SLICE_TARGET_POSTINGS}|{_data_fingerprint(f'{sf_dir}/documents.parquet')}"
+    )
+    d = _cache_dir(key)
     if not _os.path.exists(_os.path.join(d, "stats.json")):
         from .operators.segments import write_index
 
@@ -481,22 +497,22 @@ def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cached_phrase_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once) the positions-carrying phrase index for sf_dir."""
-    import hashlib as _h
+    """Build (once) the positions-carrying phrase index for sf_dir — same
+    data-fingerprinted temp-dir cache pattern as _cached_index_dir."""
     import os as _os
 
     from .operators.phrase import PHRASE_INDEX_PARTITIONS
 
-    key = f"{sf_dir}|phrase|P={PHRASE_INDEX_PARTITIONS}"
-    root = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".idx_cache"
+    key = (
+        f"{sf_dir}|phrase|P={PHRASE_INDEX_PARTITIONS}"
+        f"|{_data_fingerprint(f'{sf_dir}/documents.parquet')}"
     )
-    d = _os.path.join(root, _h.md5(key.encode()).hexdigest()[:12])
+    d = _cache_dir(key)
     if not _os.path.exists(_os.path.join(d, "stats.json")):
         from .operators.phrase import write_phrase_index
 
         _os.makedirs(d, exist_ok=True)
-        write_phrase_index(_docs(spark, sf_dir), d)
+        write_phrase_index(spark, _docs(spark, sf_dir), d)
     return d
 
 

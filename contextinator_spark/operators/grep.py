@@ -23,11 +23,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # The whole-content (?m) prefilter is implied by a line-level match ONLY for
-# patterns whose assertions never cross a line boundary. \A/\z/\Z anchors and
-# explicit \n/\r escapes (e.g. foo(?!\nbar)) can match a lone exploded line
-# yet fail against the full content — for those, skip the prefilter and pay
-# the full explode rather than silently dropping matches.
-_PREFILTER_UNSAFE = _re.compile(r"\\[AzZnr]")
+# patterns whose assertions never cross a line boundary. Three classes can
+# cross one: \A/\z/\Z anchors and explicit \n/\r escapes (foo(?!\nbar));
+# (?s)/(?m) inline flags (dotall '.' spans lines; an embedded (?m) can
+# re-anchor ^/$ mid-pattern); and ANY lookaround — inside (?=…)/(?!…)/
+# (?<=…)/(?<!…) even innocuous atoms like \s, \W, \D or a negated class
+# [^x] match '\n', so e.g. foo(?!\sbar) matches the exploded line 'foo'
+# but fails the doc-level prefilter on 'foo\nbar'. For all of these, skip
+# the prefilter and pay the full explode rather than silently drop matches.
+_PREFILTER_UNSAFE = _re.compile(
+    r"\\[AzZnr]"  # line-crossing anchors / literal newline escapes
+    r"|\(\?[a-zA-Z-]*[sm][a-zA-Z-]*[):]"  # inline (?s)/(?m) flags (incl. (?s:...))
+    r"|\(\?<?[=!]"  # any lookahead / lookbehind
+)
 
 
 def _prefilter_safe(pattern: str) -> bool:

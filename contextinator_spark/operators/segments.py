@@ -251,7 +251,9 @@ def _make_map_combine(heavy_fanout: dict, max_doc_id: int):
     return map_combine
 
 
-def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_id"):
+def _make_fused_combine(
+    heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_id", positions: bool = False
+):
     """Fused tokenize + map-side combine: (doc_id, content) Arrow batches →
     term-major (term, slice_id, docs[], tfs[], dls[]) partial posting rows.
 
@@ -272,7 +274,14 @@ def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_
     per-batch group encode + per-group bytes slicing and the merge-side
     decode are pure CPU. Compression earns its cost only in the FINAL
     stored blob (network-shuffled clusters may tip the other way; the
-    varbyte group kernel lives in compress.encode_posting_groups)."""
+    varbyte group kernel lives in compress.encode_posting_groups).
+
+    positions=True additionally emits `poss`: per (term, slice) group, the
+    FLAT concatenation of each posting's ascending 0-based token positions
+    (lexsort is stable, so a (term, doc) run keeps its original — ascending
+    — token order; positions inherit it for free). The positions store thus
+    rides the exact same salting + shuffle + merge machinery as the base
+    index — no separate skew-blind build path (round-3 VERDICT item 1)."""
     from ..functions.tokenize import TOKEN_PATTERN as _PAT
 
     def fused(pdf_iter):
@@ -305,6 +314,14 @@ def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_
             order = np.lexsort((docs, slc, codes))
             c_s, s_s = codes[order], slc[order]
             d_s, l_s = docs[order], dls[order]
+            if positions:
+                # 0-based token position within its doc, aligned to the
+                # flat token stream: arange minus each doc's start offset
+                doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                tok_pos = np.arange(docs.size, dtype=np.int64) - np.repeat(
+                    doc_starts, lens
+                )
+                pos_s = tok_pos[order]
             # run-length over (code, doc) = per-doc term frequency (a term's
             # repeats within one doc are adjacent after the sort; slc is a
             # function of (code, doc) so it can't split a run)
@@ -316,15 +333,25 @@ def _make_fused_combine(heavy_fanout: dict, max_doc_id: int, id_col: str = "doc_
             change = (pc[1:] != pc[:-1]) | (ps[1:] != ps[:-1])
             starts = np.concatenate(([0], np.flatnonzero(change) + 1))
             ends = np.concatenate((starts[1:], [pc.size]))
-            yield pd.DataFrame(
-                {
-                    "term": uniq[pc[starts]],
-                    "slice_id": ps[starts].astype("int32"),
-                    "docs": [pd_docs[s:e] for s, e in zip(starts, ends)],
-                    "tfs": [tf[s:e] for s, e in zip(starts, ends)],
-                    "dls": [pd_dls[s:e].astype("int32") for s, e in zip(starts, ends)],
-                }
-            )
+            out = {
+                "term": uniq[pc[starts]],
+                "slice_id": ps[starts].astype("int32"),
+                "docs": [pd_docs[s:e] for s, e in zip(starts, ends)],
+                "tfs": [tf[s:e] for s, e in zip(starts, ends)],
+                "dls": [pd_dls[s:e].astype("int32") for s, e in zip(starts, ends)],
+            }
+            if positions:
+                # a group's positions are one CONTIGUOUS span of the sorted
+                # token stream (postings in a group are adjacent, and each
+                # posting's occurrences are adjacent within its (code, doc)
+                # run), so group poss = pos_s[token-start of first posting :
+                # token-start past last posting] — pure slicing, no gather
+                tok_bounds = np.concatenate((p_starts, [c_s.size]))
+                out["poss"] = [
+                    pos_s[tok_bounds[s] : tok_bounds[e]].astype("int32")
+                    for s, e in zip(starts, ends)
+                ]
+            yield pd.DataFrame(out)
 
     return fused
 
@@ -399,6 +426,12 @@ _COMBINE_SCHEMA = T.StructType(
     ]
 )
 
+# positions variant: poss = flat per-group concatenation of each posting's
+# ascending token positions (sum(tfs) elements)
+_COMBINE_SCHEMA_POS = T.StructType(
+    _COMBINE_SCHEMA.fields + [T.StructField("poss", T.ArrayType(T.IntegerType()))]
+)
+
 
 _MERGE_TYPE = T.StructType(
     [
@@ -417,6 +450,7 @@ def _make_merge_udf(
     impact_k: int | None = None,
     k1: float | None = None,
     b: float | None = None,
+    positions: bool = False,
 ):
     """Batched reduce: each input ROW is one (term, slice) group carrying
     the list of partial arrays collected from map tasks; merge+sort+encode
@@ -438,18 +472,48 @@ def _make_merge_udf(
     k1v = BM25_K1 if k1 is None else k1
     bv = BM25_B if b is None else b
 
-    def fn(docs_ll: pd.Series, tfs_ll: pd.Series, dls_ll: pd.Series) -> pd.DataFrame:
+    def _merge_group(docs, tfs, dls, poss=None):
+        """One (term, slice) group: k-way concat + doc-order sort (+ aligned
+        positions segment-gather) → (d, t, l, p)."""
+        d = np.concatenate([np.asarray(x, dtype=np.int64) for x in docs])
+        t = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs])
+        l = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls])
+        p = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in poss])
+            if poss is not None
+            else None
+        )
+        if d.size > 1 and not (np.diff(d) > 0).all():
+            order = np.argsort(d, kind="stable")
+            if p is not None:
+                # gather each posting's positions segment to its new slot —
+                # vectorized (np.repeat offsets + arange), no per-posting loop
+                old_starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                seg_lens = t[order]
+                new_off = np.concatenate(([0], np.cumsum(seg_lens)))
+                idx = np.repeat(old_starts[order] - new_off[:-1], seg_lens) + np.arange(
+                    p.size, dtype=np.int64
+                )
+                p = p[idx]
+            d, t, l = d[order], t[order], l[order]
+        return d, t, l, p
+
+    def _encode(d, t, l, p):
+        if p is None:
+            return encode_postings(d, t, l)
+        from .positions import encode_postings_with_positions_flat
+
+        return encode_postings_with_positions_flat(d, t, l, p)
+
+    def fn_base(docs_ll, tfs_ll, dls_ll, poss_ll=None) -> pd.DataFrame:
         out = {"df_slice": [], "cf_slice": [], "blob": [], "block_max": [], "kth_tfnorm": []}
-        for docs, tfs, dls in zip(docs_ll, tfs_ll, dls_ll):
-            d = np.concatenate([np.asarray(x, dtype=np.int64) for x in docs])
-            t = np.concatenate([np.asarray(x, dtype=np.int64) for x in tfs])
-            l = np.concatenate([np.asarray(x, dtype=np.int64) for x in dls])
-            if d.size > 1 and not (np.diff(d) > 0).all():
-                order = np.argsort(d, kind="stable")
-                d, t, l = d[order], t[order], l[order]
+        for i, (docs, tfs, dls) in enumerate(zip(docs_ll, tfs_ll, dls_ll)):
+            d, t, l, p = _merge_group(
+                docs, tfs, dls, poss_ll.iloc[i] if poss_ll is not None else None
+            )
             out["df_slice"].append(int(d.size))
             out["cf_slice"].append(int(t.sum()))
-            out["blob"].append(encode_postings(d, t, l))
+            out["blob"].append(_encode(d, t, l, p))
             out["block_max"].append(block_max(d, t, l, BLOCK_SIZE))
             if avgdl is not None and d.size >= kk:
                 tf = t.astype(np.float64)
@@ -460,6 +524,16 @@ def _make_merge_udf(
             else:
                 out["kth_tfnorm"].append(None)
         return pd.DataFrame(out)
+
+    if positions:
+        def fn_pos(docs_ll: pd.Series, tfs_ll: pd.Series, dls_ll: pd.Series,
+                   poss_ll: pd.Series) -> pd.DataFrame:
+            return fn_base(docs_ll, tfs_ll, dls_ll, poss_ll)
+
+        return F.pandas_udf(fn_pos, returnType=_MERGE_TYPE)
+
+    def fn(docs_ll: pd.Series, tfs_ll: pd.Series, dls_ll: pd.Series) -> pd.DataFrame:
+        return fn_base(docs_ll, tfs_ll, dls_ll)
 
     return F.pandas_udf(fn, returnType=_MERGE_TYPE)
 
@@ -676,6 +750,7 @@ def write_index(
     only_partitions: set[int] | None = None,
     epoch: int = 0,
     heavy_fanout: dict | None = None,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the segment index at index_dir.
 
@@ -683,6 +758,15 @@ def write_index(
     stats (e.g. vocabulary counters maintained at corpus-ingest time — the
     scalable source at 100 TB, where the fallback sample pre-pass would
     cost a second content-column scan). None → sampled_heavy_fanout.
+
+    `positions=True` writes posting_format=2 blobs (positions.py layout:
+    the standard blob + per-occurrence token positions) through the SAME
+    fused kernel, df-scaled salting, array shuffle, merge, catalog and
+    resume machinery — one store then serves BM25, phrase and NEAR
+    queries (phrase.py probes it partition-pruned). A format-1 reader
+    still decodes these blobs (trailing positions bytes are ignored by
+    count-bounded section reads), so BM25 executors work unchanged on a
+    positions index.
 
     Layout:
       index_dir/terms/      term dictionary (partitioned by partition_id)
@@ -712,6 +796,8 @@ def write_index(
     """
     impl = os.environ.get("SPARK_GRAFT_SLICE_IMPL", "fused")
     if impl != "fused":
+        if positions:
+            raise ValueError("positions=True requires the fused build path")
         return _write_index_legacy(
             spark, corpus, index_dir, id_col, n_partitions, only_partitions, epoch, impl
         )
@@ -758,9 +844,9 @@ def write_index(
             "n_partitions": n_partitions,
             "block_size": BLOCK_SIZE,
             # blob layout version (operators/positions.py): 1 = standard
-            # [df][deltas][tfs][doc_lens]; 2 would carry the optional
-            # positions section — readers can tell without sniffing blobs
-            "posting_format": 1,
+            # [df][deltas][tfs][doc_lens]; 2 carries the trailing positions
+            # section — readers can tell without sniffing blobs
+            "posting_format": 2 if positions else 1,
             # impact-metadata stamp: per-slice kth_tfnorm values below are
             # valid pruning bounds ONLY under these exact params; a
             # streaming delta changes avgdl, which auto-invalidates the
@@ -777,6 +863,12 @@ def write_index(
     else:
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
+        want = 2 if positions else 1
+        if int(stats.get("posting_format", 1)) != want:
+            raise ValueError(
+                f"resume posting_format mismatch: index has "
+                f"{stats.get('posting_format')}, build requested {want}"
+            )
     phases = {"meta_sec": round(time.perf_counter() - t0, 2)}
 
     if todo:
@@ -788,17 +880,23 @@ def write_index(
         phases["sample_sec"] = round(time.perf_counter() - tp, 2)
         tp = time.perf_counter()
         partial = corpus.select(F.col(id_col), "content").mapInPandas(
-            _make_fused_combine(heavy_fanout, stats["max_doc_id"], id_col),
-            schema=_COMBINE_SCHEMA,
+            _make_fused_combine(heavy_fanout, stats["max_doc_id"], id_col, positions),
+            schema=_COMBINE_SCHEMA_POS if positions else _COMBINE_SCHEMA,
         )
-        grouped = partial.groupBy("term", "slice_id").agg(
+        agg_cols = [
             F.collect_list("docs").alias("docs_ll"),
             F.collect_list("tfs").alias("tfs_ll"),
             F.collect_list("dls").alias("dls_ll"),
-        )
-        enc = _make_merge_udf(n_partitions, avgdl=float(stats["avgdl"]))(
-            F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")
-        )
+        ]
+        if positions:
+            agg_cols.append(F.collect_list("poss").alias("poss_ll"))
+        grouped = partial.groupBy("term", "slice_id").agg(*agg_cols)
+        merge_cols = [F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")]
+        if positions:
+            merge_cols.append(F.col("poss_ll"))
+        enc = _make_merge_udf(
+            n_partitions, avgdl=float(stats["avgdl"]), positions=positions
+        )(*merge_cols)
         slices = grouped.select(
             "term",
             "slice_id",
@@ -1033,32 +1131,52 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     seg = spark.read.parquet(os.path.join(index_dir, "segments"))
     has_impact = "kth_tfnorm" in seg.columns
     # recompute impact metadata over the WHOLE merged list (now exact, not
-    # per-slice) when the index carries a still-valid impact stamp
+    # per-slice) when the index carries a still-valid impact stamp; a
+    # posting_format=2 store decodes + re-encodes WITH its positions section
     imp = None
+    positions = False
     try:
         with open(os.path.join(index_dir, "stats.json")) as f:
             st = json.load(f)
         if st.get("impact") and float(st["avgdl"]) == float(st["impact"]["avgdl"]):
             imp = st["impact"]
+        positions = int(st.get("posting_format", 1)) == 2
     except OSError:
         pass
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         from .compress import decode_postings
+        from .positions import (
+            decode_postings_with_positions_flat,
+            encode_postings_with_positions_flat,
+        )
 
         grp = pdf.sort_values("slice_id")
-        ds, ts, ls = [], [], []
+        ds, ts, ls, ps = [], [], [], []
         for blob in grp["blob"]:
-            d, t, l = decode_postings(bytes(blob))
+            if positions:
+                d, t, l, p = decode_postings_with_positions_flat(bytes(blob))
+                ps.append(p)
+            else:
+                d, t, l = decode_postings(bytes(blob))
             ds.append(d), ts.append(t), ls.append(l)
         d = np.concatenate(ds)
-        t = np.concatenate(ts)
+        t = np.concatenate(ts).astype(np.int64)
         l = np.concatenate(ls)
+        p = np.concatenate(ps) if positions else None
         # base-build slices are range-disjoint in slice_id order, but
         # streaming-ingest deltas (ingest.py) may interleave doc ranges —
         # re-sort when needed so the merged blob stays strictly increasing
         if d.size > 1 and not (np.diff(d) > 0).all():
             order = np.argsort(d, kind="stable")
+            if positions:
+                old_starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                seg_lens = t[order]
+                new_off = np.concatenate(([0], np.cumsum(seg_lens)))
+                idx = np.repeat(old_starts[order] - new_off[:-1], seg_lens) + np.arange(
+                    p.size, dtype=np.int64
+                )
+                p = p[idx]
             d, t, l = d[order], t[order], l[order]
         kth = None
         if imp is not None and d.size >= int(imp["k"]):
@@ -1071,7 +1189,11 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
             "slice_id": [0],
             "df_slice": [int(d.size)],
             "cf_slice": [int(t.sum())],
-            "blob": [encode_postings(d, t, l)],
+            "blob": [
+                encode_postings_with_positions_flat(d, t, l, p)
+                if positions
+                else encode_postings(d, t, l)
+            ],
             "block_max": [block_max(d, t, l)],
             "partition_id": [int(grp["partition_id"].iloc[0])],
         }

@@ -167,6 +167,14 @@ def apply_ingest_batch(
     # fresh read per batch: earlier micro-batches already moved the stats
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    if int(stats.get("posting_format", 1)) == 2:
+        # delta slices are format-1 (postings_with_dl has no positions);
+        # silently mixing them into a positions store would make phrase
+        # probes fail mid-decode on the new blobs — refuse loudly instead
+        raise ValueError(
+            "streaming ingest into a positions (posting_format=2) index "
+            "is not supported; rebuild with write_index(positions=True)"
+        )
     # replay guard (foreachBatch is at-least-once): last_batch_id is
     # bumped by the atomic stats.json commit below, so ≤ means this
     # batch's side effects are already fully applied

@@ -164,3 +164,48 @@ def test_cli_phrase_scan_and_indexed(capsys, spark, tmp_path_factory):
         capsys, spark, "phrase", "--index", d, "--query", "table hash", "--k", "5"
     )
     assert [json.loads(x) for x in idx] == [json.loads(x) for x in scan]
+
+
+def test_cli_phrase_requires_exactly_one_source(capsys, spark):
+    # argparse enforces the --corpus/--index mutually-exclusive-required
+    # group with a usage error, not an opaque Py4J failure (round-3 ADVICE)
+    with pytest.raises(SystemExit):
+        cli.main(["phrase", "--query", "table hash"], spark=spark)
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["phrase", "--query", "x", "--corpus", SF, "--index", "/tmp/nope"],
+            spark=spark,
+        )
+    capsys.readouterr()
+
+
+def test_cli_compact_identical_results_one_slice(capsys, spark, tmp_path):
+    """`cli compact` folds every term to one slice and leaves query results
+    (BM25 and phrase — the corpus is built as a positions store) identical."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "salted.parquet")
+    spark.createDataFrame(
+        [(i, f"hot pair filler{i} hot pair") for i in range(40)],
+        "doc_id long, content string",
+    ).write.parquet(p)
+    d = str(tmp_path / "idx")
+    run_cli(capsys, spark, "phrase-build", "--corpus", p, "--index", d)
+    seg = spark.read.parquet(os.path.join(d, "segments"))
+    assert seg.filter(F.col("term") == "hot").count() > 1  # salted
+
+    before_q = run_cli(capsys, spark, "query", "--index", d, "--query", "hot pair", "--k", "50")
+    before_ph = run_cli(capsys, spark, "phrase", "--index", d, "--query", "hot pair", "--k", "50")
+
+    out = run_cli(capsys, spark, "compact", "--index", d)
+    assert json.loads(out[0])["compacted"] is True
+
+    seg2 = spark.read.parquet(os.path.join(d, "segments"))
+    per_term = seg2.groupBy("term").count().agg(F.max("count")).collect()[0][0]
+    assert per_term == 1  # every term folded to one slice
+
+    after_q = run_cli(capsys, spark, "query", "--index", d, "--query", "hot pair", "--k", "50")
+    after_ph = run_cli(capsys, spark, "phrase", "--index", d, "--query", "hot pair", "--k", "50")
+    assert [json.loads(x) for x in after_q] == [json.loads(x) for x in before_q]
+    assert [json.loads(x) for x in after_ph] == [json.loads(x) for x in before_ph]

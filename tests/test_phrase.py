@@ -32,7 +32,7 @@ def docs(spark):
 @pytest.fixture(scope="module")
 def phrase_idx(spark, docs, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("phrase_idx"))
-    stats = PH.write_phrase_index(docs, d)
+    stats = PH.write_phrase_index(spark, docs, d)
     assert stats["posting_format"] == 2
     return d
 
@@ -70,26 +70,81 @@ def test_scan_and_indexed_identical(spark, docs, phrase_idx):
 
 
 def test_indexed_probe_prunes_partitions(spark, phrase_idx):
-    """The probe's plan must carry a partition filter on `part` (the
-    xxhash64-derived write-time partition id) — only the phrase terms'
-    partitions are read."""
+    """The probe's plan must carry a partition filter on `partition_id`
+    (the xxhash64-derived write-time partition id of the UNIFIED segment
+    store) — only the phrase terms' partitions are read."""
     from contextinator_spark.functions.xxhash import term_partition
 
     terms = ["table", "hash"]
     n_parts = PH.PHRASE_INDEX_PARTITIONS
     expected = sorted({term_partition(t, n_parts) for t in terms})
-    store = spark.read.parquet(os.path.join(phrase_idx, "terms"))
+    store = spark.read.parquet(os.path.join(phrase_idx, "segments"))
     probe = store.filter(
-        F.col("part").isin(expected) & F.col("term").isin(terms)
+        F.col("partition_id").isin(expected) & F.col("term").isin(terms)
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "part" in plan
+    assert "PartitionFilters" in plan and "partition_id" in plan
     # and the python twin agrees with the JVM hash that wrote the files
     written = {
-        int(r.part)
-        for r in store.filter(F.col("term").isin(terms)).select("part").collect()
+        int(r.partition_id)
+        for r in store.filter(F.col("term").isin(terms)).select("partition_id").collect()
     }
     assert written == set(expected)
+
+
+def test_phrase_unified_store_serves_bm25(spark, docs, phrase_idx):
+    """ONE store answers both positional and BM25 queries: the positions
+    blobs are format-compatible with the base decoder (count-bounded
+    section reads ignore the trailing positions bytes), and the store has
+    the full base layout (terms/, catalog/, doc_meta/, impact stamp)."""
+    import json
+
+    from contextinator_spark.operators.bm25 import topk
+    from contextinator_spark.operators.bm25_segments import topk_segments
+    from contextinator_spark.operators.postings import build_postings, doc_meta
+
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in topk_segments(spark, phrase_idx, ["table", "hash"], k=10).collect()
+    ]
+    want = [
+        (r.rank, r.doc_id, r.score)
+        for r in topk(build_postings(docs), doc_meta(docs), ["table", "hash"], k=10).collect()
+    ]
+    assert got == want and got
+    for sub in ("terms", "catalog", "doc_meta"):
+        assert os.path.isdir(os.path.join(phrase_idx, sub)), sub
+    with open(os.path.join(phrase_idx, "stats.json")) as f:
+        st = json.load(f)
+    assert st["posting_format"] == 2 and "impact" in st
+
+
+def test_phrase_heavy_term_is_sliced(spark, tmp_path):
+    """A heavy term in a positions index gets the SAME df-scaled range
+    salting as the base store (round-3 VERDICT item 1: the old standalone
+    phrase builder funneled a whole term through one Python group) — and
+    the salted index still answers phrase queries identically to the scan
+    form."""
+    from pyspark.sql import functions as SF
+
+    n = 40
+    rows = [(i, f"hot pair filler{i} hot pair") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "salted_phrase_idx")
+    os.makedirs(d)
+    PH.write_phrase_index(spark, docs, d)
+    seg = spark.read.parquet(os.path.join(d, "segments"))
+    n_slices = seg.filter(SF.col("term") == "hot").count()
+    assert n_slices > 1, "heavy term must be split into doc-range slices"
+    scan = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.phrase_topk(docs, ["hot", "pair"], k=50).collect()
+    ]
+    idx = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.phrase_topk_indexed(spark, d, ["hot", "pair"], k=50).collect()
+    ]
+    assert scan == idx and len(scan) == n
 
 
 def test_posting_format_guard(spark, tmp_path):
