@@ -91,9 +91,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched multi-query executor (one plan, per-query windows)."""
+    """Batched multi-query executor (one plan, per-query windows).
+
+    The dictionary (term_stats) is built once and passed in, so df enters
+    as a broadcast probe instead of a per-term count() window — no
+    Exchange(term) before scoring (round-3 VERDICT item 7). The postings
+    frame is persisted because both the dictionary and the scoring subtree
+    consume it (Catalyst does not dedupe the two scans of a UDF-produced
+    source; the production executor's dictionary is persisted storage)."""
+    from pyspark.storagelevel import StorageLevel
+
+    post = _docs_postings(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     return bm25.topk_multi(
-        _docs_postings(spark, sf_dir), _docs_meta(spark, sf_dir), BM25_QUERIES, k=10
+        post,
+        _docs_meta(spark, sf_dir),
+        BM25_QUERIES,
+        k=10,
+        term_stats=P.term_stats(post),
     )
 
 
@@ -526,14 +540,15 @@ def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_phrase_tf() -> str:
+def sql_phrase_tf(terms: list[str] | None = None) -> str:
     """Shared CTE: per-doc phrase_tf + doc_len via DuckDB list lambdas —
     1-based list indexing, range() end-exclusive (empty when the doc is
     shorter than the phrase), overlaps counted like the Spark form."""
-    n = len(PHRASE_TERMS)
+    terms = PHRASE_TERMS if terms is None else terms
+    n = len(terms)
     cond = " AND ".join(
         f"t[i+{j}] = '{term}'" if j else f"t[i] = '{term}'"
-        for j, term in enumerate(PHRASE_TERMS)
+        for j, term in enumerate(terms)
     )
     return f"""
 WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
@@ -595,17 +610,19 @@ def q_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_near_topk() -> str:
+def sql_near_topk(terms: list[str] | None = None, window: int | None = None) -> str:
     """Proximity oracle: per-term 1-based position lists via list_filter
     over range(); the |pj − p0| ≤ W predicate is basis-invariant, so the
     0-based Spark form and this 1-based form agree exactly."""
-    anchor, rest = PHRASE_TERMS[0], PHRASE_TERMS[1:]
+    terms = PHRASE_TERMS if terms is None else terms
+    window = NEAR_WINDOW if window is None else window
+    anchor, rest = terms[0], terms[1:]
 
     def pos(term: str) -> str:
         return f"list_filter(range(1, len(t)+1), i -> t[i] = '{term}')"
 
     near = " AND ".join(
-        f"len(list_filter({pos(term)}, p{j+1} -> abs(p{j+1} - p0) <= {NEAR_WINDOW})) > 0"
+        f"len(list_filter({pos(term)}, p{j+1} -> abs(p{j+1} - p0) <= {window})) > 0"
         for j, term in enumerate(rest)
     ) or "TRUE"
     return (
@@ -619,6 +636,43 @@ m AS (SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
     )
 
 
+# mixed batch: exact phrases + one NEAR query, answered in ONE plan by the
+# positional batch executor over the unified positions store
+PHRASE_BATCH_QUERIES: dict[int, tuple[list[str], int | None]] = {
+    1: (["table", "hash"], None),
+    2: (["hash", "table"], None),
+    3: (["hash"], None),
+    4: (["zzz_absent", "table"], None),
+    5: (["table", "hash"], 3),
+}
+
+
+def q_phrase_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched positional executor (one probe, one pruned scan, per-query
+    windows) — the phrase/NEAR twin of bm25_batch."""
+    from .operators.phrase import positional_topk_indexed_multi
+
+    return positional_topk_indexed_multi(
+        spark, _cached_phrase_index_dir(spark, sf_dir), PHRASE_BATCH_QUERIES, k=10
+    )
+
+
+def sql_phrase_batch() -> str:
+    """UNION ALL of the per-query positional oracles, each tagged with its
+    query_id — same shape as the Spark batch output."""
+    parts = []
+    for qid, (terms, w) in PHRASE_BATCH_QUERIES.items():
+        single = (
+            sql_phrase_tf(terms) + _sql_positional_rank_tail()
+            if w is None
+            else sql_near_topk(terms, w)
+        )
+        parts.append(
+            f"SELECT CAST({qid} AS INT) AS query_id, t.* FROM ({single}) t"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunker output over the corpus adapter (not SQL-expressible —
     driver records the rows-only check; pytest holds the real invariants)."""
@@ -626,6 +680,33 @@ def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.corpus import documents_as_corpus
 
     return chunk_corpus(documents_as_corpus(spark, sf_dir).drop("doc_id"))
+
+
+def q_chunks_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible slice of the chunker contract (round-3 VERDICT item
+    4 — `chunks` itself stays rows-only): per file, chunks exist, the first
+    chunk starts at line 1 and the last ends at the file's total line count
+    (the whole-file-fallback / line-partition invariant). The oracle
+    computes the same values from the raw text alone."""
+    from .operators.chunker import chunk_corpus
+    from .sources.corpus import documents_as_corpus
+
+    ch = chunk_corpus(documents_as_corpus(spark, sf_dir).drop("doc_id"))
+    return ch.groupBy("repo", "path").agg(
+        F.min("start_line").cast("int").alias("min_start"),
+        F.max("end_line").cast("int").alias("max_end"),
+        (F.count(F.lit(1)) >= 1).alias("has_chunks"),
+    )
+
+
+SQL_CHUNKS_INVARIANTS = """
+SELECT source AS repo,
+       'docs/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       CAST(1 AS INT) AS min_start,
+       CAST(len(string_split(text, chr(10))) AS INT) AS max_end,
+       TRUE AS has_chunks
+FROM documents
+"""
 
 
 def q_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,7 +1014,9 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),
         "near_topk": (q_near_topk, sql_near_topk()),
         "near_indexed": (q_near_indexed, sql_near_topk()),
+        "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
+        "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (
             q_reconstruct,
             "SELECT source AS repo, "

@@ -117,3 +117,32 @@ def test_topk_multi_fallback_single_postings_scan(spark, tmp_path):
         1 for ln in plan.splitlines() if "FileScan parquet" in ln and "post" in ln
     )
     assert n_post_scans == 1, plan
+
+
+def test_bm25_batch_plan_has_no_df_count_window(spark):
+    """q_bm25_batch passes the prebuilt dictionary, so df must enter as a
+    broadcast probe — the ONLY Window in the plan is the per-query rank
+    (row_number); no count(1)-over-term window exchange survives."""
+    from contextinator_spark.entry_queries import q_bm25_batch
+
+    df = q_bm25_batch(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window", "+- Window"))]
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("row_number" in ln for ln in win_lines), win_lines
+    assert not any("count(1) windowspecdefinition" in ln for ln in plan.splitlines())
+    # and results still match the no-dictionary form
+    from contextinator_spark.entry_queries import BM25_QUERIES, _docs_meta, _docs_postings
+    from contextinator_spark.operators import bm25
+
+    want = sorted(
+        tuple(r)
+        for r in bm25.topk_multi(
+            _docs_postings(spark, "/root/testdata/sf0.001"),
+            _docs_meta(spark, "/root/testdata/sf0.001"),
+            BM25_QUERIES,
+            k=10,
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want

@@ -194,3 +194,34 @@ def test_near_scan_and_indexed_identical(spark, docs, phrase_idx):
             for r in PH.near_topk_indexed(spark, phrase_idx, terms, w, k=10).collect()
         ]
         assert scan == idx, (terms, w)
+
+
+def test_positional_batch_matches_single_query_paths(spark, docs, phrase_idx):
+    """positional_topk_indexed_multi must equal per-query phrase/NEAR
+    indexed executors for a mixed batch (exact phrases, NEAR, duplicates,
+    absent terms, single-term)."""
+    queries = {
+        1: (["table", "hash"], None),
+        2: (["hash", "table"], None),
+        3: (["table"], None),
+        4: (["zzz", "x"], None),
+        5: (["table", "hash"], 3),
+        6: (["a", "a"], None),
+        7: (["a", "a"], 2),
+    }
+    multi = PH.positional_topk_indexed_multi(spark, phrase_idx, queries, k=10)
+    got: dict[int, list] = {}
+    for r in multi.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, (terms, w) in queries.items():
+        if w is None:
+            want = [
+                (r.rank, r.doc_id, r.score)
+                for r in PH.phrase_topk_indexed(spark, phrase_idx, terms, k=10).collect()
+            ]
+        else:
+            want = [
+                (r.rank, r.doc_id, r.score)
+                for r in PH.near_topk_indexed(spark, phrase_idx, terms, w, k=10).collect()
+            ]
+        assert sorted(got.get(qid, [])) == sorted(want), (qid, terms, w)
