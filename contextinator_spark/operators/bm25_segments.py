@@ -49,6 +49,20 @@ from ..config import (
 # score_slices to ~4M float64 elements (~32 MB) per chunk.
 _QID_CHUNK_ELEMS = 4 * 1024 * 1024
 
+# doc-range buckets of the per-term impact sketch (DAAT-flavored pruning):
+# bounded driver state = n_query_terms × this many float64s.
+_SKETCH_BUCKETS = 512
+# auto-enable threshold for the sketch job (sketch=None). Measured on this
+# VM (skewed two-term corpora, disjoint doc ranges, sf BENCH/BASELINE.md
+# round-4 notes): at 1.3M and 10.8M matched postings the sketch prunes
+# 70-80% of partial rows but wall-clock stays NEUTRAL (+0.3-0.5 s job
+# overhead ≈ the CPU it saves), because the local[32] scan is blob-decode
+# bound and shuffle is tmpfs memcpy. The win case is a network-shuffled
+# cluster (partials cross the wire) and 10^8+-posting lists where the
+# fixed job cost is ≪ the stage; auto-on only there. Its own work is
+# O(total_df / BLOCK_SIZE), ~1/128 of the main scan.
+SKETCH_MIN_DF = 32_000_000
+
 
 def _spread_slices(seg: DataFrame, spark: SparkSession, total_df: int) -> DataFrame:
     """Scan-stage parallelism equals the number of pruned FILES (a few per
@@ -195,6 +209,105 @@ def probe_dictionary(
     }
 
 
+def _term_impact_sketch(
+    spark: SparkSession,
+    index_dir: str,
+    info: dict[str, dict],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    max_doc_id: int,
+    g: int = _SKETCH_BUCKETS,
+) -> dict[str, tuple[float, np.ndarray]]:
+    """Per-term doc-range impact sketch from BLOCK METADATA ONLY (no blob
+    decode): term → (tight_ub, sketch[g]) where
+
+      tight_ub  = max over the term's blocks of idf·tf_norm(max_tf, min_dl)
+                  — the term's true global score bound (far below the
+                  idf·(k1+1) tf→∞ corner for real max_tf of 1-3);
+      sketch[j] = max of that block bound over blocks whose doc range
+                  intersects bucket j of [0, max_doc_id] — an upper bound
+                  on the term's score for ANY doc in the bucket (0 where
+                  the term has no postings at all).
+
+    This is the document-at-a-time idea of round-3 VERDICT item 5 shifted
+    to bounds: term A's postings in a doc region where the other query
+    terms are weak or absent can be pruned even when the global rest bound
+    could not prune them. One Spark job over the pruned (term, block_max)
+    columns; the collect is ≤ |terms|·g rows.
+
+    Block lower bounds: previous block's upper_doc + 1 within a slice row;
+    a slice's FIRST block starts at the blob's first docID — decoded from
+    the blob's first two varints only (block_max carries no explicit low;
+    a production-format bump would store lower_doc in the block metadata
+    and make this job metadata-only)."""
+    pids = sorted({info[t]["partition_id"] for t in info})
+    need = sorted(info)
+    segb = (
+        spark.read.parquet(os.path.join(index_dir, "segments"))
+        .filter(F.col("partition_id").isin(pids) & F.col("term").isin(need))
+        .select("term", "blob", "block_max")
+    )
+    span = float(max_doc_id + 1)
+    idf_b = dict(idf)
+
+    def to_buckets(pdf_iter):
+        from .compress import vb_decode
+
+        for pdf in pdf_iter:
+            t_out, b_out, u_out = [], [], []
+            for term, blob, bm in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
+                if bm is None or len(bm) == 0:
+                    continue
+                arr = np.asarray(
+                    [(e["upper_doc"], e["max_tf"], e["min_dl"]) for e in bm],
+                    dtype=np.float64,
+                )
+                ub = idf_b[term] * _tf_norm(arr[:, 1], arr[:, 2], avgdl, k1, b)
+                upper = arr[:, 0]
+                # first docID = 2nd varint of the blob ([df][delta0 = doc0])
+                head = np.frombuffer(bytes(blob)[:20], dtype=np.uint8)
+                _, off = vb_decode(head, 0, 1)
+                first_doc, _ = vb_decode(head, off, 1)
+                lows = np.empty_like(upper)
+                lows[0] = float(first_doc[0])
+                lows[1:] = upper[:-1] + 1.0
+                b_lo = np.minimum((lows / span * g).astype(np.int64), g - 1)
+                b_hi = np.minimum((upper / span * g).astype(np.int64), g - 1)
+                sk = np.zeros(g, dtype=np.float64)
+                single = b_lo == b_hi
+                np.maximum.at(sk, b_lo[single], ub[single])
+                for i in np.flatnonzero(~single):  # straddlers: rare (see above)
+                    lo, hi = int(b_lo[i]), int(b_hi[i])
+                    np.maximum(sk[lo : hi + 1], ub[i], out=sk[lo : hi + 1])
+                nz = np.flatnonzero(sk)
+                t_out.append(np.full(nz.size, term, dtype=object))
+                b_out.append(nz)
+                u_out.append(sk[nz])
+            if t_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(t_out),
+                        "bucket": np.concatenate(b_out).astype(np.int32),
+                        "ub": np.concatenate(u_out),
+                    }
+                )
+
+    rows = (
+        segb.mapInPandas(to_buckets, schema="term string, bucket int, ub double")
+        .groupBy("term", "bucket")
+        .agg(F.max("ub").alias("ub"))
+        .collect()
+    )
+    out: dict[str, tuple[float, np.ndarray]] = {}
+    for t in need:
+        out[t] = (0.0, np.zeros(g, dtype=np.float64))
+    for r in rows:
+        out[r["term"]][1][int(r["bucket"])] = float(r["ub"])
+    return {t: (float(sk.max(initial=0.0)), sk) for t, (_, sk) in out.items()}
+
+
 def topk_segments(
     spark: SparkSession,
     index_dir: str,
@@ -205,6 +318,7 @@ def topk_segments(
     prune: bool = True,
     n_partitions: int | None = None,
     driver_path: bool = True,
+    sketch: bool | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) from the compressed segment store.
 
@@ -238,6 +352,27 @@ def topk_segments(
             spark, index_dir, info, idf, k, k1, b, avgdl, stats
         )
 
+    # DAAT-flavored refinement (one extra METADATA-only job, gated on the
+    # same heavy-query condition as θ): per-term doc-range impact sketches
+    # tighten both bounds the scan prunes with —
+    #   rest_ub[t]   Σ of the OTHER terms' true max block bounds (vs the
+    #                idf·(k1+1) tf→∞ corner)
+    #   rest_sk[t]   per-BUCKET rest bound: a posting of t at doc d needs
+    #                scores[d] + Σ_{t'≠t} sketch_{t'}[bucket(d)] ≥ θ, so
+    #                t's postings die wherever the other terms are weak or
+    #                absent — cross-term skipping the global bound cannot do
+    rest_sk: dict[str, np.ndarray] | None = None
+    span = float(int(stats["max_doc_id"]) + 1)
+    if sketch is None:  # auto: the job must be noise vs the volume it prunes
+        sketch = total_df >= SKETCH_MIN_DF
+    if theta > 0.0 and sketch and len(matched) > 1:
+        sketches = _term_impact_sketch(
+            spark, index_dir, info, idf, avgdl, k1, b, int(stats["max_doc_id"])
+        )
+        global_ub = {t: min(global_ub[t], sketches[t][0]) for t in matched}
+        total_sk = np.sum([sketches[t][1] for t in matched], axis=0)
+        rest_sk = {t: total_sk - sketches[t][1] for t in matched}
+
     pids = sorted({info[t]["partition_id"] for t in matched})
     seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
         F.col("partition_id").isin(pids) & F.col("term").isin(matched)
@@ -247,6 +382,7 @@ def topk_segments(
     idf_b = dict(idf)
     ub_sum = sum(global_ub.values())
     rest_ub = {t: ub_sum - global_ub[t] for t in matched}
+    n_buckets = _SKETCH_BUCKETS
 
     def score_slices(pdf_iter):
         from .compress import decode_postings
@@ -272,7 +408,15 @@ def topk_segments(
                     tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
                 )
                 if theta > 0.0:
-                    mask = (scores + t_rest) >= theta
+                    if rest_sk is not None:
+                        # per-posting doc-range rest bound: one gather
+                        buck = np.minimum(
+                            (doc_ids.astype(np.float64) / span * n_buckets).astype(np.int64),
+                            n_buckets - 1,
+                        )
+                        mask = (scores + rest_sk[term][buck]) >= theta
+                    else:
+                        mask = (scores + t_rest) >= theta
                     doc_ids, scores = doc_ids[mask], scores[mask]
                 out_docs.append(doc_ids)
                 out_scores.append(scores)

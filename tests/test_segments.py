@@ -307,3 +307,53 @@ def test_resume_scrubs_uncommitted_partitions(spark, corpus, tmp_path_factory):
         assert a == b, terms
     sh.rmtree(d, ignore_errors=True)
     sh.rmtree(d2, ignore_errors=True)
+
+
+def test_sketch_pruning_disjoint_ranges_exact(spark, tmp_path):
+    """DAAT-flavored doc-range sketches: two heavy terms living in mostly
+    DISJOINT doc-id ranges. The per-bucket rest bound lets each term's
+    postings die where the other term is absent — and results must stay
+    bit-identical to both the sketchless pruned plan and the exhaustive
+    scan."""
+    rows = []
+    for i in range(1200):
+        body = ["filler%d" % (i % 7)]
+        if i < 650:
+            body.append("aaa aaa")
+        if i >= 550:
+            body.append("bbb")
+        rows.append((i, " ".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "disjoint_idx")
+    S.write_index(spark, docs, d)
+    kw = dict(k=10, driver_path=False)
+    sk = bm25_segments.topk_segments(spark, d, ["aaa", "bbb"], prune=True, sketch=True, **kw).collect()
+    nosk = bm25_segments.topk_segments(spark, d, ["aaa", "bbb"], prune=True, sketch=False, **kw).collect()
+    ex = bm25_segments.topk_segments(spark, d, ["aaa", "bbb"], prune=False, **kw).collect()
+    assert [tuple(r) for r in sk] == [tuple(r) for r in nosk] == [tuple(r) for r in ex]
+    assert len(sk) == 10
+
+    # the sketch itself is a valid upper bound: nonzero only where a term
+    # has postings, zero in the other term's exclusive region
+    from contextinator_spark.operators.bm25_segments import (
+        _SKETCH_BUCKETS,
+        _idf,
+        _term_impact_sketch,
+        load_stats,
+        probe_dictionary,
+    )
+
+    st = load_stats(d)
+    info = probe_dictionary(spark, d, ["aaa", "bbb"])
+    idf = {t: _idf(float(info[t]["df"]), float(st["n_docs"])) for t in info}
+    sks = _term_impact_sketch(
+        spark, d, info, idf, float(st["avgdl"]), 1.2, 0.75, int(st["max_doc_id"])
+    )
+    g = _SKETCH_BUCKETS
+    # aaa lives in docs [0, 650) → its sketch must be 0 well above that range
+    hi_bucket = int(900 / (st["max_doc_id"] + 1) * g)
+    assert sks["aaa"][1][hi_bucket:].max(initial=0.0) == 0.0
+    # bbb lives in docs [550, 1200) → 0 well below
+    lo_bucket = int(300 / (st["max_doc_id"] + 1) * g)
+    assert sks["bbb"][1][:lo_bucket].max(initial=0.0) == 0.0
+    assert sks["aaa"][0] > 0 and sks["bbb"][0] > 0
