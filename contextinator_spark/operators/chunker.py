@@ -74,6 +74,37 @@ _C_KEYWORDS = {"if", "else", "for", "while", "switch", "return", "case", "do",
                "break", "continue", "sizeof", "goto"}
 _RB_DEF = re.compile(r"^(\s*)def\s+(?:self\.)?([A-Za-z_]\w*[?!=]?)")
 _RB_CLASS = re.compile(r"^(\s*)(?:class|module)\s+([A-Z]\w*)")
+# php / kotlin / swift / scala — next tier of the reference NODE_TYPES table
+# (ast_parser.py:230-421, settings.py:23-120), round-3 VERDICT item 6
+_PHP_FUNC = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|static|final|abstract)\s+)*function\s+&?([A-Za-z_]\w*)"
+)
+_PHP_CLASS = re.compile(
+    r"^(\s*)(?:(?:final|abstract|readonly)\s+)*(?:class|interface|trait|enum)\s+([A-Za-z_]\w*)"
+)
+_KT_FUN = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|internal|open|override|suspend|inline|operator|infix|tailrec|external|actual|expect)\s+)*"
+    r"fun\s+(?:<[^>]*>\s+)?(?:[\w.<>?]+\.)?([A-Za-z_]\w*)"
+)
+_KT_CLASS = re.compile(
+    r"^(\s*)(?:(?:public|private|protected|internal|open|abstract|final|sealed|data|inner|annotation|enum|value)\s+)*"
+    r"(?:class|interface|object)\s+([A-Za-z_]\w*)"
+)
+_SWIFT_FUNC = re.compile(
+    r"^(\s*)(?:(?:public|private|fileprivate|internal|open|static|final|override|mutating|nonmutating|class)\s+)*"
+    r"func\s+([A-Za-z_]\w*)"
+)
+_SWIFT_TYPE = re.compile(
+    r"^(\s*)(?:(?:public|private|fileprivate|internal|open|final|indirect)\s+)*"
+    r"(?:class|struct|enum|protocol|extension|actor)\s+([A-Za-z_][\w.]*)"
+)
+_SCALA_DEF = re.compile(
+    r"^(\s*)(?:(?:private|protected|final|override|implicit|lazy)\s+)*def\s+([A-Za-z_]\w*)"
+)
+_SCALA_CLASS = re.compile(
+    r"^(\s*)(?:(?:private|protected|final|abstract|sealed|implicit|case)\s+)*"
+    r"(?:class|object|trait)\s+([A-Za-z_]\w*)"
+)
 
 # block terminator tokens that sit at the OPENER's indent and belong to the
 # block (braces; ruby `end`) — included by _node_end so a function chunk
@@ -82,6 +113,7 @@ _CLOSERS = {
     "go": ("}",), "java": ("}",), "c": ("}",), "cpp": ("}",), "c_sharp": ("}",),
     "javascript": ("}", "};", "})", "});"), "typescript": ("}", "};", "})", "});"),
     "rust": ("}",), "ruby": ("end",),
+    "php": ("}",), "kotlin": ("}",), "swift": ("}",), "scala": ("}",),
 }
 
 
@@ -137,6 +169,14 @@ def _declarations(lines: list[str], lang: str):
         pats = [(_JAVA_CLASS, "class"), (_JAVA_METHOD, "function")]
     elif lang == "ruby":
         pats = [(_RB_CLASS, "class"), (_RB_DEF, "function")]
+    elif lang == "php":
+        pats = [(_PHP_CLASS, "class"), (_PHP_FUNC, "function")]
+    elif lang == "kotlin":
+        pats = [(_KT_CLASS, "class"), (_KT_FUN, "function")]
+    elif lang == "swift":
+        pats = [(_SWIFT_TYPE, "class"), (_SWIFT_FUNC, "function")]
+    elif lang == "scala":
+        pats = [(_SCALA_CLASS, "class"), (_SCALA_DEF, "function")]
     elif lang in ("c", "cpp"):
         for i, ln in enumerate(lines):
             m = _C_TYPE.match(ln)
@@ -173,8 +213,13 @@ def _node_end(lines: list[str], start: int, indent: int, closers: tuple = ()) ->
             continue
         cur = len(ln) - len(ln.lstrip())
         if cur <= indent:
-            if closers and cur == indent and ln.strip() in closers:
-                return j
+            if closers and cur == indent:
+                s = ln.strip()
+                if s in closers:
+                    return j
+                if s == "{":  # Allman style (PSR-12 PHP, some C#): the
+                    end = j   # opening brace sits alone at the opener's
+                    continue  # indent and belongs to the block
             break
         end = j
     return end

@@ -380,3 +380,123 @@ def test_tree_stats_depth3(spark):
     st = tree_stats(chunk_corpus(df)).collect()[0]
     assert st["max_depth"] == 3
     assert st["n_parents"] == 2  # A and B
+
+
+# --- round-4 language tier: php / kotlin / swift / scala --------------------
+
+PHP_FILE = '''<?php
+
+class Cart
+{
+    private $items = [];
+
+    public function add($item)
+    {
+        $this->items[] = $item;
+    }
+
+    protected static function empty_cart()
+    {
+        return new self();
+    }
+}
+
+function format_total($cart)
+{
+    return count($cart);
+}
+'''
+
+KT_FILE = '''package app
+
+data class User(val id: Int) {
+    fun display(): String {
+        return "u$id"
+    }
+
+    private suspend fun refresh(): Unit {
+        fetch(id)
+    }
+}
+
+fun main() {
+    println(User(1).display())
+}
+'''
+
+SWIFT_FILE = '''import Foundation
+
+struct Vector {
+    var x: Double
+
+    func norm() -> Double {
+        return abs(x)
+    }
+
+    mutating func scale(_ f: Double) {
+        x *= f
+    }
+}
+
+public func makeVector() -> Vector {
+    return Vector(x: 1.0)
+}
+'''
+
+SCALA_FILE = '''package app
+
+object Registry {
+  def lookup(id: Int): Option[String] = {
+    None
+  }
+
+  private def seed(): Unit = {
+    ()
+  }
+}
+
+case class Entry(id: Int) {
+  def render: String = {
+    s"entry-$id"
+  }
+}
+'''
+
+
+@pytest.mark.parametrize(
+    "content,lang,want_names,want_class",
+    [
+        (PHP_FILE, "php", {"add", "empty_cart", "format_total"}, "Cart"),
+        (KT_FILE, "kotlin", {"display", "refresh", "main"}, "User"),
+        (SWIFT_FILE, "swift", {"norm", "scale", "makeVector"}, "Vector"),
+        (SCALA_FILE, "scala", {"lookup", "seed", "render"}, "Registry"),
+    ],
+)
+def test_chunk_round4_languages(content, lang, want_names, want_class):
+    nodes = chunk_file(content, lang)
+    names = {n["node_name"] for n in nodes}
+    assert want_names <= names, names
+    classes = [n for n in nodes if n["node_type"] == "class"]
+    assert any(n["node_name"] == want_class for n in classes)
+    assert all(n["is_parent"] for n in classes)
+    # methods nest under their declaring type
+    cls_idx = next(i for i, n in enumerate(nodes) if n["node_name"] == want_class)
+    first_method = next(n for n in nodes if n["node_name"] in want_names and n["parent_index"] is not None)
+    assert first_method["parent_index"] == cls_idx
+    fn = next(n for n in nodes if n["node_type"] == "function")
+    assert fn["content"].rstrip().endswith("}")
+    assert _reassemble(nodes, content) == content
+
+
+def test_reconstruction_exact_round4_languages(spark):
+    rows = [
+        ("org/r2", f"src/b.{ext}", "c0", lang, content)
+        for ext, lang, content in [
+            ("php", "php", PHP_FILE), ("kt", "kotlin", KT_FILE),
+            ("swift", "swift", SWIFT_FILE), ("scala", "scala", SCALA_FILE),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
+    for _, path, _, _, content in rows:
+        assert rec[path] == content, path
