@@ -357,3 +357,47 @@ def test_sketch_pruning_disjoint_ranges_exact(spark, tmp_path):
     lo_bucket = int(300 / (st["max_doc_id"] + 1) * g)
     assert sks["bbb"][1][:lo_bucket].max(initial=0.0) == 0.0
     assert sks["aaa"][0] > 0 and sks["bbb"][0] > 0
+
+
+def test_multi_sketch_equals_exhaustive(spark, index_dir):
+    """Batch executor with doc-range sketches forced on (sketch=True; the
+    auto gate needs 32M df) stays bit-identical to the sketchless pruned
+    plan and to the exhaustive batch scan — on the shared mixed-df query
+    set including the no-match and all-heavy queries."""
+    a = bm25_segments.topk_segments_multi(
+        spark, index_dir, QUERIES, k=10, prune=True, sketch=True
+    ).collect()
+    b = bm25_segments.topk_segments_multi(
+        spark, index_dir, QUERIES, k=10, prune=True, sketch=False
+    ).collect()
+    c = bm25_segments.topk_segments_multi(
+        spark, index_dir, QUERIES, k=10, prune=False
+    ).collect()
+    assert (
+        sorted([tuple(r) for r in a])
+        == sorted([tuple(r) for r in b])
+        == sorted([tuple(r) for r in c])
+    )
+
+
+def test_multi_sketch_disjoint_ranges_exact(spark, tmp_path):
+    """Batch form of the disjoint-range sketch test: two queries whose terms
+    live in mostly disjoint doc-id ranges, run through topk_segments_multi
+    with sketches on — per-(query, bucket) rest bounds must not drop any
+    top-k posting."""
+    rows = []
+    for i in range(1200):
+        body = ["filler%d" % (i % 7)]
+        if i < 650:
+            body.append("aaa aaa")
+        if i >= 550:
+            body.append("bbb")
+        rows.append((i, " ".join(body)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    d = str(tmp_path / "disjoint_idx_multi")
+    S.write_index(spark, docs, d)
+    qs = {1: ["aaa", "bbb"], 2: ["aaa", "filler3"], 3: ["bbb"]}
+    sk = bm25_segments.topk_segments_multi(spark, d, qs, k=10, sketch=True).collect()
+    ex = bm25_segments.topk_segments_multi(spark, d, qs, k=10, prune=False).collect()
+    assert sorted([tuple(r) for r in sk]) == sorted([tuple(r) for r in ex])
+    assert len({r["query_id"] for r in sk}) == 3
