@@ -141,20 +141,45 @@ def minhash_candidate_pairs(bands_df: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, content_col: str = "content",
                         id_col: str = "doc_id", k: int = SHINGLE_SIZE,
-                        threshold: float = 0.0) -> DataFrame:
-    """(doc_a, doc_b, jaccard) over distinct k-shingle sets, via a
-    shared-shingle equi-join + distinct-count aggregation."""
+                        threshold: float = 0.0,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over distinct k-shingle sets.
+
+    candidates=None (standalone): shared-shingle self-equi-join — exact but
+    explodes on common shingles; small corpora only (see module docstring).
+
+    candidates=(doc_a, doc_b) DataFrame (the VERIFIER form — the API meant
+    for scale, fed by minhash_candidate_pairs / simhash_candidate_pairs):
+    intersections are computed only for the given pairs. Work is bounded by
+    Σ_pairs |shingles(doc_a)| — per-pair doc size, never global shingle
+    frequency — and pairs with an empty intersection are kept at jaccard 0
+    (a verifier must return a verdict for every candidate)."""
     sh = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_expr(tokens_expr(content_col), k)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+        inter = (
+            cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+                ["doc_b", "sh"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        inter = cand.join(inter, ["doc_a", "doc_b"], "left").fillna(
+            {"inter": 0}
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")

@@ -113,3 +113,43 @@ def test_simhash_pairs_exact_recall(spark, corpus):
                 want[(a, b)] = h
     assert got == want
     assert any(h == 0 for h in want.values()), "planted duplicates should be hamming-0"
+
+
+def test_jaccard_verifier_form_matches_standalone(spark, dup_corpus):
+    """candidates= (the scale-path verifier API) returns the same jaccard
+    as the standalone self-join restricted to those pairs, and keeps
+    zero-intersection candidates at jaccard 0."""
+    full = ngram_jaccard_pairs(dup_corpus).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full}
+    some = list(by_pair)[:5]
+    assert some, "fixture must produce overlapping pairs"
+    # two docs that share shingles + one disjoint pair (no common shingle)
+    from contextinator_spark.functions.tokenize import tokens_expr
+
+    ids = sorted(
+        r["doc_id"]
+        for r in dup_corpus.filter(F.size(tokens_expr("content")) >= 3)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    disjoint = None
+    for a in ids:
+        for b in ids:
+            if a < b and (a, b) not in by_pair:
+                disjoint = (a, b)
+                break
+        if disjoint:
+            break
+    cand_rows = [{"doc_a": a, "doc_b": b} for a, b in some]
+    if disjoint:
+        cand_rows.append({"doc_a": disjoint[0], "doc_b": disjoint[1]})
+    cand = spark.createDataFrame(cand_rows, "doc_a long, doc_b long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_corpus, candidates=cand).collect()
+    }
+    for p in some:
+        assert got[p] == by_pair[p], p
+    if disjoint:
+        assert got.get(disjoint, None) == 0.0
