@@ -340,12 +340,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew pre-pass: terms whose df exceeds 5% of N (north_star)."""
+    """Skew pre-pass: terms whose df exceeds 5% of N (north_star).
+
+    The 5%-of-N threshold rides the same plan as the stats aggregation via
+    a broadcast crossJoin of a 1-row count agg (like the BM25 queries) —
+    no separate driver-side count() job (round-3 VERDICT minor finding)."""
     post = _docs_postings(spark, sf_dir)
     stats = P.term_stats(post)
-    n = _docs(spark, sf_dir).count()
-    return stats.filter(F.col("df") > int(0.05 * n)).select(
-        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    n_row = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n_row))
+        .filter(F.col("df") > (F.col("n_docs") * F.lit(0.05)).cast("long"))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
     )
 
 
@@ -355,7 +365,7 @@ LANG_EXT_CYCLE = [
     "py", "js", "ts", "tsx", "go", "java", "rs", "rb", "cpp", "h", "cs",
     "kt", "swift", "php", "scala", "sh", "pl", "r", "lua", "jl", "hs",
     "ex", "erl", "clj", "ml", "html", "css", "md", "json", "yaml", "toml",
-    "xml", "sql", "proto", "ipynb", "vue", "dart", "zig", "txt", "nosuchext",
+    "xml", "sql", "sol", "proto", "ipynb", "vue", "dart", "zig", "txt", "nosuchext",
 ]
 _LANG_SPECIALS = ["Dockerfile", "Makefile", "CMakeLists.txt", "Gemfile"]
 

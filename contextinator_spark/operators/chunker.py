@@ -105,6 +105,26 @@ _SCALA_CLASS = re.compile(
     r"^(\s*)(?:(?:private|protected|final|abstract|sealed|implicit|case)\s+)*"
     r"(?:class|object|trait)\s+([A-Za-z_]\w*)"
 )
+# bash / lua / sql / elixir / solidity — round-4 second tier of the
+# reference NODE_TYPES table (ast_parser.py:336-413: bash
+# function_definition, sql create_*, lua function_definition/
+# local_function, elixir defmodule/def/defp, solidity contract/function
+# declarations), re-expressed as line heuristics
+_SH_FUNC = re.compile(r"^(\s*)(?:function\s+)?([A-Za-z_][\w-]*)\s*\(\s*\)\s*\{?\s*$")
+_SH_FUNC_KW = re.compile(r"^(\s*)function\s+([A-Za-z_][\w-]*)\s*\{?\s*$")
+_LUA_FUNC = re.compile(r"^(\s*)(?:local\s+)?function\s+([A-Za-z_][\w.:]*)")
+_LUA_ASSIGN_FN = re.compile(r"^(\s*)(?:local\s+)?([A-Za-z_][\w.]*)\s*=\s*function\b")
+_EX_MODULE = re.compile(r"^(\s*)defmodule\s+([A-Z][\w.]*)")
+_EX_DEF = re.compile(r"^(\s*)(?:defp?|defmacrop?)\s+([a-z_]\w*[?!]?)")
+_SOL_TYPE = re.compile(r"^(\s*)(?:abstract\s+)?(?:contract|interface|library)\s+([A-Za-z_]\w*)")
+_SOL_FUNC = re.compile(r"^(\s*)(?:function|modifier|event)\s+([A-Za-z_]\w*)")
+_SOL_SPECIAL = re.compile(r"^(\s*)(constructor|receive|fallback)\s*\(")
+_SQL_CREATE = re.compile(
+    r"^(\s*)create\s+(?:or\s+replace\s+)?(?:temp(?:orary)?\s+)?(?:unique\s+)?"
+    r"(table|view|materialized\s+view|function|procedure|trigger|index)\s+"
+    r"(?:if\s+not\s+exists\s+)?[`\"]?([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
 
 # block terminator tokens that sit at the OPENER's indent and belong to the
 # block (braces; ruby `end`) — included by _node_end so a function chunk
@@ -114,6 +134,7 @@ _CLOSERS = {
     "javascript": ("}", "};", "})", "});"), "typescript": ("}", "};", "})", "});"),
     "rust": ("}",), "ruby": ("end",),
     "php": ("}",), "kotlin": ("}",), "swift": ("}",), "scala": ("}",),
+    "bash": ("}",), "lua": ("end",), "elixir": ("end",), "solidity": ("}",),
 }
 
 
@@ -177,6 +198,25 @@ def _declarations(lines: list[str], lang: str):
         pats = [(_SWIFT_TYPE, "class"), (_SWIFT_FUNC, "function")]
     elif lang == "scala":
         pats = [(_SCALA_CLASS, "class"), (_SCALA_DEF, "function")]
+    elif lang == "bash":
+        pats = [(_SH_FUNC_KW, "function"), (_SH_FUNC, "function")]
+    elif lang == "lua":
+        pats = [(_LUA_FUNC, "function"), (_LUA_ASSIGN_FN, "function")]
+    elif lang == "elixir":
+        pats = [(_EX_MODULE, "class"), (_EX_DEF, "function")]
+    elif lang == "solidity":
+        pats = [(_SOL_TYPE, "class"), (_SOL_FUNC, "function"), (_SOL_SPECIAL, "function")]
+    elif lang == "sql":
+        # statement kind from the CREATE keyword: routines are functions,
+        # relations/indexes are class-like containers (tree-sitter-sql
+        # create_function vs create_table/create_view statement nodes)
+        for i, ln in enumerate(lines):
+            m = _SQL_CREATE.match(ln)
+            if m:
+                kw = re.sub(r"\s+", " ", m.group(2).lower())
+                kind = "function" if kw in ("function", "procedure", "trigger") else "class"
+                decls.append((i, len(m.group(1)), kind, m.group(3)))
+        return decls
     elif lang in ("c", "cpp"):
         for i, ln in enumerate(lines):
             m = _C_TYPE.match(ln)
@@ -223,6 +263,22 @@ def _node_end(lines: list[str], start: int, indent: int, closers: tuple = ()) ->
             break
         end = j
     return end
+
+
+def _sql_stmt_end(lines: list[str], start: int) -> int:
+    """End of a SQL statement: the first line (from `start`) whose code
+    ends with ';' outside an open dollar-quoted ($$…$$) routine body —
+    the line-heuristic span of a tree-sitter-sql statement node. SQL
+    bodies are routinely written at indent 0, so the indentation-based
+    _node_end cannot delimit them."""
+    in_dollar = False
+    for j in range(start, len(lines)):
+        s = lines[j].strip()
+        if s.count("$$") % 2 == 1:
+            in_dollar = not in_dollar
+        if not in_dollar and s.endswith(";"):
+            return j
+    return len(lines) - 1
 
 
 # languages whose definitions may be preceded by @-prefixed attachment lines
@@ -301,6 +357,8 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
         if lang == "markdown":
             nxt = top[idx + 1][0] if idx + 1 < len(top) else n
             end = nxt - 1
+        elif lang == "sql":
+            end = _sql_stmt_end(lines, i)
         else:
             end = _node_end(lines, i, 0, closers)
         is_cls = kind in ("class", "section")
@@ -313,7 +371,11 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
             for (ci, cind, ck, cn) in decls:
                 if not (i < ci <= end) or cind <= 0:
                     continue
-                cend = min(_node_end(lines, ci, cind, closers), end)
+                cend = min(
+                    _sql_stmt_end(lines, ci) if lang == "sql"
+                    else _node_end(lines, ci, cind, closers),
+                    end,
+                )
                 while len(stack) > 1 and ci > stack[-1][1]:
                     stack.pop()
                 # reference parent rule: nearest enclosing CLASS

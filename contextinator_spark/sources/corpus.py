@@ -65,6 +65,7 @@ LANG_OF_EXT = {
     "toml": "toml",
     "xml": "xml",
     "sql": "sql",
+    "sol": "solidity",
     "proto": "protobuf",
     "ipynb": "ipynb",
     "vue": "vue",

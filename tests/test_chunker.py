@@ -500,3 +500,174 @@ def test_reconstruction_exact_round4_languages(spark):
     rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
     for _, path, _, _, content in rows:
         assert rec[path] == content, path
+
+
+# round-4 second language tier: bash / lua / sql / elixir / solidity
+# (reference NODE_TYPES ast_parser.py:336-413)
+SH_FILE = '''#!/usr/bin/env bash
+set -euo pipefail
+
+usage() {
+    echo "usage: $0 <dir>"
+    exit 1
+}
+
+function build_all {
+    make -j"$(nproc)"
+}
+
+clean-workdir() {
+    rm -rf ./build
+}
+
+usage
+'''
+
+LUA_FILE = '''local M = {}
+
+function M.greet(name)
+    return "hi " .. name
+end
+
+local function helper(x)
+    if x > 0 then
+        return x
+    end
+    return -x
+end
+
+M.norm = function(v)
+    return helper(v)
+end
+
+return M
+'''
+
+SQL_FILE = '''CREATE TABLE users (
+    id BIGINT PRIMARY KEY,
+    name TEXT NOT NULL
+);
+
+CREATE OR REPLACE VIEW active_users AS
+SELECT id, name
+FROM users
+WHERE name IS NOT NULL;
+
+CREATE FUNCTION user_count() RETURNS BIGINT AS $$
+SELECT count(*) FROM users;
+$$ LANGUAGE sql;
+
+CREATE INDEX users_name_idx ON users (name);
+'''
+
+EX_FILE = '''defmodule Geometry do
+  def area(%{w: w, h: h}) do
+    w * h
+  end
+
+  defp scale(x) do
+    x * 2
+  end
+
+  def perimeter?(s) do
+    s > 0
+  end
+end
+
+defmodule Geometry.CLI do
+  def main(args) do
+    IO.inspect(args)
+  end
+end
+'''
+
+SOL_FILE = '''// SPDX-License-Identifier: MIT
+pragma solidity ^0.8.0;
+
+contract Vault {
+    uint256 public total;
+
+    constructor() {
+        total = 0;
+    }
+
+    modifier positive(uint256 amount) {
+        require(amount > 0);
+        _;
+    }
+
+    function deposit(uint256 amount) public positive(amount) {
+        total += amount;
+    }
+}
+
+interface IVault {
+    function deposit(uint256 amount) external;
+}
+'''
+
+
+@pytest.mark.parametrize(
+    "content,lang,want_names,end_token",
+    [
+        (SH_FILE, "bash", {"usage", "build_all", "clean-workdir"}, "}"),
+        (LUA_FILE, "lua", {"M.greet", "helper", "M.norm"}, "end"),
+        (EX_FILE, "elixir", {"area", "scale", "perimeter?", "main"}, "end"),
+        (SOL_FILE, "solidity", {"constructor", "positive", "deposit"}, "}"),
+    ],
+)
+def test_chunk_round4b_languages(content, lang, want_names, end_token):
+    nodes = chunk_file(content, lang)
+    names = {n["node_name"] for n in nodes}
+    assert want_names <= names, names
+    fns = [n for n in nodes if n["node_type"] == "function" and n["node_name"] in want_names]
+    assert fns
+    # function chunks carry their block terminator, as a tree-sitter span would
+    top_fns = [n for n in fns if n["parent_index"] is None and n["depth"] == 1]
+    for n in top_fns:
+        assert n["content"].rstrip().endswith(end_token), (n["node_name"], n["content"])
+    assert _reassemble(nodes, content) == content
+
+
+def test_chunk_elixir_and_solidity_hierarchy():
+    ex = chunk_file(EX_FILE, "elixir")
+    geo = next(i for i, n in enumerate(ex) if n["node_name"] == "Geometry")
+    assert ex[geo]["node_type"] == "class" and ex[geo]["is_parent"]
+    area = next(n for n in ex if n["node_name"] == "area")
+    assert area["parent_index"] == geo
+
+    sol = chunk_file(SOL_FILE, "solidity")
+    vault = next(i for i, n in enumerate(sol) if n["node_name"] == "Vault")
+    assert sol[vault]["node_type"] == "class"
+    dep = next(n for n in sol if n["node_name"] == "deposit" and n["parent_index"] is not None)
+    assert dep["parent_index"] == vault
+    # the interface is its own top-level class node
+    assert any(n["node_name"] == "IVault" and n["node_type"] == "class" for n in sol)
+
+
+def test_chunk_sql_statements():
+    nodes = chunk_file(SQL_FILE, "sql")
+    by_name = {n["node_name"]: n for n in nodes if n["node_type"] != "code"}
+    assert {"users", "active_users", "user_count", "users_name_idx"} <= set(by_name)
+    assert by_name["users"]["node_type"] == "class"
+    assert by_name["user_count"]["node_type"] == "function"
+    # statement spans end at their terminating ';' — incl. the $$ body
+    assert by_name["users"]["content"].rstrip().endswith(";")
+    assert by_name["user_count"]["content"].rstrip().endswith("$$ LANGUAGE sql;")
+    assert "SELECT count(*)" in by_name["user_count"]["content"]
+    assert _reassemble(nodes, SQL_FILE) == SQL_FILE
+
+
+def test_reconstruction_exact_round4b_languages(spark):
+    rows = [
+        ("org/r3", f"src/c.{ext}", "c0", lang, content)
+        for ext, lang, content in [
+            ("sh", "bash", SH_FILE), ("lua", "lua", LUA_FILE),
+            ("sql", "sql", SQL_FILE), ("ex", "elixir", EX_FILE),
+            ("sol", "solidity", SOL_FILE),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
+    for _, path, _, _, content in rows:
+        assert rec[path] == content, path
