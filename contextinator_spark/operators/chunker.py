@@ -125,6 +125,22 @@ _SQL_CREATE = re.compile(
     r"(?:if\s+not\s+exists\s+)?[`\"]?([A-Za-z_][\w.]*)",
     re.IGNORECASE,
 )
+# yaml / toml / json / dockerfile — the config-format tail of the reference
+# NODE_TYPES table (ast_parser.py:361-367: yaml block_mapping/block_sequence,
+# toml table/key_value, json object/array, dockerfile instruction), as line
+# heuristics. Node types reuse the reference's tree-sitter node names.
+_YAML_KEY = re.compile(r"^([A-Za-z_\"'][\w./\"' -]*?)\s*:(?:\s|$)")
+_YAML_SEQ = re.compile(r"^-(?:\s|$)")
+_TOML_TABLE = re.compile(r"^\[(\[)?\s*([^]]+?)\s*\]?\]")
+_DOCKER_INSTR = re.compile(
+    r"^(FROM|RUN|CMD|LABEL|EXPOSE|ENV|ADD|COPY|ENTRYPOINT|VOLUME|USER|WORKDIR"
+    r"|ARG|ONBUILD|STOPSIGNAL|HEALTHCHECK|SHELL|MAINTAINER)\b",
+    re.IGNORECASE,
+)
+# a key opening a container — `"key": {` / `"key": [` — the object/array
+# nodes the reference chunks json on; scalar keys stay inside their parent
+_JSON_CONTAINER_KEY = re.compile(r"^(\s*)\"((?:[^\"\\]|\\.)+)\"\s*:\s*([\[{])\s*$")
+_JSON_CLOSERS = ("}", "},", "]", "],")
 
 # block terminator tokens that sit at the OPENER's indent and belong to the
 # block (braces; ruby `end`) — included by _node_end so a function chunk
@@ -206,6 +222,43 @@ def _declarations(lines: list[str], lang: str):
         pats = [(_EX_MODULE, "class"), (_EX_DEF, "function")]
     elif lang == "solidity":
         pats = [(_SOL_TYPE, "class"), (_SOL_FUNC, "function"), (_SOL_SPECIAL, "function")]
+    elif lang == "yaml":
+        # top-level block_mapping entries / block_sequence items; nested
+        # keys stay inside their top-level node's span
+        for i, ln in enumerate(lines):
+            m = _YAML_KEY.match(ln)
+            if m:
+                decls.append((i, 0, "mapping", m.group(1).strip("\"' ")))
+            elif _YAML_SEQ.match(ln):
+                decls.append((i, 0, "sequence", None))
+        return decls
+    elif lang == "toml":
+        for i, ln in enumerate(lines):
+            m = _TOML_TABLE.match(ln)
+            if m:
+                decls.append((i, 0, "table", m.group(2)))
+        return decls
+    elif lang == "dockerfile":
+        for i, ln in enumerate(lines):
+            m = _DOCKER_INSTR.match(ln)
+            if m:
+                decls.append((i, 0, "instruction", m.group(1).upper()))
+        return decls
+    elif lang == "json":
+        # container-opening keys at the SHALLOWEST key indent (a json file
+        # is one top-level object, so its immediate children are the
+        # chunkable object/array nodes); indent reported TRUE, not 0 —
+        # _structure_nodes handles the rebase
+        cand = []
+        for i, ln in enumerate(lines):
+            m = _JSON_CONTAINER_KEY.match(ln)
+            if m:
+                kind = "object" if m.group(3) == "{" else "array"
+                cand.append((i, len(m.group(1)), kind, m.group(2)))
+        if not cand:
+            return []
+        base = min(ind for (_i, ind, _k, _n) in cand)
+        return [d for d in cand if d[1] == base]
     elif lang == "sql":
         # statement kind from the CREATE keyword: routines are functions,
         # relations/indexes are class-like containers (tree-sitter-sql
@@ -342,7 +395,11 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
         return [node("file", None, 0, n - 1)]
 
     decls = _declarations(lines, lang)
-    top = [(i, ind, k, nm) for (i, ind, k, nm) in decls if ind == 0]
+    if lang == "json":
+        # decls carry the (shared) true base indent — see _declarations
+        top = decls
+    else:
+        top = [(i, ind, k, nm) for (i, ind, k, nm) in decls if ind == 0]
     if not top:
         return [node("file", None, 0, n - 1)]
 
@@ -354,17 +411,21 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
         s0 = max(_decor_start(lines, i, 0, lang), cursor)
         if s0 > cursor:
             out.append(node("code", None, cursor, s0 - 1))
-        if lang == "markdown":
+        if lang in ("markdown", "yaml", "toml", "dockerfile"):
+            # marker-to-next-marker span (a heading/key/table/instruction
+            # owns everything until the next one, like its tree-sitter node)
             nxt = top[idx + 1][0] if idx + 1 < len(top) else n
             end = nxt - 1
         elif lang == "sql":
             end = _sql_stmt_end(lines, i)
+        elif lang == "json":
+            end = _node_end(lines, i, _ind, _JSON_CLOSERS)
         else:
             end = _node_end(lines, i, 0, closers)
         is_cls = kind in ("class", "section")
         top_pos = len(out)
         out.append(node(kind, name, s0, end, is_parent=is_cls, depth=1))
-        if lang != "markdown":
+        if lang not in ("markdown", "yaml", "toml", "dockerfile", "json"):
             # nested declarations inside this block (J1). Stack of
             # enclosing emitted nodes: (start, end, kind, out_pos, depth)
             stack = [(i, end, kind, top_pos, 1)]

@@ -671,3 +671,114 @@ def test_reconstruction_exact_round4b_languages(spark):
     rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
     for _, path, _, _, content in rows:
         assert rec[path] == content, path
+
+
+YAML_FILE = """# deploy config
+name: demo
+server:
+  host: 0.0.0.0
+  port: 8080
+features:
+  - auth
+  - metrics
+replicas: 3
+"""
+
+TOML_FILE = """title = "demo"
+
+[server]
+host = "0.0.0.0"
+port = 8080
+
+[[plugins]]
+name = "auth"
+
+[clients.web]
+timeout = 5
+"""
+
+DOCKER_FILE = """FROM python:3.11-slim
+ENV APP_HOME=/app
+WORKDIR /app
+COPY . .
+RUN pip install -r requirements.txt && \\
+    pip cache purge
+# start it
+ENTRYPOINT ["python", "main.py"]
+"""
+
+JSON_FILE = """{
+  "name": "demo",
+  "scripts": {
+    "build": "make",
+    "test": "pytest"
+  },
+  "deps": [
+    "left-pad",
+    "right-pad"
+  ],
+  "version": 2
+}
+"""
+
+
+def test_chunk_yaml_top_level_mappings():
+    """yaml block_mapping/block_sequence tier (reference NODE_TYPES
+    ast_parser.py:361-362) — one node per TOP-level key, nested keys
+    stay inside their parent's span."""
+    nodes = chunk_file(YAML_FILE, "yaml")
+    maps = {n["node_name"]: n for n in nodes if n["node_type"] == "mapping"}
+    assert {"name", "server", "features", "replicas"} <= set(maps)
+    assert "port: 8080" in maps["server"]["content"]  # nested key swallowed
+    assert "- metrics" in maps["features"]["content"]
+    assert _reassemble(nodes, YAML_FILE) == YAML_FILE
+
+
+def test_chunk_toml_tables():
+    """toml table tier (NODE_TYPES ast_parser.py:367): [table] and
+    [[array-of-tables]] headers; preamble key_values ride the leading
+    code node."""
+    nodes = chunk_file(TOML_FILE, "toml")
+    tabs = {n["node_name"]: n for n in nodes if n["node_type"] == "table"}
+    assert {"server", "plugins", "clients.web"} == set(tabs)
+    assert 'host = "0.0.0.0"' in tabs["server"]["content"]
+    assert _reassemble(nodes, TOML_FILE) == TOML_FILE
+
+
+def test_chunk_dockerfile_instructions():
+    """dockerfile instruction tier (NODE_TYPES ast_parser.py:365);
+    backslash continuations belong to their instruction's span."""
+    nodes = chunk_file(DOCKER_FILE, "dockerfile")
+    instrs = [n for n in nodes if n["node_type"] == "instruction"]
+    assert [n["node_name"] for n in instrs] == [
+        "FROM", "ENV", "WORKDIR", "COPY", "RUN", "ENTRYPOINT"]
+    run = next(n for n in instrs if n["node_name"] == "RUN")
+    assert "pip cache purge" in run["content"]  # continuation line included
+    assert _reassemble(nodes, DOCKER_FILE) == DOCKER_FILE
+
+
+def test_chunk_json_containers():
+    """json object/array tier (NODE_TYPES ast_parser.py:366): container
+    keys at the file's base key indent become nodes; scalar keys stay in
+    the surrounding code nodes."""
+    nodes = chunk_file(JSON_FILE, "json")
+    by = {n["node_name"]: n for n in nodes if n["node_type"] in ("object", "array")}
+    assert set(by) == {"scripts", "deps"}
+    assert by["scripts"]["node_type"] == "object"
+    assert by["deps"]["node_type"] == "array"
+    assert by["scripts"]["content"].rstrip().endswith("},")  # closer included
+    assert _reassemble(nodes, JSON_FILE) == JSON_FILE
+
+
+def test_reconstruction_exact_config_formats(spark):
+    rows = [
+        ("org/r4", path, "c0", lang, content)
+        for path, lang, content in [
+            ("deploy.yaml", "yaml", YAML_FILE), ("Cargo.toml", "toml", TOML_FILE),
+            ("Dockerfile", "dockerfile", DOCKER_FILE), ("package.json", "json", JSON_FILE),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
+    for _, path, _, _, content in rows:
+        assert rec[path] == content, path
