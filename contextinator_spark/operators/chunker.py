@@ -141,6 +141,35 @@ _DOCKER_INSTR = re.compile(
 # nodes the reference chunks json on; scalar keys stay inside their parent
 _JSON_CONTAINER_KEY = re.compile(r"^(\s*)\"((?:[^\"\\]|\\.)+)\"\s*:\s*([\[{])\s*$")
 _JSON_CLOSERS = ("}", "},", "]", "],")
+# zig / prisma / haskell / ocaml / html / xml / css — the last tier of the
+# reference NODE_TYPES table (ast_parser.py:388-420: zig
+# function/struct/enum_declaration, prisma model/generator/datasource/enum,
+# haskell function/type/data_declaration, ocaml value/type/module_definition,
+# html element/script_element/style_element, xml element, css rule_set/
+# media_statement/keyframes_statement), as line heuristics
+_ZIG_FN = re.compile(r"^(\s*)(?:pub\s+)?(?:export\s+|extern\s+|inline\s+|noinline\s+)*fn\s+([A-Za-z_]\w*)")
+_ZIG_TYPE = re.compile(
+    r"^(\s*)(?:pub\s+)?const\s+([A-Za-z_]\w*)\s*=\s*(?:packed\s+|extern\s+)?(?:struct|enum|union|opaque)\b"
+)
+_PRISMA_BLOCK = re.compile(r"^(model|enum|generator|datasource|type|view)\s+([A-Za-z_]\w*)\s*\{")
+_HS_DATA = re.compile(r"^(data|newtype|type)\s+([A-Z][\w']*)")
+_HS_CLASSY = re.compile(r"^(?:class|instance)\s+(?:.*?=>\s*)?([A-Z][\w']*(?:\s+[\w()\[\],' ]*?)?)\s+where\s*$")
+_HS_RESERVED = {"module", "import", "instance", "class", "where", "infix",
+                "infixl", "infixr", "foreign", "deriving", "data", "newtype", "type"}
+_HS_SIG = re.compile(r"^([a-z_][\w']*)\s*(?:,\s*[a-z_][\w']*\s*)*::")
+_HS_EQ = re.compile(r"^([a-z_][\w']*)(?:\s+[^=\n]*?)?=(?!=)")
+_ML_LET = re.compile(r"^let\s+(?:rec\s+)?(\(\)|[a-z_][\w']*)")
+_ML_TYPE = re.compile(r"^type\s+(?:nonrec\s+)?(?:[+-]?'\w+\s+)*([a-z_][\w']*)")
+_ML_MODULE = re.compile(r"^module\s+(?:type\s+)?([A-Z][\w']*)")
+_MARKUP_OPEN = re.compile(r"^(\s*)<([A-Za-z][\w:.-]*)")
+# hcl/terraform block/attribute + make rule/variable_assignment
+# (NODE_TYPES ast_parser.py:415-418) — the last two table entries
+_HCL_BLOCK = re.compile(r"^(\s*)([A-Za-z_][\w-]*)((?:\s+\"[^\"]*\")*)\s*\{\s*$")
+_HCL_ATTR = re.compile(r"^(\s*)([A-Za-z_][\w-]*)\s*=")
+_MK_VAR = re.compile(r"^([A-Za-z_][\w.]*)\s*[:?+!]?=")
+_MK_RULE = re.compile(r"^([^\s:=#][^:=#]*?)\s*::?(?!=)")
+_CSS_AT = re.compile(r"^(@media|@keyframes|@supports|@font-face)\b\s*([^{]*)")
+_CSS_RULE = re.compile(r"^([^@\s{}/][^{}]*?)\s*\{")
 
 # block terminator tokens that sit at the OPENER's indent and belong to the
 # block (braces; ruby `end`) — included by _node_end so a function chunk
@@ -151,6 +180,7 @@ _CLOSERS = {
     "rust": ("}",), "ruby": ("end",),
     "php": ("}",), "kotlin": ("}",), "swift": ("}",), "scala": ("}",),
     "bash": ("}",), "lua": ("end",), "elixir": ("end",), "solidity": ("}",),
+    "zig": ("}", "};"), "prisma": ("}",), "css": ("}",), "hcl": ("}",),
 }
 
 
@@ -222,6 +252,97 @@ def _declarations(lines: list[str], lang: str):
         pats = [(_EX_MODULE, "class"), (_EX_DEF, "function")]
     elif lang == "solidity":
         pats = [(_SOL_TYPE, "class"), (_SOL_FUNC, "function"), (_SOL_SPECIAL, "function")]
+    elif lang == "zig":
+        pats = [(_ZIG_TYPE, "class"), (_ZIG_FN, "function")]
+    elif lang == "hcl":
+        # terraform: block name = identifier + dotted quoted labels
+        # (`resource "aws_s3" "b"` → resource.aws_s3.b); top-level
+        # attributes are their own nodes (.tfvars files are all attributes)
+        for i, ln in enumerate(lines):
+            m = _HCL_BLOCK.match(ln)
+            if m:
+                name = ".".join([m.group(2)] + re.findall(r'"([^"]*)"', m.group(3) or ""))
+                decls.append((i, len(m.group(1)), "block", name))
+                continue
+            m = _HCL_ATTR.match(ln)
+            if m:
+                decls.append((i, len(m.group(1)), "attribute", m.group(2)))
+        return decls
+    elif lang == "makefile":
+        # make rule/variable_assignment; tab-indented recipe lines ride
+        # their rule's _node_end span
+        for i, ln in enumerate(lines):
+            m = _MK_VAR.match(ln)
+            if m:
+                decls.append((i, 0, "variable_assignment", m.group(1)))
+                continue
+            m = _MK_RULE.match(ln)
+            if m:
+                decls.append((i, 0, "rule", m.group(1).strip()))
+        return decls
+    elif lang == "prisma":
+        # node_type = the prisma block keyword (reference NODE_TYPES
+        # ast_parser.py:420: model/generator/datasource/enum)
+        for i, ln in enumerate(lines):
+            m = _PRISMA_BLOCK.match(ln)
+            if m:
+                decls.append((i, 0, m.group(1), m.group(2)))
+        return decls
+    elif lang == "haskell":
+        # top-level only (col 0); a signature and its following equations
+        # for the same name merge into ONE function_declaration node
+        for i, ln in enumerate(lines):
+            m = _HS_DATA.match(ln)
+            if m:
+                decls.append((i, 0, "data", m.group(2)))
+                continue
+            m = _HS_CLASSY.match(ln)
+            if m:
+                decls.append((i, 0, "class", m.group(1).split()[0]))
+                continue
+            m = _HS_SIG.match(ln) or _HS_EQ.match(ln)
+            if m and m.group(1) not in _HS_RESERVED:
+                if decls and decls[-1][3] == m.group(1) and decls[-1][2] == "function":
+                    continue  # further equations of the same binding
+                decls.append((i, 0, "function", m.group(1)))
+        return decls
+    elif lang == "ocaml":
+        for i, ln in enumerate(lines):
+            for pat, kind in ((_ML_MODULE, "module"), (_ML_TYPE, "type"), (_ML_LET, "value")):
+                m = pat.match(ln)
+                if m:
+                    decls.append((i, 0, kind, m.group(1)))
+                    break
+        return decls
+    elif lang in ("html", "xml"):
+        # elements at the file's shallowest element indent (like json:
+        # true indent kept, _structure_nodes rebases); script/style get
+        # their reference node names (NODE_TYPES ast_parser.py:388,419)
+        cand = []
+        for i, ln in enumerate(lines):
+            m = _MARKUP_OPEN.match(ln)
+            if m:
+                tag = m.group(2)
+                kind = (tag + "_element") if lang == "html" and tag in ("script", "style") else "element"
+                cand.append((i, len(m.group(1)), kind, tag))
+        if not cand:
+            return []
+        base = min(ind for (_i, ind, _k, _n) in cand)
+        return [d for d in cand if d[1] == base]
+    elif lang == "css":
+        # rule_set / media_statement / keyframes_statement (scss/less/sass
+        # ride the same branch per the ext map)
+        for i, ln in enumerate(lines):
+            m = _CSS_AT.match(ln)
+            if m:
+                kind = {"@media": "media_statement", "@keyframes": "keyframes_statement"}.get(
+                    m.group(1), "rule_set")
+                decls.append((i, 0, kind, (m.group(1) + " " + m.group(2).strip()).strip()))
+                continue
+            m = _CSS_RULE.match(ln)
+            if m:
+                decls.append((i, 0, "rule_set", m.group(1).strip()))
+        return decls
     elif lang == "yaml":
         # top-level block_mapping entries / block_sequence items; nested
         # keys stay inside their top-level node's span
@@ -318,6 +439,23 @@ def _node_end(lines: list[str], start: int, indent: int, closers: tuple = ()) ->
     return end
 
 
+def _markup_end(lines: list[str], start: int, indent: int, tag: str, fallback: int) -> int:
+    """End line of an html/xml element opened at `start`: the first
+    `</tag>` line at the opener's indent (formatted markup closes siblings
+    at the opener's column; same-tag children sit deeper). Self-closing or
+    same-line-closed elements end on their own line; an unclosed/void
+    element runs to `fallback` (next sibling marker − 1 / EOF)."""
+    s = lines[start].strip()
+    if s.endswith("/>") or f"</{tag}>" in s:
+        return start
+    probe = f"</{tag}"
+    for j in range(start + 1, len(lines)):
+        ln = lines[j]
+        if ln.strip().startswith(probe) and len(ln) - len(ln.lstrip()) == indent:
+            return j
+    return fallback
+
+
 def _sql_stmt_end(lines: list[str], start: int) -> int:
     """End of a SQL statement: the first line (from `start`) whose code
     ends with ';' outside an open dollar-quoted ($$…$$) routine body —
@@ -395,7 +533,7 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
         return [node("file", None, 0, n - 1)]
 
     decls = _declarations(lines, lang)
-    if lang == "json":
+    if lang in ("json", "html", "xml"):
         # decls carry the (shared) true base indent — see _declarations
         top = decls
     else:
@@ -411,21 +549,27 @@ def _structure_nodes(content: str, lang: str, line_offset: int = 0) -> list[dict
         s0 = max(_decor_start(lines, i, 0, lang), cursor)
         if s0 > cursor:
             out.append(node("code", None, cursor, s0 - 1))
-        if lang in ("markdown", "yaml", "toml", "dockerfile"):
-            # marker-to-next-marker span (a heading/key/table/instruction
-            # owns everything until the next one, like its tree-sitter node)
+        if lang in ("markdown", "yaml", "toml", "dockerfile", "haskell", "ocaml"):
+            # marker-to-next-marker span (a heading/key/table/instruction/
+            # top-level binding owns everything until the next one, like
+            # its tree-sitter node)
             nxt = top[idx + 1][0] if idx + 1 < len(top) else n
             end = nxt - 1
         elif lang == "sql":
             end = _sql_stmt_end(lines, i)
         elif lang == "json":
             end = _node_end(lines, i, _ind, _JSON_CLOSERS)
+        elif lang in ("html", "xml"):
+            end = _markup_end(lines, i, _ind, name,
+                              top[idx + 1][0] - 1 if idx + 1 < len(top) else n - 1)
         else:
             end = _node_end(lines, i, 0, closers)
         is_cls = kind in ("class", "section")
         top_pos = len(out)
         out.append(node(kind, name, s0, end, is_parent=is_cls, depth=1))
-        if lang not in ("markdown", "yaml", "toml", "dockerfile", "json"):
+        if lang not in ("markdown", "yaml", "toml", "dockerfile", "json",
+                        "haskell", "ocaml", "html", "xml", "prisma", "css",
+                        "hcl", "makefile"):
             # nested declarations inside this block (J1). Stack of
             # enclosing emitted nodes: (start, end, kind, out_pos, depth)
             stack = [(i, end, kind, top_pos, 1)]

@@ -52,13 +52,14 @@ LANG_OF_EXT = {
     "r": "r",
     "lua": "lua",
     "jl": "julia",
-    "hs": "haskell",
+    "hs": "haskell", "lhs": "haskell",
     "ex": "elixir", "exs": "elixir",
     "erl": "erlang",
     "clj": "clojure", "cljs": "clojure",
     "ml": "ocaml", "mli": "ocaml",
     "html": "html", "htm": "html",
-    "css": "css", "scss": "css", "less": "css",
+    "css": "css", "scss": "css", "less": "css", "sass": "css",
+    "prisma": "prisma",
     "md": "markdown", "markdown": "markdown", "rst": "markdown",
     "json": "json",
     "yaml": "yaml", "yml": "yaml",
@@ -67,6 +68,8 @@ LANG_OF_EXT = {
     "sql": "sql",
     "sol": "solidity",
     "proto": "protobuf",
+    "tf": "hcl", "tfvars": "hcl", "hcl": "hcl",
+    "mk": "makefile",
     "ipynb": "ipynb",
     "vue": "vue",
     "svelte": "svelte",

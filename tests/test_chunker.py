@@ -782,3 +782,295 @@ def test_reconstruction_exact_config_formats(spark):
     rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
     for _, path, _, _, content in rows:
         assert rec[path] == content, path
+
+
+HS_FILE = """module Demo where
+
+import Data.List (sort)
+
+data Shape = Circle Double | Square Double
+
+area :: Shape -> Double
+area (Circle r) = pi * r * r
+area (Square s) = s * s
+
+class Pretty a where
+  pretty :: a -> String
+
+main = print (area (Circle 1.0))
+"""
+
+ML_FILE = """let greeting = "hello"
+
+type point = { x : int; y : int }
+
+module Geometry = struct
+  let origin = { x = 0; y = 0 }
+end
+
+let rec fact n =
+  if n <= 1 then 1 else n * fact (n - 1)
+"""
+
+ZIG_FILE = """const std = @import("std");
+
+const Point = struct {
+    x: i32,
+    y: i32,
+};
+
+pub fn add(a: i32, b: i32) i32 {
+    return a + b;
+}
+
+fn main() void {
+    std.debug.print("{}", .{add(1, 2)});
+}
+"""
+
+PRISMA_FILE = """generator client {
+  provider = "prisma-client-js"
+}
+
+datasource db {
+  provider = "postgresql"
+  url      = env("DATABASE_URL")
+}
+
+model User {
+  id    Int    @id @default(autoincrement())
+  email String @unique
+}
+
+enum Role {
+  USER
+  ADMIN
+}
+"""
+
+HTML_FILE = """<!DOCTYPE html>
+<html>
+  <head>
+    <title>demo</title>
+    <style>
+      body { margin: 0; }
+    </style>
+  </head>
+  <body>
+    <p>hi</p>
+    <script>
+      console.log(1);
+    </script>
+  </body>
+</html>
+"""
+
+XML_FILE = """<?xml version="1.0"?>
+<project>
+  <groupId>org.demo</groupId>
+  <dependencies>
+    <dependency>
+      <artifactId>core</artifactId>
+    </dependency>
+  </dependencies>
+</project>
+"""
+
+CSS_FILE = """/* theme */
+body {
+  margin: 0;
+}
+
+@media (max-width: 600px) {
+  body {
+    font-size: 14px;
+  }
+}
+
+@keyframes spin {
+  from { transform: rotate(0deg); }
+  to { transform: rotate(360deg); }
+}
+
+.nav > a:hover,
+.nav > a:focus {
+  color: red;
+}
+"""
+
+
+def test_chunk_haskell_bindings():
+    """haskell function/type/data_declaration tier (NODE_TYPES
+    ast_parser.py:408): a signature and its equations merge into ONE
+    function node; data/class get their own nodes."""
+    nodes = chunk_file(HS_FILE, "haskell")
+    by = {(n["node_type"], n["node_name"]) for n in nodes}
+    assert ("data", "Shape") in by
+    assert ("function", "area") in by
+    assert ("class", "Pretty") in by
+    assert ("function", "main") in by
+    area = next(n for n in nodes if n["node_name"] == "area")
+    assert "area (Square s)" in area["content"]  # equations merged with sig
+    assert _reassemble(nodes, HS_FILE) == HS_FILE
+
+
+def test_chunk_ocaml_definitions():
+    """ocaml value/type/module_definition tier (NODE_TYPES
+    ast_parser.py:410); module body (indented lets) stays in its span."""
+    nodes = chunk_file(ML_FILE, "ocaml")
+    by = {(n["node_type"], n["node_name"]) for n in nodes}
+    assert ("value", "greeting") in by
+    assert ("type", "point") in by
+    assert ("module", "Geometry") in by
+    assert ("value", "fact") in by
+    geo = next(n for n in nodes if n["node_name"] == "Geometry")
+    assert "let origin" in geo["content"] and geo["content"].rstrip().endswith("end")
+    assert _reassemble(nodes, ML_FILE) == ML_FILE
+
+
+def test_chunk_zig_declarations():
+    """zig function/struct/enum_declaration tier (NODE_TYPES
+    ast_parser.py:394): `const X = struct` is class-like, fns are
+    functions with closer-inclusive spans."""
+    nodes = chunk_file(ZIG_FILE, "zig")
+    by = {n["node_name"]: n for n in nodes if n["node_type"] in ("class", "function")}
+    assert by["Point"]["node_type"] == "class"
+    assert by["add"]["node_type"] == "function"
+    assert by["add"]["content"].rstrip().endswith("}")
+    assert "main" in by
+    assert _reassemble(nodes, ZIG_FILE) == ZIG_FILE
+
+
+def test_chunk_prisma_blocks():
+    """prisma model/generator/datasource/enum tier (NODE_TYPES
+    ast_parser.py:420) — node_type is the block keyword itself."""
+    nodes = chunk_file(PRISMA_FILE, "prisma")
+    by = {n["node_name"]: n["node_type"] for n in nodes
+          if n["node_type"] in ("model", "enum", "generator", "datasource")}
+    assert by == {"client": "generator", "db": "datasource",
+                  "User": "model", "Role": "enum"}
+    user = next(n for n in nodes if n["node_name"] == "User")
+    assert "@unique" in user["content"] and user["content"].rstrip().endswith("}")
+    assert _reassemble(nodes, PRISMA_FILE) == PRISMA_FILE
+
+
+def test_chunk_html_elements():
+    """html element/script_element/style_element tier (NODE_TYPES
+    ast_parser.py:388): the base-indent element owns its subtree; doctype
+    rides the leading code node."""
+    nodes = chunk_file(HTML_FILE, "html")
+    html = next(n for n in nodes if n["node_type"] == "element")
+    assert html["node_name"] == "html"
+    assert html["content"].rstrip().endswith("</html>")
+    assert _reassemble(nodes, HTML_FILE) == HTML_FILE
+    # script/style become *_element nodes when they sit at base indent
+    body = "\n".join(HTML_FILE.split("\n")[9:14])
+    sub = chunk_file("<script>\n  x();\n</script>\n<style>\n a {}\n</style>\n", "html")
+    kinds = [n["node_type"] for n in sub]
+    assert "script_element" in kinds and "style_element" in kinds
+
+
+def test_chunk_xml_elements():
+    """xml element tier (NODE_TYPES ast_parser.py:419): prolog rides the
+    leading code node; the root element spans to its close tag."""
+    nodes = chunk_file(XML_FILE, "xml")
+    root = next(n for n in nodes if n["node_type"] == "element")
+    assert root["node_name"] == "project"
+    assert root["content"].rstrip().endswith("</project>")
+    assert _reassemble(nodes, XML_FILE) == XML_FILE
+
+
+def test_chunk_css_rules():
+    """css rule_set/media_statement/keyframes_statement tier (NODE_TYPES
+    ast_parser.py:390); multi-line selector lists keep the FIRST selector
+    line as the rule start."""
+    nodes = chunk_file(CSS_FILE, "css")
+    kinds = {n["node_type"]: n for n in nodes if n["node_type"] != "code"}
+    assert "rule_set" in kinds and "media_statement" in kinds and "keyframes_statement" in kinds
+    body = next(n for n in nodes if n["node_name"] == "body")
+    assert body["content"].rstrip().endswith("}")
+    km = next(n for n in nodes if n["node_type"] == "keyframes_statement")
+    assert "rotate(360deg)" in km["content"]
+    assert _reassemble(nodes, CSS_FILE) == CSS_FILE
+
+
+def test_reconstruction_exact_final_tier(spark):
+    rows = [
+        ("org/r4c", path, "c0", lang, content)
+        for path, lang, content in [
+            ("Demo.hs", "haskell", HS_FILE), ("geo.ml", "ocaml", ML_FILE),
+            ("main.zig", "zig", ZIG_FILE), ("schema.prisma", "prisma", PRISMA_FILE),
+            ("index.html", "html", HTML_FILE), ("pom.xml", "xml", XML_FILE),
+            ("theme.css", "css", CSS_FILE),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    rec = {r["path"]: r["content"] for r in reconstruct_files(chunk_corpus(df)).collect()}
+    for _, path, _, _, content in rows:
+        assert rec[path] == content, path
+
+
+TF_FILE = """variable "region" {
+  default = "us-east-1"
+}
+
+provider "aws" {
+  region = var.region
+}
+
+resource "aws_s3_bucket" "logs" {
+  bucket = "demo-logs"
+  tags = {
+    env = "prod"
+  }
+}
+"""
+
+TFVARS_FILE = """region = "us-east-1"
+replicas = 3
+tags = {
+  env = "dev"
+}
+"""
+
+MAKE_FILE = """CC := gcc
+CFLAGS = -O2 -Wall
+
+all: build test
+
+build: main.o
+\t$(CC) $(CFLAGS) -o app main.o
+
+.PHONY: clean
+clean:
+\trm -f *.o app
+"""
+
+
+def test_chunk_hcl_blocks_and_attributes():
+    """hcl/terraform block + attribute tier (NODE_TYPES
+    ast_parser.py:415-416): block names join the identifier with its
+    quoted labels; .tfvars files are top-level attributes."""
+    nodes = chunk_file(TF_FILE, "hcl")
+    blocks = {n["node_name"]: n for n in nodes if n["node_type"] == "block"}
+    assert set(blocks) == {"variable.region", "provider.aws", "resource.aws_s3_bucket.logs"}
+    assert 'env = "prod"' in blocks["resource.aws_s3_bucket.logs"]["content"]
+    assert _reassemble(nodes, TF_FILE) == TF_FILE
+
+    tv = chunk_file(TFVARS_FILE, "hcl")
+    attrs = {n["node_name"]: n for n in tv if n["node_type"] == "attribute"}
+    assert set(attrs) == {"region", "replicas", "tags"}
+    assert attrs["tags"]["content"].rstrip().endswith("}")  # multi-line attr spans its braces
+    assert _reassemble(tv, TFVARS_FILE) == TFVARS_FILE
+
+
+def test_chunk_makefile_rules():
+    """make rule + variable_assignment tier (NODE_TYPES ast_parser.py:418);
+    tab-indented recipes ride their rule's span."""
+    nodes = chunk_file(MAKE_FILE, "makefile")
+    by = {n["node_name"]: n for n in nodes if n["node_type"] in ("rule", "variable_assignment")}
+    assert by["CC"]["node_type"] == "variable_assignment"
+    assert by["CFLAGS"]["node_type"] == "variable_assignment"
+    assert {"all", "build", ".PHONY", "clean"} <= set(by)
+    assert "-o app main.o" in by["build"]["content"]  # recipe in span
+    assert _reassemble(nodes, MAKE_FILE) == MAKE_FILE
