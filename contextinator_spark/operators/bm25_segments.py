@@ -49,6 +49,14 @@ from ..config import (
 # score_slices to ~4M float64 elements (~32 MB) per chunk.
 _QID_CHUNK_ELEMS = 4 * 1024 * 1024
 
+# Batch-executor OUTPUT chunking: yield accumulated (query_id, doc_id,
+# partial) rows once they exceed this many elements instead of one
+# DataFrame per input Arrow batch. Without it a 100-query batch over a big
+# index concentrates Σ_q(surviving postings) — easily 10^8 rows — into ONE
+# Arrow allocation and the Python worker dies with
+# arrow.memory.OutOfMemoryException (observed at 100 queries × 8M docs).
+_OUT_CHUNK_ROWS = 8 * 1024 * 1024
+
 # doc-range buckets of the per-term impact sketch (DAAT-flavored pruning):
 # bounded driver state = n_query_terms × this many float64s.
 _SKETCH_BUCKETS = 512
@@ -681,8 +689,18 @@ def topk_segments_multi(
     def score_slices(pdf_iter):
         from .compress import decode_postings
 
+        qids_out, docs_out, scores_out, n_out = [], [], [], 0
+
+        def flush():
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qids_out),
+                    "doc_id": np.concatenate(docs_out),
+                    "partial": np.concatenate(scores_out),
+                }
+            )
+
         for pdf in pdf_iter:
-            qids_out, docs_out, scores_out = [], [], []
             for term, blob, bm in zip(pdf["term"], pdf["blob"], pdf["block_max"]):
                 qarr, ru, th = term_qarr[term], term_ru[term], term_th[term]
                 doc_ids, tfs, dls = decode_postings(bytes(blob))
@@ -742,14 +760,12 @@ def topk_segments_multi(
                         qids_out.append(qarr[lo : lo + step][qi])
                         docs_out.append(doc_ids[pi])
                         scores_out.append(scores[pi])
-            if docs_out:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(qids_out),
-                        "doc_id": np.concatenate(docs_out),
-                        "partial": np.concatenate(scores_out),
-                    }
-                )
+                        n_out += qi.size
+                    if n_out >= _OUT_CHUNK_ROWS:
+                        yield flush()
+                        qids_out, docs_out, scores_out, n_out = [], [], [], 0
+        if docs_out:
+            yield flush()
 
     partials = seg.mapInPandas(score_slices, schema="query_id int, doc_id long, partial double")
     scored = partials.groupBy("query_id", "doc_id").agg(
