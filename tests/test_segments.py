@@ -401,3 +401,19 @@ def test_multi_sketch_disjoint_ranges_exact(spark, tmp_path):
     ex = bm25_segments.topk_segments_multi(spark, d, qs, k=10, prune=False).collect()
     assert sorted([tuple(r) for r in sk]) == sorted([tuple(r) for r in ex])
     assert len({r["query_id"] for r in sk}) == 3
+
+
+def test_multi_chunked_output_identical(spark, index_dir, monkeypatch):
+    """The batch kernel's bounded output chunking (_OUT_CHUNK_ROWS — one
+    100-query batch over 8M docs previously concentrated ~10^8 rows into a
+    single Arrow allocation and OOMed the worker) must not change results:
+    force a tiny chunk size so every slice flushes mid-stream and compare
+    against the unchunked plan."""
+    base = bm25_segments.topk_segments_multi(
+        spark, index_dir, QUERIES, k=10, prune=True
+    ).collect()
+    monkeypatch.setattr(bm25_segments, "_OUT_CHUNK_ROWS", 3)
+    tiny = bm25_segments.topk_segments_multi(
+        spark, index_dir, QUERIES, k=10, prune=True
+    ).collect()
+    assert sorted(tuple(r) for r in tiny) == sorted(tuple(r) for r in base)
