@@ -27,7 +27,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-IDX = "/dev/shm/ctx_profile_idx"
+IDX = os.environ.get("SPARK_GRAFT_IDX", "/dev/shm/ctx_profile_idx")
 
 
 def _run(cpus: int, hi: int, n_queries: int) -> dict:

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from contextinator_spark.session import get_spark  # noqa: E402
 
-IDX = "/dev/shm/ctx_profile_idx"
+IDX = os.environ.get("SPARK_GRAFT_IDX", "/dev/shm/ctx_profile_idx")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "1600"))
 
 
