@@ -193,13 +193,29 @@ def cmd_build(args, spark) -> None:
 
 
 def cmd_query(args, spark) -> None:
-    """BM25 top-k over the segment store (semantic_search.py:39-114 flow)."""
-    from .operators.bm25_segments import topk_segments
+    """BM25 top-k over the segment store (semantic_search.py:39-114 flow).
+    Query words containing `*` are wildcard terms: each expands to its
+    bounded highest-df dictionary matches (Lucene MultiTermQuery rewrite)
+    and joins the disjunction alongside the literal terms."""
+    from .operators.bm25_segments import (
+        expand_wildcard,
+        topk_segments,
+        topk_segments_conjunctive,
+    )
     from .oracle import tokenize
 
-    out = topk_segments(
-        spark, args.index, tokenize(args.query), k=args.k, prune=not args.no_prune
-    )
+    terms: list[str] = []
+    for word in args.query.split():
+        if "*" in word:
+            terms.extend(expand_wildcard(spark, args.index, word.lower()))
+        else:
+            terms.extend(tokenize(word))
+    if getattr(args, "mode", "any") == "all":
+        out = topk_segments_conjunctive(spark, args.index, terms, k=args.k)
+    else:
+        out = topk_segments(
+            spark, args.index, terms, k=args.k, prune=not args.no_prune
+        )
     rows = out.collect()
     fold = getattr(args, "toon_fold", False)
     _emit(
@@ -384,6 +400,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--query", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--no-prune", action="store_true")
+    q.add_argument(
+        "--mode", choices=["any", "all"], default="any",
+        help="any = disjunctive (default); all = every term required (MUST)",
+    )
     q.add_argument("--facets", action="store_true", help="append facet summary")
     q.set_defaults(fn=cmd_query)
 

@@ -501,6 +501,86 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_segments(spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10)
 
 
+def q_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (MUST / AND-semantics) BM25 top-10 over the segment
+    store: only docs containing EVERY query term rank; rare-term candidate
+    filter prunes the scan (θ is unsound for AND — see operator docstring)."""
+    from .operators.bm25_segments import topk_segments_conjunctive
+
+    return topk_segments_conjunctive(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )
+
+
+def sql_bm25_conj() -> str:
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    n_terms = len(set(BM25_QUERY_TERMS))
+    base = _bm25_sql(values)
+    anchor = "  GROUP BY q.qid, p.doc_id)"
+    if anchor not in base:  # guard the textual graft against CTE edits
+        raise RuntimeError("sql_bm25_conj: _bm25_sql shape changed")
+    return (
+        base.replace(
+            anchor,
+            f"  GROUP BY q.qid, p.doc_id HAVING count(*) = {n_terms})",
+        )
+        + """
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+    )
+
+
+PREFIX_QUERY = "s"
+PREFIX_MAX_EXPANSIONS = 4
+
+
+def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (wildcard `s*`) BM25 top-10: Lucene-style MultiTermQuery
+    rewrite — bounded dictionary expansion (highest-df terms, term-asc
+    tiebreak) feeding the pruned segment executor as a disjunction. New
+    surface; the reference has no wildcard search."""
+    from .operators.bm25_segments import prefix_topk
+
+    return prefix_topk(
+        spark,
+        _cached_index_dir(spark, sf_dir),
+        PREFIX_QUERY,
+        k=10,
+        max_expansions=PREFIX_MAX_EXPANSIONS,
+    )
+
+
+def sql_prefix_topk() -> str:
+    """Oracle reproduces BOTH stages: the expansion (top max_expansions
+    prefix-matching terms by df desc, term asc) and the disjunctive BM25
+    sum over it."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+dfs_all AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM post WHERE term LIKE '{PREFIX_QUERY}%' GROUP BY term),
+q AS (SELECT term, df FROM dfs_all ORDER BY df DESC, term LIMIT {PREFIX_MAX_EXPANSIONS}),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post p JOIN q ON p.term = q.term
+       JOIN meta m ON p.doc_id = m.doc_id
+       CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+
+
 PHRASE_TERMS = ["table", "hash"]
 
 
@@ -1019,6 +1099,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
             "WHERE lang = 'en' AND contains(text, 'spark')",
         ),
         "bm25_wand": (q_bm25_wand, sql_bm25_topk()),
+        "prefix_topk": (q_prefix_topk, sql_prefix_topk()),
+        "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "phrase_match": (q_phrase_match, sql_phrase_match()),
         "phrase_topk": (q_phrase_topk, sql_phrase_topk()),
         "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),

@@ -179,3 +179,43 @@ def topk_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def topk_conjunctive(
+    postings: DataFrame,
+    doc_meta: DataFrame,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    term_stats: DataFrame | None = None,
+) -> DataFrame:
+    """MUST semantics (Lucene BooleanQuery AND): only documents containing
+    EVERY query term are ranked; the score of a surviving doc is the same
+    disjunctive BM25 sum, so conjunctive top-k ⊆ disjunctive candidates
+    with a per-doc matched-term count filter.
+
+    postings are unique on (term, doc_id), so after the dictionary probe
+    the per-doc row count IS the number of distinct query terms the doc
+    matches — count(*) == n_terms implements the AND with no extra join
+    or intersection pass. A query term absent from the corpus makes the
+    result empty (no doc can match all terms), which the count filter
+    yields naturally."""
+    n_terms = len(set(terms))
+    scored = (
+        score_terms(postings, doc_meta, terms, k1, b, term_stats)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), SCORE_ROUND_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .filter(F.col("n_matched") == F.lit(n_terms))
+        .select("doc_id", "score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )

@@ -915,3 +915,233 @@ def _theta_from_best_term(
         return 0.0
     theta = float(np.partition(allsc, allsc.size - k)[allsc.size - k])
     return theta - 10.0 ** (-SCORE_ROUND_DECIMALS)
+
+
+# ---------------------------------------------------------------------------
+# multi-term query rewrite: prefix / wildcard expansion over the dictionary
+# ---------------------------------------------------------------------------
+
+# Lucene's BooleanQuery.maxClauseCount spirit: bound how many terms a
+# MultiTermQuery may rewrite into. Selection keeps the highest-df
+# expansions (ties broken by term asc) — the terms that dominate the
+# disjunction's recall — deterministically, so the DuckDB oracle can
+# reproduce the exact expansion.
+MAX_EXPANSIONS = 64
+
+
+def _top_df_terms(base: DataFrame, max_expansions: int) -> list[str]:
+    """Highest-df terms of a filtered dictionary frame, df desc / term asc,
+    bounded by max_expansions. One job over the vocabulary-sized cached
+    dictionary — postings are never touched by expansion."""
+    rows = (
+        base.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def expand_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dictionary terms starting with `prefix`, keeping the max_expansions
+    highest-df ones (Lucene MultiTermQuery rewrite; new surface — the
+    reference has no wildcard search).
+
+    Scale: the scan is over the TERM DICTIONARY (_terms_df, pinned
+    in executor memory), whose size follows Heaps' law — sublinear in
+    corpus bytes — so at 100 TB this stays a metadata-scale in-memory
+    pass. Hash partitioning can't prune a prefix predicate, but it
+    doesn't need to: no posting blob is read until the bounded
+    expansion feeds the partition-pruned executor."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    base = _terms_df(spark, index_dir).filter(F.col("term").startswith(prefix))
+    return _top_df_terms(base, max_expansions)
+
+
+def expand_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """expand_prefix for `*`-wildcard patterns (e.g. "s*m"): `*` matches
+    any (possibly empty) run of characters, everything else is literal,
+    anchored at both ends. The literal head before the first `*` is
+    applied as a startswith pre-filter so the regex runs only on the
+    narrowed dictionary slice (the classic leading-wildcard caveat:
+    patterns starting with `*` scan the whole vocabulary — still
+    metadata-scale, but flagged here)."""
+    import re as _re
+
+    if not pattern.replace("*", ""):
+        raise ValueError("wildcard pattern needs at least one literal char")
+    head = pattern.split("*", 1)[0]
+    rx = "^" + ".*".join(_re.escape(p) for p in pattern.split("*")) + "$"
+    base = _terms_df(spark, index_dir)
+    if head:
+        base = base.filter(F.col("term").startswith(head))
+    return _top_df_terms(base.filter(F.col("term").rlike(rx)), max_expansions)
+
+
+def prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    **kw,
+) -> DataFrame:
+    """(rank, doc_id, score) for a prefix query: rewrite to the bounded
+    expansion's disjunction and run the pruned segment executor —
+    score(d) = Σ_{t ∈ expansion} BM25_t(d), i.e. Lucene's
+    BooleanQuery(SHOULD) rewrite. Inherits every executor optimization
+    (dictionary probe, partition pruning, θ / block-max / sketch
+    pruning, driver short-circuit) unchanged."""
+    terms = expand_prefix(spark, index_dir, prefix, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    **kw,
+) -> DataFrame:
+    """prefix_topk with `*`-wildcard expansion."""
+    terms = expand_wildcard(spark, index_dir, pattern, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)
+
+
+def topk_segments_conjunctive(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_partitions: int | None = None,
+    rare_filter: bool = True,
+) -> DataFrame:
+    """MUST semantics (Lucene BooleanQuery AND) over the segment store:
+    only docs containing EVERY query term are ranked; a surviving doc's
+    score is the usual BM25 sum (result-identical to bm25.topk_conjunctive
+    — tested).
+
+    Why no θ/block-max pruning here: θ lower-bounds the DISJUNCTIVE k-th
+    best, but the conjunctive k-th best can sit arbitrarily below it (the
+    top disjunctive docs usually miss a term), so score-based skipping is
+    unsound for AND. The sound conjunctive prune is CANDIDATE-based:
+    a result must appear in the rarest term's posting list, so when
+    df(rarest) ≤ DRIVER_TOPK_MAX_DF we decode that one list (pruned
+    single-partition scan), broadcast its sorted doc_ids, and the scan
+    kernel drops every other term's postings outside it via searchsorted —
+    the shuffle then carries O(n_terms · df_rarest) rows instead of Σdf.
+    Each (term, doc) pair appears exactly once across a term's disjoint
+    doc-range slices, so the per-doc row count equals the number of
+    matched terms; count == n_terms implements the AND.
+
+    A query term absent from the dictionary returns empty immediately
+    (zero scan jobs) — no doc can match all terms."""
+    from .compress import decode_postings
+
+    stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    qterms = sorted(set(terms))
+    empty = "rank int, doc_id long, score double"
+    if not qterms:
+        return spark.createDataFrame([], empty)
+    info = probe_dictionary(spark, index_dir, qterms, n_partitions)
+    if len(info) < len(qterms):  # some term matches nothing anywhere
+        return spark.createDataFrame([], empty)
+    idf = {t: _idf(float(info[t]["df"]), n) for t in qterms}
+    n_terms = len(qterms)
+
+    cand_bc = None
+    if rare_filter and n_terms > 1:
+        rarest = min(qterms, key=lambda t: int(info[t]["df"]))
+        if int(info[rarest]["df"]) <= DRIVER_TOPK_MAX_DF:
+            rows = (
+                spark.read.parquet(os.path.join(index_dir, "segments"))
+                .filter(
+                    (F.col("partition_id") == info[rarest]["partition_id"])
+                    & (F.col("term") == rarest)
+                )
+                .select("blob")
+                .collect()
+            )
+            ids = [decode_postings(bytes(r["blob"]))[0] for r in rows]
+            cand_bc = spark.sparkContext.broadcast(
+                np.sort(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+            )
+
+    pids = sorted({info[t]["partition_id"] for t in qterms})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(qterms)
+    )
+    seg = _spread_slices(seg, spark, sum(int(info[t]["df"]) for t in qterms))
+    idf_b = dict(idf)
+
+    def score_slices(pdf_iter):
+        cand = cand_bc.value if cand_bc is not None else None
+        for pdf in pdf_iter:
+            out_docs, out_scores = [], []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if cand is not None and doc_ids.size:
+                    if cand.size:
+                        pos = np.minimum(np.searchsorted(cand, doc_ids), cand.size - 1)
+                        mask = cand[pos] == doc_ids
+                    else:
+                        mask = np.zeros(doc_ids.size, bool)
+                    doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+                if doc_ids.size == 0:
+                    continue
+                out_docs.append(doc_ids)
+                out_scores.append(
+                    idf_b[term]
+                    * _tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b)
+                )
+            if out_docs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_docs),
+                        "partial": np.concatenate(out_scores),
+                    }
+                )
+
+    partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
+    scored = (
+        partials.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        .filter(F.col("n_matched") == F.lit(n_terms))
+        .select("doc_id", "score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )

@@ -209,3 +209,35 @@ def test_cli_compact_identical_results_one_slice(capsys, spark, tmp_path):
     after_ph = run_cli(capsys, spark, "phrase", "--index", d, "--query", "hot pair", "--k", "50")
     assert [json.loads(x) for x in after_q] == [json.loads(x) for x in before_q]
     assert [json.loads(x) for x in after_ph] == [json.loads(x) for x in before_ph]
+
+
+def test_cli_query_wildcard_matches_expanded(capsys, spark, index_dir):
+    """`spar*` in the query string expands via the dictionary and scores
+    identically to spelling out the expansion as literal terms."""
+    from contextinator_spark.operators.bm25_segments import expand_wildcard
+
+    terms = expand_wildcard(spark, index_dir, "spar*")
+    assert "spark" in terms
+    wild = run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "spar* hash", "--k", "5"
+    )
+    lit = run_cli(
+        capsys, spark, "query", "--index", index_dir,
+        "--query", " ".join(terms) + " hash", "--k", "5",
+    )
+    assert wild == lit and len(wild) >= 1
+
+
+def test_cli_query_mode_all_requires_every_term(capsys, spark, index_dir):
+    """--mode all returns only docs containing every query term; a term
+    absent from the corpus empties the result."""
+    rows = run_cli(
+        capsys, spark, "query", "--index", index_dir,
+        "--query", "spark hash", "--k", "50", "--mode", "all",
+    )
+    assert rows, "sf0.001 has docs containing both 'spark' and 'hash'"
+    none = run_cli(
+        capsys, spark, "query", "--index", index_dir,
+        "--query", "spark zzyzzq", "--k", "5", "--mode", "all",
+    )
+    assert none == []

@@ -417,3 +417,129 @@ def test_multi_chunked_output_identical(spark, index_dir, monkeypatch):
         spark, index_dir, QUERIES, k=10, prune=True
     ).collect()
     assert sorted(tuple(r) for r in tiny) == sorted(tuple(r) for r in base)
+
+
+# ---------------------------------------------------------------------------
+# prefix / wildcard multi-term rewrite (round 4; Lucene MultiTermQuery-style)
+# ---------------------------------------------------------------------------
+
+
+def _dict_df(spark, index_dir):
+    """term -> df from the store's dictionary (slices summed)."""
+    rows = (
+        spark.read.parquet(f"{index_dir}/terms")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def test_expand_prefix_bounded_and_df_ordered(spark, index_dir):
+    d = _dict_df(spark, index_dir)
+    matching = sorted(
+        (t for t in d if t.startswith("pa")), key=lambda t: (-d[t], t)
+    )
+    assert len(matching) >= 3, "synth corpus should have several pa* terms"
+    n = len(matching) - 1  # force the bound to bite
+    got = bm25_segments.expand_prefix(spark, index_dir, "pa", max_expansions=n)
+    assert got == sorted(matching[:n])
+    assert all(t.startswith("pa") for t in got)
+
+
+def test_prefix_topk_matches_manual_disjunction(spark, corpus, index_dir):
+    terms = bm25_segments.expand_prefix(spark, index_dir, "pa", max_expansions=3)
+    manual = bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
+    via_prefix = bm25_segments.prefix_topk(
+        spark, index_dir, "pa", k=10, max_expansions=3
+    ).collect()
+    assert [tuple(r) for r in via_prefix] == [tuple(r) for r in manual]
+    # and the disjunction agrees with the uncompressed DataFrame executor
+    c = corpus.withColumn(
+        "doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))
+    )
+    df_exec = bm25.topk(
+        P.build_postings(c), P.doc_meta(c), terms, k=10
+    ).select("rank", "doc_id", "score").collect()
+    assert [tuple(r) for r in via_prefix] == [tuple(r) for r in df_exec]
+
+
+def test_wildcard_expansion_forms(spark, index_dir):
+    # pure-prefix wildcard == expand_prefix
+    assert bm25_segments.expand_wildcard(
+        spark, index_dir, "de*", max_expansions=8
+    ) == bm25_segments.expand_prefix(spark, index_dir, "de", max_expansions=8)
+    # suffix form: *turn must include 'return' (leading-wildcard path)
+    got = bm25_segments.expand_wildcard(spark, index_dir, "*turn")
+    assert "return" in got
+    assert all(t.endswith("turn") for t in got)
+    # literal chars are escaped, not regex
+    assert bm25_segments.expand_wildcard(spark, index_dir, "re.urn*") == []
+
+
+def test_prefix_topk_empty_expansion(spark, index_dir):
+    out = bm25_segments.prefix_topk(spark, index_dir, "zzzzqqq")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["rank", "doc_id", "score"]
+
+
+# ---------------------------------------------------------------------------
+# conjunctive (MUST / AND) executor (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _conj_brute(spark, corpus, terms, k=10):
+    """Reference conjunctive top-k straight from the corpus."""
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    post, meta = P.build_postings(c), P.doc_meta(c)
+    return bm25.topk_conjunctive(post, meta, terms, k=k).collect()
+
+
+def test_conjunctive_segment_matches_dataframe_executor(spark, corpus, index_dir):
+    terms = ["import", "def", "class"]
+    seg = bm25_segments.topk_segments_conjunctive(spark, index_dir, terms, k=10).collect()
+    ref = _conj_brute(spark, corpus, terms, k=10)
+    assert [tuple(r) for r in seg] == [tuple(r) for r in ref]
+    assert len(seg) > 0, "expected some docs containing all three terms"
+
+
+def test_conjunctive_rare_filter_is_result_identical(spark, index_dir):
+    terms = ["tokendata4", "def", "import"]
+    on = bm25_segments.topk_segments_conjunctive(
+        spark, index_dir, terms, k=10, rare_filter=True
+    ).collect()
+    off = bm25_segments.topk_segments_conjunctive(
+        spark, index_dir, terms, k=10, rare_filter=False
+    ).collect()
+    assert [tuple(r) for r in on] == [tuple(r) for r in off]
+
+
+def test_conjunctive_subset_of_disjunctive_candidates(spark, corpus, index_dir):
+    """Every conjunctive hit contains ALL query terms (checked against the
+    raw corpus), and its score equals its disjunctive score."""
+    terms = ["tokendata4", "return"]
+    conj = bm25_segments.topk_segments_conjunctive(spark, index_dir, terms, k=50).collect()
+    assert conj
+    c = corpus.withColumn(
+        "doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61))
+    ).select("doc_id", "content").collect()
+    content = {r["doc_id"]: r["content"].lower() for r in c}
+    for r in conj:
+        for t in terms:
+            assert t in content[r["doc_id"]]
+    # disjunctive scores of those docs agree (conjunction only filters docs)
+    disj = {
+        r["doc_id"]: r["score"]
+        for r in bm25_segments.topk_segments(
+            spark, index_dir, terms, k=10_000, driver_path=False, prune=False
+        ).collect()
+    }
+    for r in conj:
+        assert abs(disj[r["doc_id"]] - r["score"]) < 1e-9
+
+
+def test_conjunctive_absent_term_is_empty(spark, index_dir):
+    out = bm25_segments.topk_segments_conjunctive(
+        spark, index_dir, ["import", "zzz_no_such_term"]
+    )
+    assert out.count() == 0
