@@ -277,49 +277,29 @@ def cmd_phrase_build(args, spark) -> None:
 
 
 def cmd_compact(args, spark) -> None:
-    """Fold each term's slices into one blob and rewrite segments/ in place
-    (maintenance verb for long-lived indexes: many streaming epochs leave
-    slice proliferation that degrades probe locality). Results are
-    query-identical before/after (tested); catalog counters are re-derived
-    from the rewritten bytes with lineage=compact."""
-    import os
-    import shutil
+    """Fold each term's slices into one blob, purge tombstoned postings
+    (the `delete` verb's live-docs), and rewrite segments/ + every derived
+    artifact in place — see segments.compact_index. Without deletes,
+    results are query-identical before/after (tested); with deletes, the
+    compacted store answers like a fresh build on the live corpus."""
+    from .operators.segments import compact_index
 
-    from .operators.segments import compact_segments
+    print(json.dumps(compact_index(spark, args.index)))
 
-    seg_dir = os.path.join(args.index, "segments")
-    tmp_dir = os.path.join(args.index, "segments.compact.tmp")
-    old_dir = os.path.join(args.index, "segments.compact.old")
-    compacted = compact_segments(spark, args.index)
-    compacted.repartition("partition_id").write.mode("overwrite").partitionBy(
-        "partition_id"
-    ).parquet(tmp_dir)
-    # swap: segments -> .old, tmp -> segments, drop .old (posix rename is
-    # atomic per step; a crash mid-swap leaves either the old or new store
-    # fully intact under one of the two names)
-    os.rename(seg_dir, old_dir)
-    os.rename(tmp_dir, seg_dir)
-    shutil.rmtree(old_dir)
-    seg = spark.read.parquet(seg_dir)
-    cat = seg.groupBy("partition_id").agg(
-        F.countDistinct("term").alias("n_terms"),
-        F.sum("df_slice").alias("n_postings"),
-        F.sum(F.length("blob")).alias("bytes"),
-    ).select(
-        F.concat(F.lit("seg-"), F.col("partition_id").cast("string")).alias("segment_id"),
-        "partition_id",
-        "n_terms",
-        "n_postings",
-        "bytes",
-        F.lit(0).cast("int").alias("checkpoint_epoch"),
-        F.lit("compact").alias("lineage"),
-    )
-    cat.write.mode("overwrite").parquet(os.path.join(args.index, "catalog"))
-    stats = cat.agg(
-        F.sum("n_terms").alias("terms"), F.sum("n_postings").alias("postings"),
-        F.sum("bytes").alias("bytes"),
-    ).collect()[0]
-    print(json.dumps({"compacted": True, **{k: int(v) for k, v in stats.asDict().items()}}))
+
+def cmd_delete(args, spark) -> None:
+    """Delete documents from a segment store WITHOUT rewriting it — appends
+    a tombstone epoch that every executor masks out (Lucene live-docs;
+    operators/deletes.py). Space is reclaimed by the `compact` verb."""
+    from .operators.deletes import delete_docs
+
+    if args.ids:
+        ids: list[int] | object = [int(x) for x in args.ids.split(",") if x.strip()]
+    else:
+        with open(args.ids_file) as f:
+            ids = [int(line) for line in f if line.strip()]
+    out = delete_docs(spark, args.index, ids)
+    print(json.dumps(out))
 
 
 def cmd_stats(args, spark) -> None:
@@ -425,9 +405,16 @@ def build_parser() -> argparse.ArgumentParser:
     pb.add_argument("--index", required=True)
     pb.set_defaults(fn=cmd_phrase_build)
 
-    cp = sub.add_parser("compact", help="fold slices per term, rewrite segments/")
+    cp = sub.add_parser("compact", help="fold slices per term, purge deletes, rewrite segments/")
     cp.add_argument("--index", required=True)
     cp.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser("delete", help="tombstone doc_ids (live-docs; reclaim via compact)")
+    dl.add_argument("--index", required=True)
+    dl_src = dl.add_mutually_exclusive_group(required=True)
+    dl_src.add_argument("--ids", help="comma-separated doc_ids")
+    dl_src.add_argument("--ids-file", help="file with one doc_id per line")
+    dl.set_defaults(fn=cmd_delete)
 
     st = sub.add_parser("stats", help="collection stats + catalog counters")
     st.add_argument("--index", required=True)

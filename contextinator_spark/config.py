@@ -88,6 +88,14 @@ QUERY_REPARTITION_MIN_DF = 50_000
 # same tie-break.
 DRIVER_TOPK_MAX_DF = 131_072
 
+# Largest tombstone (deleted-docs) set the query path will collect, sort
+# and broadcast for kernel-side searchsorted masking — 4M int64 ≈ 32 MB,
+# well inside executor broadcast budgets. Beyond it executors fall back
+# to a distributed anti-join and disable θ pruning (operators/deletes.py
+# module docstring has the soundness argument); at that delete ratio the
+# right operation is compaction, as in Lucene's merge policy.
+TOMBSTONE_BROADCAST_MAX = 4_000_000
+
 
 @dataclass(frozen=True)
 class EngineConfig:

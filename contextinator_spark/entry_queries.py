@@ -532,6 +532,120 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
     )
 
 
+# deterministic deletion predicate for the graded delete/purge queries —
+# expressible on BOTH sides (documents carries doc_id natively)
+DELETE_MOD, DELETE_REM = 5, 2
+
+
+def _cached_deleted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A copy of the cached base index with doc_id % DELETE_MOD ==
+    DELETE_REM tombstoned (operators/deletes.py) — deletes are applied
+    in-place, so graded delete queries mutate a COPY, never the shared
+    base cache. `.ready` marker = copy+delete completed."""
+    import os as _os
+    import shutil as _shutil
+
+    base = _cached_index_dir(spark, sf_dir)
+    d = _cache_dir(f"{base}|DELETED|{DELETE_MOD}:{DELETE_REM}")
+    marker = _os.path.join(d, ".ready")
+    if not _os.path.exists(marker):
+        from .operators.deletes import delete_docs
+
+        if _os.path.exists(d):
+            _shutil.rmtree(d)
+        _shutil.copytree(base, d)
+        tomb = load_documents(spark, sf_dir).select("doc_id").filter(
+            F.col("doc_id") % DELETE_MOD == DELETE_REM
+        )
+        delete_docs(spark, d, tomb)
+        open(marker, "w").close()
+    return d
+
+
+def _cached_purged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The deleted index after compact_index: tombstones purged, stats and
+    dictionary recomputed over live docs."""
+    import os as _os
+    import shutil as _shutil
+
+    src = _cached_deleted_index_dir(spark, sf_dir)
+    d = _cache_dir(f"{src}|PURGED")
+    marker = _os.path.join(d, ".ready")
+    if not _os.path.exists(marker):
+        from .operators.segments import compact_index
+
+        if _os.path.exists(d):
+            _shutil.rmtree(d)
+        _shutil.copytree(src, d)
+        compact_index(spark, d)
+        open(marker, "w").close()
+    return d
+
+
+def q_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 with doc_id % 5 == 2 tombstoned: deleted docs never
+    rank, survivors keep their BUILD-TIME scores (df/n_docs/avgdl frozen
+    until compaction — Lucene live-docs semantics; operators/deletes.py)."""
+    from .operators.bm25_segments import topk_segments
+
+    return topk_segments(
+        spark, _cached_deleted_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )
+
+
+def sql_bm25_delete() -> str:
+    """Oracle mirrors the live-docs contract exactly: score over the FULL
+    corpus statistics, then drop deleted docs from the ranking."""
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return (
+        _bm25_sql(values)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}) WHERE rank <= 10
+"""
+    )
+
+
+def q_bm25_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query after compaction purged the tombstones: stats, df and
+    impact metadata recomputed over live docs — the store now answers
+    exactly like an index freshly built on the live corpus."""
+    from .operators.bm25_segments import topk_segments
+
+    return topk_segments(
+        spark, _cached_purged_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )
+
+
+def sql_bm25_purged() -> str:
+    """Oracle computes EVERYTHING (df, n_docs, avgdl, ranking) over the
+    live corpus — a textual rewrite of the base BM25 chain onto a
+    live_docs CTE, with occurrence-count guards on both grafts."""
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    base = _bm25_sql(values)
+    if base.count(" FROM documents") != 2:  # post CTE + meta CTE
+        raise RuntimeError("sql_bm25_purged: _bm25_sql shape changed")
+    live = base.replace(" FROM documents", " FROM live_docs")
+    anchor = "WITH post AS"
+    if live.count(anchor) != 1:
+        raise RuntimeError("sql_bm25_purged: _bm25_sql shape changed")
+    live = live.replace(
+        anchor,
+        "WITH live_docs AS (SELECT * FROM documents "
+        f"WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}),\npost AS",
+        1,
+    )
+    return (
+        live
+        + """
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+    )
+
+
 PREFIX_QUERY = "s"
 PREFIX_MAX_EXPANSIONS = 4
 
@@ -1101,6 +1215,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_wand": (q_bm25_wand, sql_bm25_topk()),
         "prefix_topk": (q_prefix_topk, sql_prefix_topk()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
+        "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
+        "bm25_purged": (q_bm25_purged, sql_bm25_purged()),
         "phrase_match": (q_phrase_match, sql_phrase_match()),
         "phrase_topk": (q_phrase_topk, sql_phrase_topk()),
         "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),

@@ -44,6 +44,7 @@ from ..config import (
     QUERY_REPARTITION_MIN_DF,
     SCORE_ROUND_DECIMALS,
 )
+from .deletes import live_mask
 
 # Batch-executor qid-chunking: bound the (qids × postings) broadcast temp in
 # score_slices to ~4M float64 elements (~32 MB) per chunk.
@@ -343,9 +344,20 @@ def topk_segments(
     if not matched:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
 
+    # live-docs (deletes.py): n/avgdl/df stay at build-time values until
+    # compaction (Lucene semantics — surviving docs keep identical scores);
+    # deleted postings are masked out kernel-side below
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+
     idf = {t: _idf(float(info[t]["df"]), n) for t in matched}
-    if driver_path and sum(info[t]["df"] for t in matched) <= DRIVER_TOPK_MAX_DF:
-        return _topk_driver(spark, index_dir, info, idf, k, k1, b, n, avgdl)
+    if (
+        driver_path
+        and tomb_over is None
+        and sum(info[t]["df"] for t in matched) <= DRIVER_TOPK_MAX_DF
+    ):
+        return _topk_driver(
+            spark, index_dir, info, idf, k, k1, b, n, avgdl, tomb_bc=tomb_bc
+        )
     # global per-term upper bound: tf→∞ limit of tf_norm is (k1+1); tighter:
     # computed per slice from block maxima below. For the cross-term rest_ub
     # we use the conservative idf·(k1+1).
@@ -353,11 +365,13 @@ def topk_segments(
 
     theta = 0.0
     # the θ pass costs one extra job — only worth it when the candidate set
-    # is big enough for pruning to pay (heavy lists), so gate on total df
+    # is big enough for pruning to pay (heavy lists), so gate on total df.
+    # Over-cap tombstone sets force θ off: a threshold computed over a
+    # SUPERSET of the live docs is not a lower bound on the live k-th best.
     total_df = sum(info[t]["df"] for t in matched)
-    if prune and len(matched) > 1 and total_df > 50 * k:
+    if prune and tomb_over is None and len(matched) > 1 and total_df > 50 * k:
         theta = _theta_from_best_term(
-            spark, index_dir, info, idf, k, k1, b, avgdl, stats
+            spark, index_dir, info, idf, k, k1, b, avgdl, stats, tomb_bc=tomb_bc
         )
 
     # DAAT-flavored refinement (one extra METADATA-only job, gated on the
@@ -410,6 +424,12 @@ def topk_segments(
                         blk_idx = np.arange(doc_ids.size) // BLOCK_SIZE
                         mask = keep_blk[blk_idx]
                         doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+                if tomb_bc is not None and doc_ids.size:
+                    # live-docs mask AFTER block skip (block indices are
+                    # positions in the original array) and BEFORE scoring
+                    mask = live_mask(doc_ids, tomb_bc.value)
+                    if not mask.all():
+                        doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
                 if doc_ids.size == 0:
                     continue
                 scores = t_idf * _tf_norm(
@@ -437,6 +457,8 @@ def topk_segments(
                 )
 
     partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        partials = partials.join(tomb_over, "doc_id", "left_anti")
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
@@ -447,6 +469,21 @@ def topk_segments(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "score")
     )
+
+
+def _tombstones(spark: SparkSession, index_dir: str):
+    """(broadcast-of-sorted-ids | None, over-cap DataFrame | None) — the two
+    executor forms of the store's tombstone set (operators/deletes.py)."""
+    from .deletes import tombstone_state
+
+    tomb = tombstone_state(spark, index_dir)
+    if tomb is None:
+        return None, None
+    if isinstance(tomb, np.ndarray):
+        if tomb.size == 0:
+            return None, None
+        return spark.sparkContext.broadcast(tomb), None
+    return None, tomb
 
 
 def _impact_ok(stats: dict, k: int, k1: float, b: float) -> bool:
@@ -477,6 +514,7 @@ def _batch_thetas(
     b: float,
     avgdl: float,
     stats: dict | None = None,
+    tomb_bc=None,
 ) -> dict[int, float]:
     """Per-query pruning thresholds for the batch executor, ONE Spark job.
 
@@ -498,9 +536,10 @@ def _batch_thetas(
     if not need:
         return {}
     # build-time impact metadata first: terms whose stored per-slice k-th
-    # rode the dictionary probe cost ZERO extra jobs here
+    # rode the dictionary probe cost ZERO extra jobs here (skipped under
+    # tombstones — stored values counted docs that are now deleted)
     term_kth: dict[str, float] = {}
-    if stats is not None and _impact_ok(stats, k, k1, b):
+    if tomb_bc is None and stats is not None and _impact_ok(stats, k, k1, b):
         for t in need:
             v = info[t].get("kth_tfnorm")
             if v is not None:
@@ -508,7 +547,9 @@ def _batch_thetas(
     missing = [t for t in need if t not in term_kth]
     if missing:
         term_kth.update(
-            _distributed_term_kth(spark, index_dir, missing, info, idf, k, k1, b, avgdl)
+            _distributed_term_kth(
+                spark, index_dir, missing, info, idf, k, k1, b, avgdl, tomb_bc=tomb_bc
+            )
         )
     quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
     return {
@@ -526,6 +567,7 @@ def _distributed_term_kth(
     k1: float,
     b: float,
     avgdl: float,
+    tomb_bc=None,
 ) -> dict[str, float]:
     """Per-term lower bound on the k-th best SINGLE-TERM score, computed
     distributed in ONE job: each slice contributes its local k-th best,
@@ -546,7 +588,10 @@ def _distributed_term_kth(
         for pdf in pdf_iter:
             terms_out, kth_out = [], []
             for term, blob in zip(pdf["term"], pdf["blob"]):
-                _, tfs, dls = decode_postings(bytes(blob))
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    mask = live_mask(doc_ids, tomb_bc.value)
+                    tfs, dls = tfs[mask], dls[mask]
                 if tfs.size < k:
                     continue
                 sc = idf[term] * _tf_norm(
@@ -607,6 +652,7 @@ def topk_segments_multi(
     matched = sorted(info)
     if not matched:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
     idf = {t: _idf(float(info[t]["df"]), n) for t in matched}
     term_queries = {
         t: [qid for qid, ts in queries.items() if t in set(ts)] for t in matched
@@ -614,9 +660,10 @@ def topk_segments_multi(
     global_ub = {t: idf[t] * (k1 + 1.0) for t in matched}
     total_df = sum(info[t]["df"] for t in matched)
     thetas: dict[int, float] = {}
-    if prune and total_df > 50 * k:
+    if prune and tomb_over is None and total_df > 50 * k:
         thetas = _batch_thetas(
-            spark, index_dir, queries, info, idf, k, k1, b, avgdl, stats
+            spark, index_dir, queries, info, idf, k, k1, b, avgdl, stats,
+            tomb_bc=tomb_bc,
         )
 
     # doc-range sketches (see docstring): one metadata job for the union
@@ -724,6 +771,13 @@ def topk_segments_multi(
                         doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
                         if doc_ids.size == 0:
                             continue
+                if tomb_bc is not None:
+                    # live-docs mask after block skip, before scoring
+                    m = live_mask(doc_ids, tomb_bc.value)
+                    if not m.all():
+                        doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                        if doc_ids.size == 0:
+                            continue
                 scores = idf[term] * _tf_norm(
                     tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
                 )
@@ -768,6 +822,8 @@ def topk_segments_multi(
             yield flush()
 
     partials = seg.mapInPandas(score_slices, schema="query_id int, doc_id long, partial double")
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        partials = partials.join(tomb_over, "doc_id", "left_anti")
     scored = partials.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
@@ -810,6 +866,7 @@ def _topk_driver(
     b: float,
     n: float,
     avgdl: float,
+    tomb_bc=None,
 ) -> DataFrame:
     """Scatter-gather execution for small candidate sets: fetch the pruned
     blobs in one job, decode/score/rank with the SAME kernels as the
@@ -827,6 +884,9 @@ def _topk_driver(
     docs_all, scores_all = [], []
     for r in rows:
         doc_ids, tfs, dls = decode_postings(bytes(r["blob"]))
+        if tomb_bc is not None and doc_ids.size:
+            mask = live_mask(doc_ids, tomb_bc.value)
+            doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
         if doc_ids.size == 0:
             continue
         docs_all.append(doc_ids)
@@ -860,8 +920,15 @@ def _theta_from_best_term(
     b: float,
     avgdl: float,
     stats: dict | None = None,
+    tomb_bc=None,
 ) -> float:
     """Exact scores of the highest-ub term's postings → k-th best = θ.
+
+    Live-docs: with tombstones present (tomb_bc) θ must be the k-th best
+    over LIVE docs only — deleted high scorers would inflate it and prune
+    survivors — so the build-time impact shortcut (which counted every
+    doc) is skipped and both computation paths mask deleted postings
+    before taking the k-th.
 
     FAST PATH (zero jobs): when the index carries build-time impact
     metadata valid for this query's (k, k1, b, avgdl) — see _impact_ok —
@@ -886,13 +953,13 @@ def _theta_from_best_term(
     slightly looser θ, zero unbounded driver fetch at any corpus scale.
     """
     best = max(idf, key=lambda t: idf[t] * (k1 + 1.0))
-    if stats is not None and _impact_ok(stats, k, k1, b):
+    if tomb_bc is None and stats is not None and _impact_ok(stats, k, k1, b):
         v = info[best].get("kth_tfnorm")
         if v is not None:
             return max(0.0, idf[best] * float(v) - 10.0 ** (-SCORE_ROUND_DECIMALS))
     if int(info[best]["df"]) > DRIVER_TOPK_MAX_DF:
         kth = _distributed_term_kth(
-            spark, index_dir, [best], info, idf, k, k1, b, avgdl
+            spark, index_dir, [best], info, idf, k, k1, b, avgdl, tomb_bc=tomb_bc
         ).get(best, 0.0)
         return max(0.0, kth - 10.0 ** (-SCORE_ROUND_DECIMALS))
     pid = info[best]["partition_id"]
@@ -906,7 +973,10 @@ def _theta_from_best_term(
 
     scores: list[np.ndarray] = []
     for r in rows:
-        _, tfs, dls = decode_postings(bytes(r["blob"]))
+        doc_ids, tfs, dls = decode_postings(bytes(r["blob"]))
+        if tomb_bc is not None and doc_ids.size:
+            mask = live_mask(doc_ids, tomb_bc.value)
+            tfs, dls = tfs[mask], dls[mask]
         scores.append(idf[best] * _tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b))
     if not scores:
         return 0.0
@@ -1072,6 +1142,7 @@ def topk_segments_conjunctive(
     info = probe_dictionary(spark, index_dir, qterms, n_partitions)
     if len(info) < len(qterms):  # some term matches nothing anywhere
         return spark.createDataFrame([], empty)
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
     idf = {t: _idf(float(info[t]["df"]), n) for t in qterms}
     n_terms = len(qterms)
 
@@ -1106,6 +1177,11 @@ def topk_segments_conjunctive(
             out_docs, out_scores = [], []
             for term, blob in zip(pdf["term"], pdf["blob"]):
                 doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    # live-docs first: a deleted doc matching every term
+                    # must not survive the count filter
+                    m = live_mask(doc_ids, tomb_bc.value)
+                    doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
                 if cand is not None and doc_ids.size:
                     if cand.size:
                         pos = np.minimum(np.searchsorted(cand, doc_ids), cand.size - 1)
@@ -1129,6 +1205,8 @@ def topk_segments_conjunctive(
                 )
 
     partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        partials = partials.join(tomb_over, "doc_id", "left_anti")
     scored = (
         partials.groupBy("doc_id")
         .agg(

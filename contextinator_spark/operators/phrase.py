@@ -213,6 +213,10 @@ def _candidate_positions(
     probe = store.select("partition_id", "term", "blob").filter(
         F.col("partition_id").isin(parts) & F.col("term").isin(uniq)
     )
+    from .bm25_segments import _tombstones
+    from .deletes import live_mask
+
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
 
     def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ords = {}
@@ -222,6 +226,15 @@ def _candidate_positions(
             ord_a, doc_a, dl_a, pos_a = [], [], [], []
             for term, blob in zip(pdf["term"], pdf["blob"]):
                 docs, tfs, dls, flat = decode_postings_with_positions_flat(bytes(blob))
+                if tomb_bc is not None and docs.size:
+                    # live-docs mask; the flat positions buffer is filtered
+                    # with np.repeat of the posting mask — stays vectorized
+                    m = live_mask(docs, tomb_bc.value)
+                    if not m.all():
+                        flat = flat[np.repeat(m, tfs.astype(np.int64))]
+                        docs, tfs, dls = docs[m], tfs[m], dls[m]
+                if docs.size == 0:
+                    continue
                 # one np.split per blob: a list of per-posting position
                 # VIEWS over the flat decode — no per-posting Python append
                 # loop (round-3 VERDICT item 1, probe vectorization)
@@ -244,6 +257,8 @@ def _candidate_positions(
                 )
 
     decoded = probe.mapInPandas(decode, schema=_DECODED_SCHEMA)
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        decoded = decoded.join(tomb_over, "doc_id", "left_anti")
     # doc_len is functionally dependent on doc_id, so grouping by both
     # keeps it through the pivot — ONE decode pass, one shuffle, no join
     pivoted = (
@@ -416,11 +431,23 @@ def positional_topk_indexed_multi(
         F.col("partition_id").isin(parts) & F.col("term").isin(all_terms)
     )
 
+    from .bm25_segments import _tombstones
+    from .deletes import live_mask
+
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+
     def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
             term_a, doc_a, dl_a, pos_a = [], [], [], []
             for term, blob in zip(pdf["term"], pdf["blob"]):
                 docs, tfs, dls, flat = decode_postings_with_positions_flat(bytes(blob))
+                if tomb_bc is not None and docs.size:
+                    m = live_mask(docs, tomb_bc.value)
+                    if not m.all():
+                        flat = flat[np.repeat(m, tfs.astype(np.int64))]
+                        docs, tfs, dls = docs[m], tfs[m], dls[m]
+                if docs.size == 0:
+                    continue
                 term_a.append(np.full(docs.size, term, dtype=object))
                 doc_a.append(docs)
                 dl_a.append(dls)
@@ -446,6 +473,8 @@ def positional_topk_indexed_multi(
         ]
     )
     decoded = probe.mapInPandas(decode, schema=dec_schema)
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        decoded = decoded.join(tomb_over, "doc_id", "left_anti")
 
     qrows = [
         (int(qid), int(slot), t, None if w is None else int(w), len(ts))

@@ -1124,10 +1124,23 @@ def _write_index_legacy(
     }
 
 
-def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
+def compact_segments(
+    spark: SparkSession,
+    index_dir: str,
+    tomb: "np.ndarray | None" = None,
+    avgdl_override: float | None = None,
+) -> DataFrame:
     """Two-phase merge demonstrator: fold each term's range slices into one
     blob (slice ranges are disjoint & ordered ⇒ decode-concat-encode, no
-    re-sort). Returns the compacted slices DataFrame (one row per term)."""
+    re-sort). Returns the compacted slices DataFrame (one row per term).
+
+    `tomb` (sorted deleted doc_ids, from operators/deletes.py) PURGES
+    tombstoned postings during the merge — Lucene's reclaim-deletes-on-
+    merge. df_slice/cf_slice/block_max/kth_tfnorm are then recomputed over
+    live postings only, and `avgdl_override` (the post-purge collection
+    avgdl, computed by compact_index BEFORE the merge) makes the refreshed
+    impact metadata valid for the post-purge stats stamp. Terms whose
+    postings are all deleted emit no row — they leave the store entirely."""
     seg = spark.read.parquet(os.path.join(index_dir, "segments"))
     has_impact = "kth_tfnorm" in seg.columns
     # recompute impact metadata over the WHOLE merged list (now exact, not
@@ -1143,9 +1156,14 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
         positions = int(st.get("posting_format", 1)) == 2
     except OSError:
         pass
+    if imp is not None and avgdl_override is not None:
+        imp = {**imp, "avgdl": float(avgdl_override)}
+    if tomb is not None and tomb.size == 0:
+        tomb = None
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         from .compress import decode_postings
+        from .deletes import live_mask
         from .positions import (
             decode_postings_with_positions_flat,
             encode_postings_with_positions_flat,
@@ -1178,6 +1196,16 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
                 )
                 p = p[idx]
             d, t, l = d[order], t[order], l[order]
+        if tomb is not None and d.size:
+            # purge: drop tombstoned postings before re-encoding; the flat
+            # positions buffer filters with np.repeat of the posting mask
+            keep = live_mask(d, tomb)
+            if not keep.all():
+                if positions:
+                    p = p[np.repeat(keep, t.astype(np.int64))]
+                d, t, l = d[keep], t[keep], l[keep]
+        if d.size == 0:  # fully-deleted term: no output row
+            return pdf.iloc[0:0]
         kth = None
         if imp is not None and d.size >= int(imp["k"]):
             tf = t.astype(np.float64)
@@ -1204,3 +1232,141 @@ def compact_segments(spark: SparkSession, index_dir: str) -> DataFrame:
     # groupBy(term).applyInPandas guarantees all of a term's slices arrive in
     # one group regardless of Arrow batch splits (unlike mapInPandas)
     return seg.groupBy("term").applyInPandas(merge, schema=seg.schema)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Full compaction maintenance op (the CLI `compact` verb): fold every
+    term's slices into one blob, PURGE tombstoned postings (deletes.py),
+    atomically swap segments/, and refresh every derived artifact the purge
+    invalidates — catalog counters, the terms/ dictionary (df/cf/impact
+    change when postings vanish), doc_meta/, and stats.json (n_docs, avgdl,
+    total_terms, max_doc_id, impact stamp). After a purge the store answers
+    queries bit-identically to an index freshly built on the live corpus
+    (tested) — Lucene's reclaim-deletes-on-merge contract.
+
+    Driver state is ONE sorted int64 array of deleted ids (Lucene holds the
+    same information as a liveDocs bitset per segment); everything else is
+    distributed. Swap discipline: each rewritten directory goes to
+    `<name>.compact.tmp` then renames over — a crash mid-swap leaves either
+    the old or new artifact fully intact under one of the two names."""
+    import shutil
+
+    from .deletes import clear_tombstones, tombstone_state, tombstones_df
+
+    tomb = tombstone_state(spark, index_dir)
+    if tomb is not None and not isinstance(tomb, np.ndarray):
+        # over-cap set: compaction is the offline op that RESOLVES this
+        # state, so collecting once here (vs never on the query path) is
+        # the intended cost; a bitmap (roaring) upgrade slots in here
+        rows = tomb.collect()
+        tomb = np.sort(
+            np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+        )
+    if tomb is not None and tomb.size == 0:
+        tomb = None
+    purge = tomb is not None
+
+    def _swap(final: str, write_fn) -> None:
+        tmp, old = final + ".compact.tmp", final + ".compact.old"
+        write_fn(tmp)
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old)
+        # Spark's shared FileStatusCache keeps the pre-swap listing for
+        # this path for the life of the session — a later read would serve
+        # the replaced files. refreshByPath is the documented invalidation
+        # for in-place rewrites.
+        spark.catalog.refreshByPath(final)
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+
+    new_stats = None
+    if purge:
+        # post-purge collection statistics BEFORE the merge so the merge
+        # kernel recomputes impact metadata under the NEW avgdl (keeps the
+        # zero-job θ fast path valid after compaction)
+        live_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).join(
+            tombstones_df(spark, index_dir), "doc_id", "left_anti"
+        )
+        new_stats = collection_stats_row(live_meta)
+        if new_stats["n_docs"] == 0:
+            raise ValueError("compact_index: purge would delete every document")
+
+    compacted = compact_segments(
+        spark,
+        index_dir,
+        tomb=tomb,
+        avgdl_override=new_stats["avgdl"] if purge else None,
+    )
+    seg_final = os.path.join(index_dir, "segments")
+    _swap(
+        seg_final,
+        lambda tmp: compacted.repartition("partition_id")
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(tmp),
+    )
+
+    seg = spark.read.parquet(seg_final)
+    cat = seg.groupBy("partition_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("df_slice").alias("n_postings"),
+        F.sum(F.length("blob")).alias("bytes"),
+    ).select(
+        F.concat(F.lit("seg-"), F.col("partition_id").cast("string")).alias("segment_id"),
+        "partition_id",
+        "n_terms",
+        "n_postings",
+        "bytes",
+        F.lit(0).cast("int").alias("checkpoint_epoch"),
+        F.lit("compact" + (";purge" if purge else "")).alias("lineage"),
+    )
+    cat.write.mode("overwrite").parquet(_catalog_path(index_dir))
+
+    n_purged = 0
+    if purge:
+        n_purged = int(tomb.size)
+        # dictionary: df/cf/kth changed wherever postings were purged —
+        # re-derive from the committed slices, same as the build does
+        has_impact = "kth_tfnorm" in seg.columns
+        aggs = [F.sum("df_slice").alias("df"), F.sum("cf_slice").alias("cf")]
+        cols = ["term", "df", "cf", "partition_id"]
+        if has_impact:
+            aggs.append(F.max("kth_tfnorm").alias("kth_tfnorm"))
+            cols = ["term", "df", "cf", "kth_tfnorm", "partition_id"]
+        tdict = seg.groupBy("term", "partition_id").agg(*aggs).select(*cols)
+        _swap(
+            os.path.join(index_dir, "terms"),
+            lambda tmp: tdict.repartition("partition_id")
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .parquet(tmp),
+        )
+        delta = os.path.join(index_dir, "terms_delta")
+        if os.path.isdir(delta):  # folded into terms/ by the rewrite above
+            shutil.rmtree(delta)
+        live_meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).join(
+            tombstones_df(spark, index_dir), "doc_id", "left_anti"
+        )
+        _swap(
+            os.path.join(index_dir, "doc_meta"),
+            lambda tmp: live_meta.write.mode("overwrite").parquet(tmp),
+        )
+        stats.update(new_stats)
+        if stats.get("impact"):
+            stats["impact"]["avgdl"] = float(new_stats["avgdl"])
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        clear_tombstones(index_dir)
+
+    counters = cat.agg(
+        F.sum("n_terms").alias("terms"),
+        F.sum("n_postings").alias("postings"),
+        F.sum("bytes").alias("bytes"),
+    ).collect()[0]
+    return {
+        "compacted": True,
+        "purged_docs": n_purged,
+        **{k: int(v) for k, v in counters.asDict().items()},
+    }

@@ -241,3 +241,33 @@ def test_cli_query_mode_all_requires_every_term(capsys, spark, index_dir):
         "--query", "spark zzyzzq", "--k", "5", "--mode", "all",
     )
     assert none == []
+
+
+def test_cli_delete_then_compact_purges(capsys, spark, tmp_path):
+    """`delete` tombstones ids (queries exclude them immediately);
+    `compact` purges and reports the count."""
+    d = str(tmp_path / "delidx")
+    run_cli(capsys, spark, "build", "--corpus", SF, "--index", d)
+    base = [
+        json.loads(x)
+        for x in run_cli(capsys, spark, "query", "--index", d, "--query", "spark hash", "--k", "5")
+    ]
+    assert base
+    victim = base[0]["doc_id"]
+    out = json.loads(
+        run_cli(capsys, spark, "delete", "--index", d, "--ids", str(victim))[0]
+    )
+    assert out == {"epoch": "del-000001", "n_ids": 1}
+    after = [
+        json.loads(x)
+        for x in run_cli(capsys, spark, "query", "--index", d, "--query", "spark hash", "--k", "5")
+    ]
+    assert victim not in {r["doc_id"] for r in after}
+    comp = json.loads(run_cli(capsys, spark, "compact", "--index", d)[0])
+    assert comp["compacted"] is True and comp["purged_docs"] == 1
+    final = [
+        json.loads(x)
+        for x in run_cli(capsys, spark, "query", "--index", d, "--query", "spark hash", "--k", "5")
+    ]
+    assert victim not in {r["doc_id"] for r in final}
+    shutil.rmtree(d, ignore_errors=True)
