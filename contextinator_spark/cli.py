@@ -210,8 +210,15 @@ def cmd_query(args, spark) -> None:
             terms.extend(expand_wildcard(spark, args.index, word.lower()))
         else:
             terms.extend(tokenize(word))
+    where = getattr(args, "where", None)
     if getattr(args, "mode", "any") == "all":
         out = topk_segments_conjunctive(spark, args.index, terms, k=args.k)
+    elif where:
+        from .operators.bm25_segments import scoped_topk_segments
+
+        out = scoped_topk_segments(
+            spark, args.index, terms, where, k=args.k, prune=not args.no_prune
+        )
     else:
         out = topk_segments(
             spark, args.index, terms, k=args.k, prune=not args.no_prune
@@ -383,6 +390,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument(
         "--mode", choices=["any", "all"], default="any",
         help="any = disjunctive (default); all = every term required (MUST)",
+    )
+    q.add_argument(
+        "--where",
+        help="SQL predicate over doc_meta columns (repo/path/lang/...) — "
+        "Lucene FILTER clause; scores stay global",
     )
     q.add_argument("--facets", action="store_true", help="append facet summary")
     q.set_defaults(fn=cmd_query)

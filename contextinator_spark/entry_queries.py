@@ -646,6 +646,33 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
     )
 
 
+SCOPE_PREDICATE = "lang = 'en'"
+
+
+def q_bm25_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-scoped BM25 top-10 (Lucene FILTER clause): only lang='en'
+    docs rank; in-scope docs keep their GLOBAL scores — idf/df/avgdl are
+    collection-level, the scope only restricts candidates."""
+    from .operators.bm25_segments import scoped_topk_segments
+
+    return scoped_topk_segments(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, SCOPE_PREDICATE, k=10
+    )
+
+
+def sql_bm25_scoped() -> str:
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return (
+        _bm25_sql(values)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored WHERE doc_id IN (SELECT doc_id FROM documents WHERE {SCOPE_PREDICATE})
+) WHERE rank <= 10
+"""
+    )
+
+
 PREFIX_QUERY = "s"
 PREFIX_MAX_EXPANSIONS = 4
 
@@ -1217,6 +1244,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
         "bm25_purged": (q_bm25_purged, sql_bm25_purged()),
+        "bm25_scoped": (q_bm25_scoped, sql_bm25_scoped()),
         "phrase_match": (q_phrase_match, sql_phrase_match()),
         "phrase_topk": (q_phrase_topk, sql_phrase_topk()),
         "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),

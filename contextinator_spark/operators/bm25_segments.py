@@ -43,8 +43,9 @@ from ..config import (
     INDEX_PARTITIONS,
     QUERY_REPARTITION_MIN_DF,
     SCORE_ROUND_DECIMALS,
+    TOMBSTONE_BROADCAST_MAX,
 )
-from .deletes import live_mask
+from .deletes import live_mask, member_mask
 
 # Batch-executor qid-chunking: bound the (qids × postings) broadcast temp in
 # score_slices to ~4M float64 elements (~32 MB) per chunk.
@@ -328,13 +329,22 @@ def topk_segments(
     n_partitions: int | None = None,
     driver_path: bool = True,
     sketch: bool | None = None,
+    scope: "np.ndarray | DataFrame | None" = None,
 ) -> DataFrame:
     """(rank, doc_id, score) from the compressed segment store.
 
     Small candidate sets (Σdf ≤ DRIVER_TOPK_MAX_DF) short-circuit to a
     driver-side scatter-gather: one job collects the pruned blobs, numpy
     scores and ranks exactly — identical results (tested), a fraction of
-    the latency. driver_path=False forces the distributed plan."""
+    the latency. driver_path=False forces the distributed plan.
+
+    `scope` restricts the ranking to a doc_id subset (Lucene FILTER
+    clause: idf/df stay GLOBAL, so in-scope docs keep their unscoped
+    scores — tested; use scoped_topk_segments for the doc_meta-predicate
+    form). A sorted int64 array is broadcast and masked kernel-side
+    (member_mask, same machinery as tombstones); a DataFrame (sets too
+    big to broadcast) semi-joins the partial stream with θ pruning off —
+    θ over a superset of the scope is not a valid lower bound."""
     stats = load_stats(index_dir)
     if n_partitions is None:
         n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
@@ -348,15 +358,25 @@ def topk_segments(
     # compaction (Lucene semantics — surviving docs keep identical scores);
     # deleted postings are masked out kernel-side below
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    scope_bc = scope_over = None
+    if scope is not None:
+        if isinstance(scope, np.ndarray):
+            if scope.size == 0:
+                return spark.createDataFrame([], "rank int, doc_id long, score double")
+            scope_bc = spark.sparkContext.broadcast(np.sort(scope))
+        else:
+            scope_over = scope.select("doc_id")
 
     idf = {t: _idf(float(info[t]["df"]), n) for t in matched}
     if (
         driver_path
         and tomb_over is None
+        and scope_over is None
         and sum(info[t]["df"] for t in matched) <= DRIVER_TOPK_MAX_DF
     ):
         return _topk_driver(
-            spark, index_dir, info, idf, k, k1, b, n, avgdl, tomb_bc=tomb_bc
+            spark, index_dir, info, idf, k, k1, b, n, avgdl,
+            tomb_bc=tomb_bc, scope_bc=scope_bc,
         )
     # global per-term upper bound: tf→∞ limit of tf_norm is (k1+1); tighter:
     # computed per slice from block maxima below. For the cross-term rest_ub
@@ -369,9 +389,16 @@ def topk_segments(
     # Over-cap tombstone sets force θ off: a threshold computed over a
     # SUPERSET of the live docs is not a lower bound on the live k-th best.
     total_df = sum(info[t]["df"] for t in matched)
-    if prune and tomb_over is None and len(matched) > 1 and total_df > 50 * k:
+    if (
+        prune
+        and tomb_over is None
+        and scope_over is None
+        and len(matched) > 1
+        and total_df > 50 * k
+    ):
         theta = _theta_from_best_term(
-            spark, index_dir, info, idf, k, k1, b, avgdl, stats, tomb_bc=tomb_bc
+            spark, index_dir, info, idf, k, k1, b, avgdl, stats,
+            tomb_bc=tomb_bc, scope_bc=scope_bc,
         )
 
     # DAAT-flavored refinement (one extra METADATA-only job, gated on the
@@ -430,6 +457,11 @@ def topk_segments(
                     mask = live_mask(doc_ids, tomb_bc.value)
                     if not mask.all():
                         doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+                if scope_bc is not None and doc_ids.size:
+                    # metadata-scope keep mask (FILTER clause)
+                    mask = member_mask(doc_ids, scope_bc.value)
+                    if not mask.all():
+                        doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
                 if doc_ids.size == 0:
                     continue
                 scores = t_idf * _tf_norm(
@@ -459,6 +491,8 @@ def topk_segments(
     partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
     if tomb_over is not None:  # over-cap tombstones: distributed anti-join
         partials = partials.join(tomb_over, "doc_id", "left_anti")
+    if scope_over is not None:  # over-cap scope: distributed semi-join
+        partials = partials.join(scope_over, "doc_id", "left_semi")
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
@@ -568,6 +602,7 @@ def _distributed_term_kth(
     b: float,
     avgdl: float,
     tomb_bc=None,
+    scope_bc=None,
 ) -> dict[str, float]:
     """Per-term lower bound on the k-th best SINGLE-TERM score, computed
     distributed in ONE job: each slice contributes its local k-th best,
@@ -591,6 +626,9 @@ def _distributed_term_kth(
                 doc_ids, tfs, dls = decode_postings(bytes(blob))
                 if tomb_bc is not None and doc_ids.size:
                     mask = live_mask(doc_ids, tomb_bc.value)
+                    doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+                if scope_bc is not None and doc_ids.size:
+                    mask = member_mask(doc_ids, scope_bc.value)
                     tfs, dls = tfs[mask], dls[mask]
                 if tfs.size < k:
                     continue
@@ -867,6 +905,7 @@ def _topk_driver(
     n: float,
     avgdl: float,
     tomb_bc=None,
+    scope_bc=None,
 ) -> DataFrame:
     """Scatter-gather execution for small candidate sets: fetch the pruned
     blobs in one job, decode/score/rank with the SAME kernels as the
@@ -886,6 +925,9 @@ def _topk_driver(
         doc_ids, tfs, dls = decode_postings(bytes(r["blob"]))
         if tomb_bc is not None and doc_ids.size:
             mask = live_mask(doc_ids, tomb_bc.value)
+            doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+        if scope_bc is not None and doc_ids.size:
+            mask = member_mask(doc_ids, scope_bc.value)
             doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
         if doc_ids.size == 0:
             continue
@@ -921,6 +963,7 @@ def _theta_from_best_term(
     avgdl: float,
     stats: dict | None = None,
     tomb_bc=None,
+    scope_bc=None,
 ) -> float:
     """Exact scores of the highest-ub term's postings → k-th best = θ.
 
@@ -953,13 +996,19 @@ def _theta_from_best_term(
     slightly looser θ, zero unbounded driver fetch at any corpus scale.
     """
     best = max(idf, key=lambda t: idf[t] * (k1 + 1.0))
-    if tomb_bc is None and stats is not None and _impact_ok(stats, k, k1, b):
+    if (
+        tomb_bc is None
+        and scope_bc is None
+        and stats is not None
+        and _impact_ok(stats, k, k1, b)
+    ):
         v = info[best].get("kth_tfnorm")
         if v is not None:
             return max(0.0, idf[best] * float(v) - 10.0 ** (-SCORE_ROUND_DECIMALS))
     if int(info[best]["df"]) > DRIVER_TOPK_MAX_DF:
         kth = _distributed_term_kth(
-            spark, index_dir, [best], info, idf, k, k1, b, avgdl, tomb_bc=tomb_bc
+            spark, index_dir, [best], info, idf, k, k1, b, avgdl,
+            tomb_bc=tomb_bc, scope_bc=scope_bc,
         ).get(best, 0.0)
         return max(0.0, kth - 10.0 ** (-SCORE_ROUND_DECIMALS))
     pid = info[best]["partition_id"]
@@ -976,6 +1025,9 @@ def _theta_from_best_term(
         doc_ids, tfs, dls = decode_postings(bytes(r["blob"]))
         if tomb_bc is not None and doc_ids.size:
             mask = live_mask(doc_ids, tomb_bc.value)
+            doc_ids, tfs, dls = doc_ids[mask], tfs[mask], dls[mask]
+        if scope_bc is not None and doc_ids.size:
+            mask = member_mask(doc_ids, scope_bc.value)
             tfs, dls = tfs[mask], dls[mask]
         scores.append(idf[best] * _tf_norm(tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b))
     if not scores:
@@ -1097,6 +1149,44 @@ def wildcard_topk(
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
     return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)
+
+
+def scoped_topk_segments(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    predicate: str,
+    k: int = DEFAULT_TOP_K,
+    **kw,
+) -> DataFrame:
+    """Metadata-scoped BM25 top-k — Lucene's BooleanQuery FILTER clause:
+    `predicate` is a SQL expression over the store's resident doc_meta
+    columns (doc_id, doc_len, repo/path/lang when the corpus carried
+    them, content_sha256); only matching docs rank, and they keep their
+    GLOBAL (unscoped) scores because idf/df/avgdl are collection-level —
+    the scope restricts candidates, never re-weights them (tested).
+
+    Scale: doc_meta is one row per doc — the scan is partition-pruned by
+    parquet min/max on the predicate columns and never touches postings.
+    Scopes ≤ TOMBSTONE_BROADCAST_MAX ids broadcast for kernel-side
+    member_mask; bigger scopes (e.g. lang='py' over 10^12 files) ride as
+    a DataFrame semi-join on the partial stream — no driver collect at
+    any size."""
+    meta = (
+        spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+        .filter(predicate)
+        .select("doc_id")
+    )
+    n_scope = meta.count()
+    if n_scope == 0:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    if n_scope <= TOMBSTONE_BROADCAST_MAX:
+        scope = np.fromiter(
+            (r["doc_id"] for r in meta.collect()), dtype=np.int64, count=n_scope
+        )
+    else:
+        scope = meta
+    return topk_segments(spark, index_dir, terms, k=k, scope=scope, **kw)
 
 
 def topk_segments_conjunctive(

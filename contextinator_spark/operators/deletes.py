@@ -165,11 +165,17 @@ def tombstone_state(
     return arr
 
 
+def member_mask(doc_ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Vectorized membership test: True where doc_ids[i] IS in sorted_set.
+    One searchsorted over the sorted array per blob — O(n log m), no
+    Python loop. Shared by the tombstone mask (negated) and the
+    metadata-scope filter (bm25_segments.topk_segments `scope`)."""
+    if sorted_set.size == 0 or doc_ids.size == 0:
+        return np.zeros(doc_ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_set, doc_ids), sorted_set.size - 1)
+    return sorted_set[pos] == doc_ids
+
+
 def live_mask(doc_ids: np.ndarray, tomb: np.ndarray) -> np.ndarray:
-    """Vectorized membership test: True where doc_ids[i] is NOT tombstoned.
-    One searchsorted over the sorted tombstone array per blob — O(n log m),
-    no Python loop."""
-    if tomb.size == 0 or doc_ids.size == 0:
-        return np.ones(doc_ids.size, dtype=bool)
-    pos = np.minimum(np.searchsorted(tomb, doc_ids), tomb.size - 1)
-    return tomb[pos] != doc_ids
+    """True where doc_ids[i] is NOT tombstoned."""
+    return ~member_mask(doc_ids, tomb) if tomb.size else np.ones(doc_ids.size, dtype=bool)

@@ -271,3 +271,22 @@ def test_cli_delete_then_compact_purges(capsys, spark, tmp_path):
     ]
     assert victim not in {r["doc_id"] for r in final}
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cli_query_where_scopes_results(capsys, spark, index_dir):
+    """--where restricts candidates via doc_meta; scores stay global."""
+    full = [
+        json.loads(x)
+        for x in run_cli(capsys, spark, "query", "--index", index_dir, "--query", "spark", "--k", "10000")
+    ]
+    scoped = [
+        json.loads(x)
+        for x in run_cli(
+            capsys, spark, "query", "--index", index_dir,
+            "--query", "spark", "--k", "50", "--where", "lang = 'en'",
+        )
+    ]
+    assert scoped and len(scoped) <= len(full)
+    by_id = {r["doc_id"]: r["score"] for r in full}
+    for r in scoped:  # every scoped hit keeps its global score
+        assert by_id[r["doc_id"]] == r["score"]

@@ -243,3 +243,21 @@ def test_phrase_indexed_respects_deletes(spark, corpus, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(fresh, ignore_errors=True)
+
+
+def test_scope_and_deletes_compose(spark, index_copy):
+    """FILTER clause + live-docs together: scoped ranking drops the deleted
+    doc, survivors keep global scores."""
+    pred = "lang = 'python'"
+    base = bm25_segments.scoped_topk_segments(
+        spark, index_copy, HEAVY, pred, k=10
+    ).collect()
+    assert len(base) >= 3
+    victim = base[0]["doc_id"]
+    deletes.delete_docs(spark, index_copy, [victim])
+    after = bm25_segments.scoped_topk_segments(
+        spark, index_copy, HEAVY, pred, k=10
+    ).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    exp = [(r["doc_id"], r["score"]) for r in base if r["doc_id"] != victim]
+    assert [(r["doc_id"], r["score"]) for r in after][: len(exp)] == exp

@@ -543,3 +543,63 @@ def test_conjunctive_absent_term_is_empty(spark, index_dir):
         spark, index_dir, ["import", "zzz_no_such_term"]
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# metadata-scoped search (Lucene FILTER clause; round 4)
+# ---------------------------------------------------------------------------
+
+
+def _scope_ids(spark, index_dir, predicate):
+    rows = (
+        spark.read.parquet(f"{index_dir}/doc_meta").filter(predicate).select("doc_id").collect()
+    )
+    return {r["doc_id"] for r in rows}
+
+
+def test_scoped_topk_is_filtered_global_ranking(spark, index_dir):
+    """Scoped result == global exhaustive ranking restricted to the scope:
+    same docs, same (unscoped) scores, gaps closed."""
+    terms = ["import", "return", "class"]
+    pred = "lang = 'python'"
+    ids = _scope_ids(spark, index_dir, pred)
+    assert 0 < len(ids) < 200
+    full = bm25_segments.topk_segments(
+        spark, index_dir, terms, k=10_000, driver_path=False, prune=False
+    ).collect()
+    want = [(r["doc_id"], r["score"]) for r in full if r["doc_id"] in ids][:10]
+    got = bm25_segments.scoped_topk_segments(
+        spark, index_dir, terms, pred, k=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_scoped_prune_paths_identical(spark, index_dir):
+    terms = ["import", "return", "class"]
+    pred = "lang = 'rust'"
+    a = bm25_segments.scoped_topk_segments(
+        spark, index_dir, terms, pred, k=10, driver_path=False, prune=True
+    ).collect()
+    b = bm25_segments.scoped_topk_segments(
+        spark, index_dir, terms, pred, k=10, driver_path=False, prune=False
+    ).collect()
+    c = bm25_segments.scoped_topk_segments(spark, index_dir, terms, pred, k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+    assert a, "rust docs containing the heavy terms exist in the synth corpus"
+
+
+def test_scoped_overcap_semijoin_identical(spark, index_dir, monkeypatch):
+    terms = ["import", "def"]
+    pred = "lang = 'python'"
+    arr = bm25_segments.scoped_topk_segments(spark, index_dir, terms, pred, k=10).collect()
+    monkeypatch.setattr(bm25_segments, "TOMBSTONE_BROADCAST_MAX", 0)
+    over = bm25_segments.scoped_topk_segments(spark, index_dir, terms, pred, k=10).collect()
+    assert [tuple(r) for r in over] == [tuple(r) for r in arr]
+
+
+def test_scoped_empty_scope(spark, index_dir):
+    out = bm25_segments.scoped_topk_segments(
+        spark, index_dir, ["import"], "lang = 'cobol'", k=10
+    )
+    assert out.count() == 0
