@@ -904,6 +904,70 @@ def sql_phrase_batch() -> str:
     return " UNION ALL ".join(parts)
 
 
+# Boolean query (Lucene occur algebra) graded end-to-end through the
+# query-string parser: MUST hash, SHOULD spark, MUST_NOT join, SHOULD
+# phrase "table hash", FILTER lang='en' — every clause family in one plan
+BOOLEAN_QUERY = '+hash spark -join "table hash" lang:en'
+
+
+def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean BM25 top-10 over the positions store (operators/boolean.py):
+    score = Σ matched scoring-clause partials (phrase as one synthetic
+    term), MUST coverage enforced, MUST_NOT anti-joined, FILTER scoped
+    with global scores preserved."""
+    from .operators.boolean import boolean_topk_query
+
+    return boolean_topk_query(
+        spark, _cached_phrase_index_dir(spark, sf_dir), BOOLEAN_QUERY, k=10
+    )
+
+
+def sql_bm25_boolean() -> str:
+    """Oracle for BOOLEAN_QUERY, clause by clause: cid 0 = MUST hash,
+    cid 1 = SHOULD spark, cid 3 = SHOULD phrase [table, hash]; join docs
+    excluded; lang='en' scope applied after scoring (global scores)."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+q(cid, is_must, term) AS (VALUES (0, TRUE, 'hash'), (1, FALSE, 'spark')),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM post WHERE term IN (SELECT term FROM q) GROUP BY term),
+tp AS (
+  SELECT q.cid, q.is_must, p.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * ({k1} + 1.0))
+         / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl)) AS partial
+  FROM post p JOIN q ON p.term = q.term JOIN dfs d ON p.term = d.term
+       JOIN meta m ON p.doc_id = m.doc_id CROSS JOIN stats s),
+toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+pm AS (SELECT doc_id,
+              CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'hash')) AS INT) AS ptf,
+              CAST(len(t) AS INT) AS doc_len
+       FROM toks),
+pmm AS (SELECT * FROM pm WHERE ptf > 0),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS dfp FROM pmm),
+pp AS (
+  SELECT 3 AS cid, FALSE AS is_must, pmm.doc_id,
+         ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+         * (pmm.ptf * ({k1} + 1.0))
+         / (pmm.ptf + {k1} * (1.0 - {b} + {b} * pmm.doc_len / s.avgdl)) AS partial
+  FROM pmm CROSS JOIN stats s CROSS JOIN dfp d),
+allp AS (SELECT * FROM tp UNION ALL SELECT * FROM pp),
+agg AS (SELECT doc_id, CAST(round(sum(partial), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score,
+               count(DISTINCT CASE WHEN is_must THEN cid END) AS nm
+        FROM allp GROUP BY doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM agg
+  WHERE nm = 1
+    AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'join')
+    AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+) WHERE rank <= 10
+"""
+
+
 def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunker output over the corpus adapter (not SQL-expressible —
     driver records the rows-only check; pytest holds the real invariants)."""
@@ -1251,6 +1315,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "near_topk": (q_near_topk, sql_near_topk()),
         "near_indexed": (q_near_indexed, sql_near_topk()),
         "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
+        "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (

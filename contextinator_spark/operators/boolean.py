@@ -1,0 +1,486 @@
+"""Boolean query executor — Lucene BooleanQuery semantics over the segment
+store, unifying every query form the engine has into one composable plan:
+
+    MUST      clause must match; contributes to the score
+    SHOULD    optional; contributes to the score when it matches (with no
+              MUST clause, a doc must match ≥1 SHOULD — which falls out of
+              the plan shape: docs enter only through a matching clause)
+    MUST_NOT  clause must not match; never contributes to the score
+    FILTER    doc_meta predicate restricts candidates without rescoring
+              (idf/df/avgdl stay collection-global — Lucene FILTER clause,
+              same contract as bm25_segments.scoped_topk_segments)
+
+Clause kinds: ``term``, ``prefix``/``wildcard`` (bounded MultiTermQuery
+rewrite via bm25_segments.expand_prefix/expand_wildcard), ``phrase`` and
+``near`` (positional, scored as ONE synthetic term over the matched set —
+phrase.positional_matches), ``predicate`` (FILTER / negated FILTER).
+
+score(d) = round(Σ_{matching scoring clauses c} partial_c(d), 6) where a
+term clause's partial is idf·tf_norm (global df), a prefix/wildcard
+clause's partial is the Σ over its expansion (identical to prefix_topk),
+and a positional clause's partial is BM25 with df = |matched docs|,
+tf = occurrence count (identical to phrase_topk_indexed's scoring).
+Query-string form (parse_query):
+
+    +hash spark -join "table hash" "big table"~3 mer* lang:en -path:*test*
+
+Scale shape (the reason this is one plan, not k plans):
+  * every posting read is partition-pruned (dictionary probe first; a
+    clause term absent everywhere costs zero scan jobs);
+  * each needed term is decoded ONCE even when several clauses share it;
+  * one shuffle: groupBy(doc_id) folds clause partials + the MUST-coverage
+    count; MUST_NOT and FILTER resolve as anti/semi joins on the (already
+    aggregated, candidate-sized) stream — AQE broadcasts small sides;
+  * a rare single-term MUST clause (df ≤ DRIVER_TOPK_MAX_DF) short-circuits
+    into a broadcast candidate mask applied kernel-side to every other
+    term's postings (searchsorted), the same sound candidate-based prune as
+    topk_segments_conjunctive — θ/block-max pruning is intentionally ABSENT
+    here: θ lower-bounds the disjunctive k-th best, which bounds nothing
+    once MUST/MUST_NOT constraints reshape the candidate set.
+
+No reference parity: Contextinator has no Boolean search (its query surface
+is grep + vector retrieval, search.rs / chroma_ops.py); this is new engine
+surface composing the round-4 executors (conjunctive, scoped, MultiTermQuery,
+positional) into the standard IR algebra.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    BM25_B,
+    BM25_K1,
+    DEFAULT_TOP_K,
+    DRIVER_TOPK_MAX_DF,
+    SCORE_ROUND_DECIMALS,
+)
+from .bm25 import idf_expr, tf_norm_expr
+from .bm25_segments import (
+    MAX_EXPANSIONS,
+    _idf,
+    _spread_slices,
+    _tf_norm,
+    _tombstones,
+    expand_prefix,
+    expand_wildcard,
+    load_stats,
+    probe_dictionary,
+)
+from .compress import decode_postings
+from .deletes import live_mask
+from .phrase import positional_matches
+
+MUST, SHOULD, MUST_NOT, FILTER = "MUST", "SHOULD", "MUST_NOT", "FILTER"
+
+_RESULT_SCHEMA = "rank int, doc_id long, score double"
+
+
+@dataclass(frozen=True)
+class Clause:
+    """One Boolean clause. kind ∈ {term, prefix, wildcard, phrase, near,
+    predicate}; `terms` carries the token sequence (term/phrase/near) or
+    the single pattern (prefix/wildcard); `window` is the NEAR radius;
+    `predicate` is a SQL expression over the store's doc_meta columns."""
+
+    occur: str
+    kind: str
+    terms: tuple[str, ...] = field(default=())
+    window: int | None = None
+    predicate: str | None = None
+
+
+_TOKEN_RX = re.compile(r"[a-z0-9_]+")
+# scanner: quoted phrase (optional ~N), field:value, or a bare word
+_SCAN_RX = re.compile(
+    r"""\s*(?P<occur>[+-]?)
+        (?:
+          "(?P<phrase>[^"]*)"(?:~(?P<window>\d+))?
+        | (?P<fld>[A-Za-z_][A-Za-z0-9_]*):(?P<val>[^\s"]+)
+        | (?P<word>[^\s"]+)
+        )""",
+    re.VERBOSE,
+)
+
+# doc_meta columns a field clause may target (resident store metadata;
+# anything else would silently match nothing)
+FILTER_FIELDS = ("repo", "path", "lang", "commit")
+
+
+def _toks(text: str) -> tuple[str, ...]:
+    """The engine's pinned token policy (config.TOKEN_PATTERN semantics):
+    lowercase, maximal [a-z0-9_] runs — queries MUST normalize exactly
+    like the index writer or matches silently vanish."""
+    return tuple(_TOKEN_RX.findall(text.lower()))
+
+
+def parse_query(q: str) -> list[Clause]:
+    """Parse a Lucene-flavored query string into clauses.
+
+    `+x` → MUST, `-x` → MUST_NOT, bare → SHOULD; `"a b"` phrase,
+    `"a b"~N` NEAR with window N; a word containing `*` → wildcard
+    (trailing-only `*` → prefix); `field:value` → FILTER predicate
+    (field ∈ FILTER_FIELDS; `value` may carry `*` → SQL LIKE), `-field:value`
+    excludes instead. Multi-token words ("foo-bar") become phrases — the
+    tokenizer would index them adjacently, so the faithful query is
+    positional."""
+    clauses: list[Clause] = []
+    pos = 0
+    while pos < len(q):
+        m = _SCAN_RX.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip():
+                raise ValueError(f"unparseable query tail: {q[pos:]!r}")
+            break
+        pos = m.end()
+        occur = {"+": MUST, "-": MUST_NOT, "": SHOULD}[m.group("occur")]
+        if m.group("phrase") is not None:
+            terms = _toks(m.group("phrase"))
+            if not terms:
+                raise ValueError("empty phrase clause")
+            w = m.group("window")
+            clauses.append(
+                Clause(occur, "near" if w else "phrase", terms,
+                       window=int(w) if w else None)
+            )
+        elif m.group("fld") is not None:
+            fld, val = m.group("fld").lower(), m.group("val")
+            if fld not in FILTER_FIELDS:
+                raise ValueError(
+                    f"unknown filter field {fld!r} (have {FILTER_FIELDS})"
+                )
+            esc = val.replace("'", "''")
+            pred = (
+                f"{fld} LIKE '{esc.replace('*', '%')}'"
+                if "*" in val
+                else f"{fld} = '{esc}'"
+            )
+            # +field:v and field:v both restrict (Lucene treats a bare
+            # field clause on a non-scoring field as a filter)
+            clauses.append(
+                Clause(MUST_NOT if occur == MUST_NOT else FILTER,
+                       "predicate", predicate=pred)
+            )
+        else:
+            word = m.group("word")
+            if "*" in word:
+                body = word.lower()
+                if not _TOKEN_RX.fullmatch(body.replace("*", "")):
+                    raise ValueError(f"bad wildcard pattern {word!r}")
+                kind = (
+                    "prefix"
+                    if body.count("*") == 1 and body.endswith("*")
+                    else "wildcard"
+                )
+                pat = body[:-1] if kind == "prefix" else body
+                clauses.append(Clause(occur, kind, (pat,)))
+            else:
+                terms = _toks(word)
+                if not terms:
+                    raise ValueError(f"word {word!r} has no indexable tokens")
+                if len(terms) == 1:
+                    clauses.append(Clause(occur, "term", terms))
+                else:  # "foo-bar" indexes as adjacent tokens → phrase
+                    clauses.append(Clause(occur, "phrase", terms))
+    if not clauses:
+        raise ValueError("empty query")
+    return clauses
+
+
+def _clause_terms(
+    spark: SparkSession, index_dir: str, c: Clause, max_expansions: int
+) -> list[str]:
+    """Terms a term-ish clause scores over (prefix/wildcard → bounded
+    dictionary expansion; dictionary-only, zero posting reads)."""
+    if c.kind == "term":
+        return list(c.terms)
+    if c.kind == "prefix":
+        return expand_prefix(spark, index_dir, c.terms[0], max_expansions)
+    if c.kind == "wildcard":
+        return expand_wildcard(spark, index_dir, c.terms[0], max_expansions)
+    raise ValueError(f"not a term clause: {c.kind}")
+
+
+def boolean_topk(
+    spark: SparkSession,
+    index_dir: str,
+    clauses: list[Clause],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    rare_filter: bool = True,
+) -> DataFrame:
+    """(rank, doc_id, score) for a Boolean query over the segment store.
+
+    Positional clauses (phrase/near) require a positions store
+    (posting_format=2, segments.write_index(positions=True)); term-only
+    queries run on either format."""
+    stats = load_stats(index_dir)
+    n_partitions = int(stats["n_partitions"])
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+
+    scoring = [c for c in clauses if c.occur in (MUST, SHOULD)]
+    if not scoring:
+        raise ValueError(
+            "BooleanQuery needs ≥1 scoring (MUST/SHOULD) clause — pure "
+            "filter/exclusion queries have no ranking signal"
+        )
+    nots = [c for c in clauses if c.occur == MUST_NOT]
+    filters = [c for c in clauses if c.occur == FILTER]
+    if any(c.kind == "predicate" for c in scoring):
+        raise ValueError("predicate clauses are FILTER/MUST_NOT only")
+
+    # ---- expansion + dictionary probe (metadata-scale, no posting reads)
+    termish = [
+        (cid, c) for cid, c in enumerate(clauses)
+        if c.occur in (MUST, SHOULD) and c.kind in ("term", "prefix", "wildcard")
+    ]
+    positional = [
+        (cid, c) for cid, c in enumerate(clauses)
+        if c.occur in (MUST, SHOULD) and c.kind in ("phrase", "near")
+    ]
+    must_ids = [cid for cid, c in enumerate(clauses) if c.occur == MUST]
+
+    cl_terms: dict[int, list[str]] = {
+        cid: _clause_terms(spark, index_dir, c, max_expansions)
+        for cid, c in termish
+    }
+    all_terms = sorted({t for ts in cl_terms.values() for t in ts})
+    info = probe_dictionary(spark, index_dir, all_terms, n_partitions) if all_terms else {}
+    # a MUST term-group with no indexed expansion can never be satisfied
+    for cid, c in termish:
+        if c.occur == MUST and not any(t in info for t in cl_terms[cid]):
+            return spark.createDataFrame([], _RESULT_SCHEMA)
+
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    idf = {t: _idf(float(info[t]["df"]), n_docs) for t in info}
+    # term → clause ids that score it (several clauses may share a term;
+    # the blob is decoded once and fanned out per clause)
+    term_clauses: dict[str, list[int]] = {}
+    for cid, _c in termish:
+        for t in cl_terms[cid]:
+            if t in info:
+                term_clauses.setdefault(t, []).append(cid)
+
+    # ---- rare-MUST candidate mask (sound conjunctive prune, kernel-side)
+    cand_bc = None
+    if rare_filter and must_ids:
+        rare = [
+            (int(info[c.terms[0]]["df"]), c.terms[0])
+            for cid, c in termish
+            if c.occur == MUST and c.kind == "term" and c.terms[0] in info
+        ]
+        if rare:
+            df_r, t_r = min(rare)
+            if df_r <= DRIVER_TOPK_MAX_DF and len(term_clauses) > 1:
+                rows = (
+                    spark.read.parquet(os.path.join(index_dir, "segments"))
+                    .filter(
+                        (F.col("partition_id") == info[t_r]["partition_id"])
+                        & (F.col("term") == t_r)
+                    )
+                    .select("blob")
+                    .collect()
+                )
+                ids = [decode_postings(bytes(r["blob"]))[0] for r in rows]
+                cand_bc = spark.sparkContext.broadcast(
+                    np.sort(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+                )
+
+    parts: list[DataFrame] = []
+
+    # ---- term-clause partial stream (one pruned scan, Arrow kernel)
+    if term_clauses:
+        pids = sorted({info[t]["partition_id"] for t in term_clauses})
+        seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+            F.col("partition_id").isin(pids)
+            & F.col("term").isin(sorted(term_clauses))
+        )
+        seg = _spread_slices(
+            seg, spark, sum(int(info[t]["df"]) for t in term_clauses)
+        )
+        idf_b, tc_b = dict(idf), dict(term_clauses)
+
+        def score_slices(pdf_iter):
+            cand = cand_bc.value if cand_bc is not None else None
+            for pdf in pdf_iter:
+                out_d, out_c, out_p = [], [], []
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    doc_ids, tfs, dls = decode_postings(bytes(blob))
+                    if tomb_bc is not None and doc_ids.size:
+                        m = live_mask(doc_ids, tomb_bc.value)
+                        doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                    if cand is not None and doc_ids.size:
+                        if cand.size:
+                            pos = np.minimum(
+                                np.searchsorted(cand, doc_ids), cand.size - 1
+                            )
+                            m = cand[pos] == doc_ids
+                        else:
+                            m = np.zeros(doc_ids.size, bool)
+                        doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                    if doc_ids.size == 0:
+                        continue
+                    partial = idf_b[term] * _tf_norm(
+                        tfs.astype(np.float64), dls.astype(np.float64),
+                        avgdl, k1, b,
+                    )
+                    for cid in tc_b[term]:
+                        out_d.append(doc_ids)
+                        out_c.append(np.full(doc_ids.size, cid, np.int32))
+                        out_p.append(partial)
+                if out_d:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_d),
+                            "clause_id": np.concatenate(out_c),
+                            "partial": np.concatenate(out_p),
+                        }
+                    )
+
+        parts.append(
+            seg.mapInPandas(
+                score_slices, schema="doc_id long, clause_id int, partial double"
+            )
+        )
+
+    # ---- positional-clause partial streams (phrase/NEAR as synthetic term)
+    for cid, c in positional:
+        matched, stats_df = positional_matches(
+            spark, index_dir, list(c.terms), window=c.window
+        )
+        dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("df_phrase"))
+        parts.append(
+            matched.crossJoin(F.broadcast(stats_df))
+            .crossJoin(F.broadcast(dfp))
+            .select(
+                "doc_id",
+                F.lit(cid).cast("int").alias("clause_id"),
+                (
+                    idf_expr(F.col("df_phrase"), F.col("n_docs"))
+                    * tf_norm_expr(
+                        F.col("phrase_tf").cast("double"),
+                        F.col("doc_len").cast("double"),
+                        F.col("avgdl"),
+                        k1,
+                        b,
+                    )
+                ).alias("partial"),
+            )
+        )
+
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        allp = allp.join(tomb_over, "doc_id", "left_anti")
+
+    # ---- ONE shuffle: fold partials + MUST coverage per doc
+    must_set = F.array(*[F.lit(i) for i in must_ids]) if must_ids else None
+    agg_cols = [F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")]
+    if must_ids:
+        agg_cols.append(
+            F.count_distinct(
+                F.when(F.array_contains(must_set, F.col("clause_id")),
+                       F.col("clause_id"))
+            ).alias("n_must")
+        )
+    scored = allp.groupBy("doc_id").agg(*agg_cols)
+    if must_ids:
+        scored = scored.filter(F.col("n_must") == len(must_ids)).drop("n_must")
+
+    # ---- MUST_NOT: anti-join the union of excluded doc sets
+    ex = _excluded_docs(spark, index_dir, nots, n_partitions, max_expansions)
+    if ex is not None:
+        scored = scored.join(ex, "doc_id", "left_anti")
+
+    # ---- FILTER: doc_meta predicate semi-join (global scores preserved)
+    for c in filters:
+        meta = (
+            spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+            .filter(c.predicate)
+            .select("doc_id")
+        )
+        scored = scored.join(meta, "doc_id", "left_semi")
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _excluded_docs(
+    spark: SparkSession,
+    index_dir: str,
+    nots: list[Clause],
+    n_partitions: int,
+    max_expansions: int,
+) -> DataFrame | None:
+    """Union of doc_id sets matching any MUST_NOT clause. Term-ish kinds
+    decode doc_ids from a pruned segments scan (tfs/positions ignored);
+    positional kinds reuse positional_matches; predicate kinds read
+    doc_meta. Tombstoned docs need no masking here — they never enter the
+    scored stream, so extra ids in the anti-join side are inert."""
+    if not nots:
+        return None
+    outs: list[DataFrame] = []
+    terms: set[str] = set()
+    for c in nots:
+        if c.kind in ("term", "prefix", "wildcard"):
+            terms.update(_clause_terms(spark, index_dir, c, max_expansions))
+        elif c.kind in ("phrase", "near"):
+            matched, _ = positional_matches(
+                spark, index_dir, list(c.terms), window=c.window
+            )
+            outs.append(matched.select("doc_id"))
+        else:  # negated metadata predicate
+            outs.append(
+                spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+                .filter(c.predicate)
+                .select("doc_id")
+            )
+    if terms:
+        info = probe_dictionary(spark, index_dir, sorted(terms), n_partitions)
+        if info:
+            pids = sorted({v["partition_id"] for v in info.values()})
+            seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+                F.col("partition_id").isin(pids) & F.col("term").isin(sorted(info))
+            )
+
+            def just_docs(pdf_iter):
+                for pdf in pdf_iter:
+                    ids = [
+                        decode_postings(bytes(blob))[0] for blob in pdf["blob"]
+                    ]
+                    if ids:
+                        yield pd.DataFrame({"doc_id": np.concatenate(ids)})
+
+            outs.append(seg.mapInPandas(just_docs, schema="doc_id long"))
+    if not outs:
+        return None
+    ex = outs[0]
+    for o in outs[1:]:
+        ex = ex.unionByName(o)
+    return ex.distinct()
+
+
+def boolean_topk_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    **kw,
+) -> DataFrame:
+    """parse_query + boolean_topk: the one-call query-string surface."""
+    return boolean_topk(spark, index_dir, parse_query(query), k=k, **kw)

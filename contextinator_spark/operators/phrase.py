@@ -272,6 +272,48 @@ def _candidate_positions(
     return pivoted, stats_df
 
 
+def positional_matches(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    window: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared positional-match core: (matched, stats_df) where matched is
+    (doc_id, phrase_tf, doc_len) for every doc satisfying the positional
+    predicate — exact consecutive phrase when window is None, NEAR (all
+    terms within ±window of an anchor terms[0] occurrence) otherwise.
+    Feeds phrase_topk_indexed / near_topk_indexed and the Boolean executor
+    (operators/boolean.py), which scores a positional clause as one
+    synthetic term over this matched set.
+
+    Adjacency check: decode each term's positions, pivot to one row per
+    candidate doc, then |∩_j (P_j − j)| via array_intersect/transform —
+    all JVM-side after the Arrow decode."""
+    pivoted, stats_df = _candidate_positions(spark, index_dir, terms)
+    n = len(terms)
+    if window is None:
+
+        def _shift(j: int):
+            # NOTE: transform's 2-arg lambda form means (element, INDEX) —
+            # a defaulted second parameter would silently receive the index
+            return lambda x: x - F.lit(j)
+
+        inter = F.col("0")
+        for j in range(1, n):
+            inter = F.array_intersect(inter, F.transform(F.col(str(j)), _shift(j)))
+        tf_col = F.size(inter)
+    else:
+        cond = _near_anchor_cond([F.col(str(j)) for j in range(1, n)], window)
+        tf_col = F.size(F.filter(F.col("0"), cond))
+    matched = (
+        pivoted.dropna(subset=[str(j) for j in range(n)])
+        .withColumn("phrase_tf", tf_col)
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "phrase_tf", "doc_len")
+    )
+    return matched, stats_df
+
+
 def phrase_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -282,28 +324,8 @@ def phrase_topk_indexed(
 ) -> DataFrame:
     """(rank, doc_id, score) from the positions index — result-identical to
     phrase_topk on the same corpus (shared oracle), but reads only the
-    phrase terms' blobs instead of scanning the corpus.
-
-    Adjacency check: decode each term's positions, pivot to one row per
-    candidate doc, then |∩_j (P_j − j)| via array_intersect/transform —
-    all JVM-side after the Arrow decode."""
-    pivoted, stats_df = _candidate_positions(spark, index_dir, terms)
-    n = len(terms)
-
-    def _shift(j: int):
-        # NOTE: transform's 2-arg lambda form means (element, INDEX) —
-        # a defaulted second parameter would silently receive the index
-        return lambda x: x - F.lit(j)
-
-    inter = F.col("0")
-    for j in range(1, n):
-        inter = F.array_intersect(inter, F.transform(F.col(str(j)), _shift(j)))
-    matched = (
-        pivoted.dropna(subset=[str(j) for j in range(n)])
-        .withColumn("phrase_tf", F.size(inter))
-        .filter(F.col("phrase_tf") > 0)
-        .select("doc_id", "phrase_tf", "doc_len")
-    )
+    phrase terms' blobs instead of scanning the corpus."""
+    matched, stats_df = positional_matches(spark, index_dir, terms)
     return _rank_matches(matched, stats_df, k, k1, b)
 
 

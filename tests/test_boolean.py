@@ -1,0 +1,252 @@
+"""Boolean query executor: parser, occur semantics, equivalence to the
+specialized executors it composes (disjunctive / conjunctive / positional),
+FILTER score preservation, and the rare-MUST candidate prune."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from contextinator_spark.config import BM25_B, BM25_K1, SCORE_ROUND_DECIMALS
+from contextinator_spark.operators import boolean as B
+from contextinator_spark.operators.boolean import (
+    FILTER,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    Clause,
+    boolean_topk,
+    boolean_topk_query,
+    parse_query,
+)
+
+DOCS = [
+    (0, "hash table hash join", "en"),
+    (1, "spark join spark", "en"),
+    (2, "hash join merge", "de"),
+    (3, "table hash table hash", "de"),
+    (4, "spark hash table", "en"),
+    (5, "merge sort merge", "en"),
+    (6, "join join join hash", "de"),
+    (7, "nothing relevant here", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, content string, lang string")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, docs, tmp_path_factory):
+    from contextinator_spark.operators.phrase import write_phrase_index
+
+    d = str(tmp_path_factory.mktemp("bool_idx"))
+    write_phrase_index(spark, docs, d)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_occurs_and_kinds():
+    cs = parse_query('+hash spark -join "table hash" "big join"~3 mer* s*k lang:en')
+    assert cs == [
+        Clause(MUST, "term", ("hash",)),
+        Clause(SHOULD, "term", ("spark",)),
+        Clause(MUST_NOT, "term", ("join",)),
+        Clause(SHOULD, "phrase", ("table", "hash")),
+        Clause(SHOULD, "near", ("big", "join"), window=3),
+        Clause(SHOULD, "prefix", ("mer",)),
+        Clause(SHOULD, "wildcard", ("s*k",)),
+        Clause(FILTER, "predicate", predicate="lang = 'en'"),
+    ]
+
+
+def test_parse_field_negation_and_like():
+    cs = parse_query("-lang:de hash +path:*test*")
+    assert cs[0] == Clause(MUST_NOT, "predicate", predicate="lang = 'de'")
+    assert cs[2] == Clause(FILTER, "predicate", predicate="path LIKE '%test%'")
+
+
+def test_parse_multitoken_word_becomes_phrase():
+    (c,) = parse_query("foo-bar")
+    assert c == Clause(SHOULD, "phrase", ("foo", "bar"))
+
+
+def test_parse_rejects_bad_input():
+    for bad in ("", '""', "unknown_field:x", "-"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+# ---------------------------------------------------------------------------
+# executor semantics
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return [(r.rank, r.doc_id, r.score) for r in df.collect()]
+
+
+def test_should_terms_equal_disjunctive_executor(spark, idx):
+    from contextinator_spark.operators.bm25_segments import topk_segments
+
+    got = boolean_topk(
+        spark, idx, [Clause(SHOULD, "term", ("hash",)), Clause(SHOULD, "term", ("spark",))]
+    )
+    want = topk_segments(spark, idx, ["hash", "spark"])
+    assert _rows(got) == _rows(want)
+
+
+def test_must_terms_equal_conjunctive_executor(spark, idx):
+    from contextinator_spark.operators.bm25_segments import topk_segments_conjunctive
+
+    got = boolean_topk(
+        spark, idx, [Clause(MUST, "term", ("hash",)), Clause(MUST, "term", ("join",))]
+    )
+    want = topk_segments_conjunctive(spark, idx, ["hash", "join"])
+    assert _rows(got) == _rows(want)
+    assert {d for _, d, _ in _rows(got)} == {0, 2, 6}
+
+
+def test_single_phrase_clause_equals_positional_executor(spark, idx):
+    from contextinator_spark.operators.phrase import phrase_topk_indexed
+
+    got = boolean_topk(spark, idx, [Clause(SHOULD, "phrase", ("table", "hash"))])
+    want = phrase_topk_indexed(spark, idx, ["table", "hash"])
+    assert _rows(got) == _rows(want)
+
+
+def test_must_not_excludes(spark, idx):
+    got = boolean_topk(
+        spark,
+        idx,
+        [Clause(SHOULD, "term", ("hash",)), Clause(MUST_NOT, "term", ("join",))],
+    )
+    ids = {d for _, d, _ in _rows(got)}
+    assert ids == {3, 4}  # hash-docs 0,2,6 all contain join
+
+
+def test_must_not_phrase_and_predicate(spark, idx):
+    got = boolean_topk(
+        spark,
+        idx,
+        [
+            Clause(SHOULD, "term", ("hash",)),
+            Clause(MUST_NOT, "phrase", ("table", "hash")),
+        ],
+    )
+    assert {d for _, d, _ in _rows(got)} == {2, 4, 6}  # 0,3 contain the phrase
+    got2 = boolean_topk(
+        spark,
+        idx,
+        [
+            Clause(SHOULD, "term", ("hash",)),
+            Clause(MUST_NOT, "predicate", predicate="lang = 'de'"),
+        ],
+    )
+    assert {d for _, d, _ in _rows(got2)} == {0, 4}
+
+
+def test_filter_preserves_global_scores(spark, idx):
+    unfiltered = dict(
+        (d, s)
+        for _, d, s in _rows(
+            boolean_topk(spark, idx, [Clause(SHOULD, "term", ("hash",))])
+        )
+    )
+    got = boolean_topk(
+        spark,
+        idx,
+        [
+            Clause(SHOULD, "term", ("hash",)),
+            Clause(FILTER, "predicate", predicate="lang = 'en'"),
+        ],
+    )
+    rows = _rows(got)
+    assert {d for _, d, _ in rows} == {0, 4}
+    for _, d, s in rows:
+        assert s == unfiltered[d]  # scope restricts, never re-weights
+
+
+def test_mixed_query_string_end_to_end(spark, idx):
+    # +hash spark -join "table hash" lang:en  — brute-force expectation
+    toks = {d: c.split() for d, c, _ in DOCS}
+    lang = {d: l for d, _, l in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def tfn(tf, dl):
+        return (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+        )
+
+    def phrase_tf(t):
+        return sum(
+            1 for i in range(len(t) - 1) if t[i] == "table" and t[i + 1] == "hash"
+        )
+
+    df_hash = sum("hash" in t for t in toks.values())
+    df_spark = sum("spark" in t for t in toks.values())
+    df_ph = sum(phrase_tf(t) > 0 for t in toks.values())
+    want = {}
+    for d, t in toks.items():
+        if "hash" not in t or "join" in t or lang[d] != "en":
+            continue
+        s = idf(df_hash) * tfn(t.count("hash"), len(t))
+        if "spark" in t:
+            s += idf(df_spark) * tfn(t.count("spark"), len(t))
+        if phrase_tf(t):
+            s += idf(df_ph) * tfn(phrase_tf(t), len(t))
+        want[d] = round(s, SCORE_ROUND_DECIMALS)
+    got = _rows(
+        boolean_topk_query(spark, idx, '+hash spark -join "table hash" lang:en')
+    )
+    assert {d: s for _, d, s in got} == want
+    # ranking: score desc, doc_id asc
+    assert [d for _, d, _ in got] == sorted(want, key=lambda d: (-want[d], d))
+
+
+def test_prefix_clause_scores_like_prefix_topk(spark, idx):
+    from contextinator_spark.operators.bm25_segments import prefix_topk
+
+    got = boolean_topk(
+        spark, idx, [Clause(SHOULD, "prefix", ("s",))], max_expansions=4
+    )
+    want = prefix_topk(spark, idx, "s", max_expansions=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_rare_must_filter_parity(spark, idx):
+    clauses = [
+        Clause(MUST, "term", ("merge",)),  # rare
+        Clause(SHOULD, "term", ("hash",)),
+        Clause(SHOULD, "term", ("join",)),
+    ]
+    a = boolean_topk(spark, idx, clauses, rare_filter=True)
+    b = boolean_topk(spark, idx, clauses, rare_filter=False)
+    assert _rows(a) == _rows(b)
+    assert {d for _, d, _ in _rows(a)} == {2, 5}
+
+
+def test_must_absent_term_short_circuits(spark, idx):
+    got = boolean_topk(
+        spark,
+        idx,
+        [Clause(MUST, "term", ("zzz_missing",)), Clause(SHOULD, "term", ("hash",))],
+    )
+    assert got.count() == 0
+
+
+def test_requires_scoring_clause(spark, idx):
+    with pytest.raises(ValueError):
+        boolean_topk(spark, idx, [Clause(FILTER, "predicate", predicate="lang='en'")])
+    with pytest.raises(ValueError):
+        boolean_topk(spark, idx, [Clause(MUST, "predicate", predicate="lang='en'")])
