@@ -275,6 +275,22 @@ def cmd_phrase(args, spark) -> None:
     )
 
 
+def cmd_bool(args, spark) -> None:
+    """Lucene-flavored Boolean query over a positions index
+    (operators/boolean.py): `+must should -not "phrase" "near"~N pre*
+    fuz~2 term^boost field:value` — one composable plan for every query
+    form the engine has."""
+    from .operators.boolean import boolean_topk_query
+
+    out = boolean_topk_query(spark, args.index, args.query, k=args.k)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_phrase_build(args, spark) -> None:
     """Write the positions-carrying phrase index (posting_format=2)."""
     from .operators.phrase import write_phrase_index
@@ -411,6 +427,15 @@ def build_parser() -> argparse.ArgumentParser:
              "(0 = exact consecutive phrase)",
     )
     ph.set_defaults(fn=cmd_phrase)
+
+    bq = sub.add_parser(
+        "bool",
+        help='Boolean query: +must should -not "phrase"~N pre* fuz~2 t^boost field:v',
+    )
+    bq.add_argument("--query", required=True)
+    bq.add_argument("--index", required=True, help="positions index dir")
+    bq.add_argument("--k", type=int, default=10)
+    bq.set_defaults(fn=cmd_bool)
 
     pb = sub.add_parser("phrase-build", help="write the positions phrase index")
     pb.add_argument("--corpus", required=True)

@@ -904,6 +904,59 @@ def sql_phrase_batch() -> str:
     return " UNION ALL ".join(parts)
 
 
+# Fuzzy query (Lucene FuzzyQuery): a misspelled seed whose edit-distance-≤2
+# dictionary neighborhood is {group (dist 1), dup (dist 2)} — exercises the
+# closest-first/df-desc/term-asc expansion order AND a rare-term expansion
+FUZZY_QUERY = "grup"
+FUZZY_MAX_EDITS = 2
+
+
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy BM25 top-10: bounded Levenshtein dictionary expansion
+    (bm25_segments.expand_fuzzy) feeding the pruned segment executor as a
+    disjunction — the third MultiTermQuery family after prefix/wildcard.
+    New surface; the reference has no fuzzy search."""
+    from .operators.bm25_segments import fuzzy_topk
+
+    return fuzzy_topk(
+        spark, _cached_index_dir(spark, sf_dir), FUZZY_QUERY,
+        k=10, max_edits=FUZZY_MAX_EDITS,
+    )
+
+
+def sql_bm25_fuzzy() -> str:
+    """Oracle reproduces BOTH stages: the expansion (levenshtein ≤
+    max_edits, closest first, df desc, term asc, bounded) and the
+    disjunctive BM25 sum over it."""
+    from .operators.bm25_segments import MAX_EXPANSIONS
+
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+dfs_all AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term),
+q AS (SELECT term, df FROM dfs_all
+      WHERE levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_MAX_EDITS}
+      ORDER BY levenshtein(term, '{FUZZY_QUERY}'), df DESC, term
+      LIMIT {MAX_EXPANSIONS}),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post p JOIN q ON p.term = q.term
+       JOIN meta m ON p.doc_id = m.doc_id
+       CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+
+
 # Boolean query (Lucene occur algebra) graded end-to-end through the
 # query-string parser: MUST hash, SHOULD spark, MUST_NOT join, SHOULD
 # phrase "table hash", FILTER lang='en' — every clause family in one plan
@@ -951,6 +1004,67 @@ dfp AS (SELECT CAST(count(*) AS DOUBLE) AS dfp FROM pmm),
 pp AS (
   SELECT 3 AS cid, FALSE AS is_must, pmm.doc_id,
          ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+         * (pmm.ptf * ({k1} + 1.0))
+         / (pmm.ptf + {k1} * (1.0 - {b} + {b} * pmm.doc_len / s.avgdl)) AS partial
+  FROM pmm CROSS JOIN stats s CROSS JOIN dfp d),
+allp AS (SELECT * FROM tp UNION ALL SELECT * FROM pp),
+agg AS (SELECT doc_id, CAST(round(sum(partial), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score,
+               count(DISTINCT CASE WHEN is_must THEN cid END) AS nm
+        FROM allp GROUP BY doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM agg
+  WHERE nm = 1
+    AND doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'join')
+    AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+) WHERE rank <= 10
+"""
+
+
+# BOOLEAN_QUERY with Lucene ^w boosts on every scoring clause (the filter
+# clauses are boost-inert) — grades the boost multiplier end-to-end through
+# the parser, the term kernel, and the positional partial stream
+BOOSTED_QUERY = '+hash^2 spark^0.5 -join "table hash"^3 lang:en'
+
+
+def q_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted Boolean BM25 top-10: score = Σ boost_c · partial_c with the
+    same occur semantics as bm25_boolean."""
+    from .operators.boolean import boolean_topk_query
+
+    return boolean_topk_query(
+        spark, _cached_phrase_index_dir(spark, sf_dir), BOOSTED_QUERY, k=10
+    )
+
+
+def sql_bm25_boosted() -> str:
+    """sql_bm25_boolean with per-clause boost multipliers: hash ×2,
+    spark ×0.5, phrase [table, hash] ×3."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+q(cid, is_must, term, boost) AS (VALUES (0, TRUE, 'hash', 2.0), (1, FALSE, 'spark', 0.5)),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM post WHERE term IN (SELECT term FROM q) GROUP BY term),
+tp AS (
+  SELECT q.cid, q.is_must, p.doc_id,
+         q.boost * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * ({k1} + 1.0))
+         / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl)) AS partial
+  FROM post p JOIN q ON p.term = q.term JOIN dfs d ON p.term = d.term
+       JOIN meta m ON p.doc_id = m.doc_id CROSS JOIN stats s),
+toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+pm AS (SELECT doc_id,
+              CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'hash')) AS INT) AS ptf,
+              CAST(len(t) AS INT) AS doc_len
+       FROM toks),
+pmm AS (SELECT * FROM pm WHERE ptf > 0),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS dfp FROM pmm),
+pp AS (
+  SELECT 3 AS cid, FALSE AS is_must, pmm.doc_id,
+         3.0 * ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
          * (pmm.ptf * ({k1} + 1.0))
          / (pmm.ptf + {k1} * (1.0 - {b} + {b} * pmm.doc_len / s.avgdl)) AS partial
   FROM pmm CROSS JOIN stats s CROSS JOIN dfp d),
@@ -1316,6 +1430,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "near_indexed": (q_near_indexed, sql_near_topk()),
         "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
+        "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),
+        "bm25_boosted": (q_bm25_boosted, sql_bm25_boosted()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (

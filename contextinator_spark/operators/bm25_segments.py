@@ -1112,6 +1112,79 @@ def expand_wildcard(
     return _top_df_terms(base.filter(F.col("term").rlike(rx)), max_expansions)
 
 
+def expand_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dictionary terms within Levenshtein distance ≤ max_edits of `term`
+    (Lucene FuzzyQuery rewrite; new surface — the reference has no fuzzy
+    search). Selection keeps the CLOSEST expansions first (distance asc,
+    then df desc, then term asc — Lucene's closeness-then-frequency
+    blending made deterministic), bounded by max_expansions so the DuckDB
+    oracle can reproduce the exact expansion. `prefix_length` pins the
+    first N chars exact (Lucene FuzzyQuery.prefixLength), shrinking the
+    dictionary slice the edit-distance kernel runs over.
+
+    Scale: same story as expand_prefix — the scan is over the in-memory
+    vocabulary-sized dictionary, never postings, and the length band
+    ±max_edits plus the optional prefix pre-filter prune before the
+    O(len²) levenshtein kernel runs. Spark's bounded 3-arg levenshtein
+    early-exits rows whose distance exceeds max_edits (returns -1)."""
+    t = term.lower()
+    if not t:
+        raise ValueError("fuzzy term must be non-empty")
+    if max_edits < 1:
+        raise ValueError("max_edits must be ≥ 1 (0 is an exact term query)")
+    base = _terms_df(spark, index_dir)
+    if prefix_length > 0:
+        base = base.filter(F.col("term").startswith(t[:prefix_length]))
+    # cheap necessary condition before the edit-distance kernel
+    base = base.filter(
+        F.abs(F.length("term") - F.lit(len(t))) <= int(max_edits)
+    )
+    rows = (
+        base.groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(t), int(max_edits))
+        )
+        .filter(F.col("dist") >= 0)  # 3-arg levenshtein → -1 over threshold
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+        .collect()
+    )
+    return sorted(r["term"] for r in rows)
+
+
+def fuzzy_topk(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_edits: int = 2,
+    prefix_length: int = 0,
+    max_expansions: int = MAX_EXPANSIONS,
+    **kw,
+) -> DataFrame:
+    """(rank, doc_id, score) for a fuzzy query: rewrite to the bounded
+    edit-distance expansion's disjunction and run the pruned segment
+    executor — same BooleanQuery(SHOULD) rewrite contract as
+    prefix_topk/wildcard_topk, so all three MultiTermQuery families
+    share one scoring definition and one executor."""
+    terms = expand_fuzzy(
+        spark, index_dir, term, max_edits, prefix_length, max_expansions
+    )
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)
+
+
 def prefix_topk(
     spark: SparkSession,
     index_dir: str,

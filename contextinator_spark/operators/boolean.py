@@ -10,19 +10,21 @@ store, unifying every query form the engine has into one composable plan:
               (idf/df/avgdl stay collection-global — Lucene FILTER clause,
               same contract as bm25_segments.scoped_topk_segments)
 
-Clause kinds: ``term``, ``prefix``/``wildcard`` (bounded MultiTermQuery
-rewrite via bm25_segments.expand_prefix/expand_wildcard), ``phrase`` and
-``near`` (positional, scored as ONE synthetic term over the matched set —
-phrase.positional_matches), ``predicate`` (FILTER / negated FILTER).
+Clause kinds: ``term``, ``prefix``/``wildcard``/``fuzzy`` (bounded
+MultiTermQuery rewrite via bm25_segments.expand_prefix/expand_wildcard/
+expand_fuzzy), ``phrase`` and ``near`` (positional, scored as ONE
+synthetic term over the matched set — phrase.positional_matches),
+``predicate`` (FILTER / negated FILTER).
 
-score(d) = round(Σ_{matching scoring clauses c} partial_c(d), 6) where a
-term clause's partial is idf·tf_norm (global df), a prefix/wildcard
-clause's partial is the Σ over its expansion (identical to prefix_topk),
-and a positional clause's partial is BM25 with df = |matched docs|,
-tf = occurrence count (identical to phrase_topk_indexed's scoring).
-Query-string form (parse_query):
+score(d) = round(Σ_{matching scoring clauses c} boost_c · partial_c(d), 6)
+where a term clause's partial is idf·tf_norm (global df), a
+prefix/wildcard/fuzzy clause's partial is the Σ over its expansion
+(identical to prefix_topk/fuzzy_topk), a positional clause's partial is
+BM25 with df = |matched docs|, tf = occurrence count (identical to
+phrase_topk_indexed's scoring), and boost_c is the Lucene `^w` multiplier
+(default 1). Query-string form (parse_query):
 
-    +hash spark -join "table hash" "big table"~3 mer* lang:en -path:*test*
+    +hash spark^0.5 -join "table hash"^2 "big table"~3 mer* grup~1 lang:en
 
 Scale shape (the reason this is one plan, not k plans):
   * every posting read is partition-pruned (dictionary probe first; a
@@ -69,6 +71,7 @@ from .bm25_segments import (
     _spread_slices,
     _tf_norm,
     _tombstones,
+    expand_fuzzy,
     expand_prefix,
     expand_wildcard,
     load_stats,
@@ -85,29 +88,40 @@ _RESULT_SCHEMA = "rank int, doc_id long, score double"
 
 @dataclass(frozen=True)
 class Clause:
-    """One Boolean clause. kind ∈ {term, prefix, wildcard, phrase, near,
-    predicate}; `terms` carries the token sequence (term/phrase/near) or
-    the single pattern (prefix/wildcard); `window` is the NEAR radius;
-    `predicate` is a SQL expression over the store's doc_meta columns."""
+    """One Boolean clause. kind ∈ {term, prefix, wildcard, fuzzy, phrase,
+    near, predicate}; `terms` carries the token sequence (term/phrase/near)
+    or the single pattern (prefix/wildcard/fuzzy); `window` is the NEAR
+    radius — or, for a fuzzy clause, the max edit distance; `predicate` is
+    a SQL expression over the store's doc_meta columns; `boost` multiplies
+    the clause's score partial (Lucene `^w` — scoring clauses only, inert
+    on MUST_NOT/FILTER)."""
 
     occur: str
     kind: str
     terms: tuple[str, ...] = field(default=())
     window: int | None = None
     predicate: str | None = None
+    boost: float = 1.0
 
 
 _TOKEN_RX = re.compile(r"[a-z0-9_]+")
-# scanner: quoted phrase (optional ~N), field:value, or a bare word
+# scanner: quoted phrase (optional ~N slop, optional ^boost), field:value,
+# or a bare word (fuzzy/boost suffixes on words are peeled off in code —
+# the word atom must stay greedy so `mer*` and `foo-bar` survive intact)
 _SCAN_RX = re.compile(
     r"""\s*(?P<occur>[+-]?)
         (?:
           "(?P<phrase>[^"]*)"(?:~(?P<window>\d+))?
+          (?:\^(?P<pboost>\d+(?:\.\d+)?))?
         | (?P<fld>[A-Za-z_][A-Za-z0-9_]*):(?P<val>[^\s"]+)
         | (?P<word>[^\s"]+)
         )""",
     re.VERBOSE,
 )
+# word suffixes, Lucene order: term~2^3 (fuzzy before boost); `~` alone
+# means the Lucene default of 2 edits
+_FUZZ_RX = re.compile(r"~(?P<edits>[012]?)$")
+_BOOST_RX = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)$")
 
 # doc_meta columns a field clause may target (resident store metadata;
 # anything else would silently match nothing)
@@ -126,11 +140,13 @@ def parse_query(q: str) -> list[Clause]:
 
     `+x` → MUST, `-x` → MUST_NOT, bare → SHOULD; `"a b"` phrase,
     `"a b"~N` NEAR with window N; a word containing `*` → wildcard
-    (trailing-only `*` → prefix); `field:value` → FILTER predicate
-    (field ∈ FILTER_FIELDS; `value` may carry `*` → SQL LIKE), `-field:value`
-    excludes instead. Multi-token words ("foo-bar") become phrases — the
-    tokenizer would index them adjacently, so the faithful query is
-    positional."""
+    (trailing-only `*` → prefix); `word~`/`word~1`/`word~2` → fuzzy
+    (Lucene FuzzyQuery; bare `~` = 2 edits); any scoring atom may carry a
+    trailing `^w` boost (fuzzy-then-boost order, `grup~1^2.5`);
+    `field:value` → FILTER predicate (field ∈ FILTER_FIELDS; `value` may
+    carry `*` → SQL LIKE), `-field:value` excludes instead. Multi-token
+    words ("foo-bar") become phrases — the tokenizer would index them
+    adjacently, so the faithful query is positional."""
     clauses: list[Clause] = []
     pos = 0
     while pos < len(q):
@@ -146,12 +162,17 @@ def parse_query(q: str) -> list[Clause]:
             if not terms:
                 raise ValueError("empty phrase clause")
             w = m.group("window")
+            pb = m.group("pboost")
             clauses.append(
                 Clause(occur, "near" if w else "phrase", terms,
-                       window=int(w) if w else None)
+                       window=int(w) if w else None,
+                       boost=float(pb) if pb else 1.0)
             )
         elif m.group("fld") is not None:
             fld, val = m.group("fld").lower(), m.group("val")
+            vb = _BOOST_RX.search(val)
+            if vb:  # boost on a filter-context clause is inert (Lucene)
+                val = val[: vb.start()]
             if fld not in FILTER_FIELDS:
                 raise ValueError(
                     f"unknown filter field {fld!r} (have {FILTER_FIELDS})"
@@ -170,7 +191,18 @@ def parse_query(q: str) -> list[Clause]:
             )
         else:
             word = m.group("word")
+            boost, edits = 1.0, None
+            bm = _BOOST_RX.search(word)
+            if bm:
+                boost, word = float(bm.group("boost")), word[: bm.start()]
+            fm = _FUZZ_RX.search(word)
+            if fm:
+                edits, word = int(fm.group("edits") or 2), word[: fm.start()]
+            if not word:
+                raise ValueError("dangling ~/^ suffix with no term")
             if "*" in word:
+                if edits is not None:
+                    raise ValueError(f"wildcard cannot also be fuzzy: {word!r}~")
                 body = word.lower()
                 if not _TOKEN_RX.fullmatch(body.replace("*", "")):
                     raise ValueError(f"bad wildcard pattern {word!r}")
@@ -180,15 +212,24 @@ def parse_query(q: str) -> list[Clause]:
                     else "wildcard"
                 )
                 pat = body[:-1] if kind == "prefix" else body
-                clauses.append(Clause(occur, kind, (pat,)))
+                clauses.append(Clause(occur, kind, (pat,), boost=boost))
             else:
                 terms = _toks(word)
                 if not terms:
                     raise ValueError(f"word {word!r} has no indexable tokens")
-                if len(terms) == 1:
-                    clauses.append(Clause(occur, "term", terms))
+                if edits is not None:
+                    if len(terms) != 1:
+                        raise ValueError(f"fuzzy needs a single token: {word!r}")
+                    if edits == 0:  # term~0 is an exact term query
+                        clauses.append(Clause(occur, "term", terms, boost=boost))
+                    else:
+                        clauses.append(
+                            Clause(occur, "fuzzy", terms, window=edits, boost=boost)
+                        )
+                elif len(terms) == 1:
+                    clauses.append(Clause(occur, "term", terms, boost=boost))
                 else:  # "foo-bar" indexes as adjacent tokens → phrase
-                    clauses.append(Clause(occur, "phrase", terms))
+                    clauses.append(Clause(occur, "phrase", terms, boost=boost))
     if not clauses:
         raise ValueError("empty query")
     return clauses
@@ -197,14 +238,19 @@ def parse_query(q: str) -> list[Clause]:
 def _clause_terms(
     spark: SparkSession, index_dir: str, c: Clause, max_expansions: int
 ) -> list[str]:
-    """Terms a term-ish clause scores over (prefix/wildcard → bounded
-    dictionary expansion; dictionary-only, zero posting reads)."""
+    """Terms a term-ish clause scores over (prefix/wildcard/fuzzy →
+    bounded dictionary expansion; dictionary-only, zero posting reads)."""
     if c.kind == "term":
         return list(c.terms)
     if c.kind == "prefix":
         return expand_prefix(spark, index_dir, c.terms[0], max_expansions)
     if c.kind == "wildcard":
         return expand_wildcard(spark, index_dir, c.terms[0], max_expansions)
+    if c.kind == "fuzzy":
+        return expand_fuzzy(
+            spark, index_dir, c.terms[0],
+            max_edits=c.window or 2, max_expansions=max_expansions,
+        )
     raise ValueError(f"not a term clause: {c.kind}")
 
 
@@ -241,7 +287,8 @@ def boolean_topk(
     # ---- expansion + dictionary probe (metadata-scale, no posting reads)
     termish = [
         (cid, c) for cid, c in enumerate(clauses)
-        if c.occur in (MUST, SHOULD) and c.kind in ("term", "prefix", "wildcard")
+        if c.occur in (MUST, SHOULD)
+        and c.kind in ("term", "prefix", "wildcard", "fuzzy")
     ]
     positional = [
         (cid, c) for cid, c in enumerate(clauses)
@@ -308,6 +355,7 @@ def boolean_topk(
             seg, spark, sum(int(info[t]["df"]) for t in term_clauses)
         )
         idf_b, tc_b = dict(idf), dict(term_clauses)
+        boost_b = {cid: float(c.boost) for cid, c in termish}
 
         def score_slices(pdf_iter):
             cand = cand_bc.value if cand_bc is not None else None
@@ -336,7 +384,8 @@ def boolean_topk(
                     for cid in tc_b[term]:
                         out_d.append(doc_ids)
                         out_c.append(np.full(doc_ids.size, cid, np.int32))
-                        out_p.append(partial)
+                        w = boost_b[cid]
+                        out_p.append(partial if w == 1.0 else partial * w)
                 if out_d:
                     yield pd.DataFrame(
                         {
@@ -373,6 +422,7 @@ def boolean_topk(
                         k1,
                         b,
                     )
+                    * F.lit(float(c.boost))
                 ).alias("partial"),
             )
         )
@@ -437,7 +487,7 @@ def _excluded_docs(
     outs: list[DataFrame] = []
     terms: set[str] = set()
     for c in nots:
-        if c.kind in ("term", "prefix", "wildcard"):
+        if c.kind in ("term", "prefix", "wildcard", "fuzzy"):
             terms.update(_clause_terms(spark, index_dir, c, max_expansions))
         elif c.kind in ("phrase", "near"):
             matched, _ = positional_matches(

@@ -250,3 +250,87 @@ def test_requires_scoring_clause(spark, idx):
         boolean_topk(spark, idx, [Clause(FILTER, "predicate", predicate="lang='en'")])
     with pytest.raises(ValueError):
         boolean_topk(spark, idx, [Clause(MUST, "predicate", predicate="lang='en'")])
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (Lucene FuzzyQuery) and boosts (^w)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_fuzzy_and_boost_suffixes():
+    cs = parse_query('grup~1^2.5 hash^2 sort~ "table hash"^3 "big join"~2^0.5 mer*^4')
+    assert cs == [
+        Clause(SHOULD, "fuzzy", ("grup",), window=1, boost=2.5),
+        Clause(SHOULD, "term", ("hash",), boost=2.0),
+        Clause(SHOULD, "fuzzy", ("sort",), window=2),  # bare ~ = 2 edits
+        Clause(SHOULD, "phrase", ("table", "hash"), boost=3.0),
+        Clause(SHOULD, "near", ("big", "join"), window=2, boost=0.5),
+        Clause(SHOULD, "prefix", ("mer",), boost=4.0),
+    ]
+    # term~0 is an exact term; boost on a filter field is inert
+    assert parse_query("hash~0")[0] == Clause(SHOULD, "term", ("hash",))
+    assert parse_query("lang:en^2")[0] == Clause(
+        FILTER, "predicate", predicate="lang = 'en'"
+    )
+    with pytest.raises(ValueError):
+        parse_query("~2")  # dangling suffix
+    with pytest.raises(ValueError):
+        parse_query("mer*~1")  # wildcard can't be fuzzy
+
+
+def test_expand_fuzzy_ordering_and_bound(spark, idx):
+    from contextinator_spark.operators.bm25_segments import expand_fuzzy
+
+    # dist("har","hash")=2, dist("har","here")=2 — tie broken by df desc
+    # (hash df=5 > here df=1), so max_expansions=1 keeps hash
+    assert expand_fuzzy(spark, idx, "har", max_edits=2) == ["hash", "here"]
+    assert expand_fuzzy(spark, idx, "har", max_edits=2, max_expansions=1) == ["hash"]
+    assert expand_fuzzy(spark, idx, "hsh", max_edits=1) == ["hash"]
+    assert expand_fuzzy(spark, idx, "zzzz", max_edits=2) == []
+    # prefix_length pins the head: here starts with 'he', hash doesn't match 'ha'? it does
+    assert expand_fuzzy(spark, idx, "har", max_edits=2, prefix_length=2) == ["hash"]
+    with pytest.raises(ValueError):
+        expand_fuzzy(spark, idx, "x", max_edits=0)
+
+
+def test_fuzzy_topk_equals_expanded_disjunction(spark, idx):
+    from contextinator_spark.operators.bm25_segments import fuzzy_topk, topk_segments
+
+    got = fuzzy_topk(spark, idx, "har", max_edits=2)
+    want = topk_segments(spark, idx, ["hash", "here"])
+    assert _rows(got) == _rows(want)
+    assert fuzzy_topk(spark, idx, "zzzz", max_edits=2).count() == 0
+
+
+def test_boolean_fuzzy_clause_equals_fuzzy_topk(spark, idx):
+    from contextinator_spark.operators.bm25_segments import fuzzy_topk
+
+    got = boolean_topk_query(spark, idx, "har~2")
+    want = fuzzy_topk(spark, idx, "har", max_edits=2)
+    assert _rows(got) == _rows(want)
+
+
+def test_boolean_fuzzy_must_not(spark, idx):
+    # -jion~2 expands to join: excludes docs 0,1,2,6
+    got = boolean_topk_query(spark, idx, "hash -jion~2")
+    assert {d for _, d, _ in _rows(got)} == {3, 4}
+
+
+def test_term_boost_scales_partials(spark, idx):
+    base_h = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "hash"))}
+    base_s = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "spark"))}
+    got = _rows(boolean_topk_query(spark, idx, "hash^2 spark^0.5"))
+    for _, d, s in got:
+        want = 2.0 * base_h.get(d, 0.0) + 0.5 * base_s.get(d, 0.0)
+        assert s == pytest.approx(want, abs=2e-6)
+    # ranking follows the boosted scores
+    scores = [s for _, _, s in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_boost_scales_partials(spark, idx):
+    base = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, '"table hash"'))}
+    got = _rows(boolean_topk_query(spark, idx, '"table hash"^3'))
+    assert {d for _, d, _ in got} == set(base)
+    for _, d, s in got:
+        assert s == pytest.approx(3.0 * base[d], abs=2e-6)

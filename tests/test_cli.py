@@ -290,3 +290,17 @@ def test_cli_query_where_scopes_results(capsys, spark, index_dir):
     by_id = {r["doc_id"]: r["score"] for r in full}
     for r in scoped:  # every scoped hit keeps its global score
         assert by_id[r["doc_id"]] == r["score"]
+
+
+def test_cli_bool_query(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_bool_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "bool", "--index", d,
+        "--query", '+hash spark^0.5 -join "table hash"^2 grup~1', "--k", "5",
+    )
+    assert out, "bool query returned no rows"
+    recs = [json.loads(x) for x in out]
+    assert {"rank", "doc_id", "score"} <= set(recs[0])
+    scores = [r["score"] for r in recs]
+    assert scores == sorted(scores, reverse=True)
