@@ -223,8 +223,22 @@ def cmd_query(args, spark) -> None:
         out = topk_segments(
             spark, args.index, terms, k=args.k, prune=not args.no_prune
         )
-    rows = out.collect()
     fold = getattr(args, "toon_fold", False)
+    if getattr(args, "snippets", None):
+        from .operators.snippets import best_line_snippets, highlight
+
+        snip = best_line_snippets(
+            _corpus(spark, args.snippets), out, terms
+        ).withColumn("snippet", highlight("snippet", terms))
+        _emit(
+            snip.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<12} "
+                      f"{d['line_no']:>5}:  {d['snippet']}",
+            fold,
+        )
+        return
+    rows = out.collect()
     _emit(
         rows,
         args.format,
@@ -413,6 +427,11 @@ def build_parser() -> argparse.ArgumentParser:
         "Lucene FILTER clause; scores stay global",
     )
     q.add_argument("--facets", action="store_true", help="append facet summary")
+    q.add_argument(
+        "--snippets", metavar="CORPUS",
+        help="render each hit's best line from this corpus parquet, query "
+             "terms «highlighted» (doc_id-pruned read of just the k hits)",
+    )
     q.set_defaults(fn=cmd_query)
 
     ph = sub.add_parser("phrase", help="consecutive-token phrase search (BM25)")

@@ -1082,6 +1082,55 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page snippets for the flagship BM25 top-10: each hit's
+    highest-term-density line (earliest on ties), read via a doc_id-pruned
+    corpus scan (operators/snippets.py)."""
+    from .operators.bm25_segments import topk_segments
+    from .operators.snippets import best_line_snippets
+
+    hits = topk_segments(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )
+    return best_line_snippets(_docs(spark, sf_dir), hits, BM25_QUERY_TERMS)
+
+
+def sql_snippets() -> str:
+    """Oracle: BM25 top-10 (shared CTE chain), then per-doc best line by
+    query-term token count desc, line_no asc."""
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return (
+        _bm25_sql(values)
+        + f""",
+topk AS (
+  SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+    FROM scored) WHERE rank <= 10),
+doclines AS (
+  SELECT doc_id, CAST(e['line_no'] AS INT) AS line_no, e['line'] AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(lines)),
+                                 i -> {{'line_no': i, 'line': lines[i]}})) AS e
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM topk)))),
+lh AS (
+  SELECT doc_id, line_no, line,
+         CAST(len(list_filter(
+           list_filter(regexp_split_to_array(lower(line), '[^a-z0-9_]+'), x -> x <> ''),
+           t -> t IN ({terms_in}))) AS INT) AS n_hits
+  FROM doclines),
+best AS (
+  SELECT doc_id, line_no, n_hits, line,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, line_no) AS rn
+  FROM lh)
+SELECT t.rank, t.doc_id, t.score, b.line_no, b.n_hits, b.line AS snippet
+FROM topk t JOIN best b ON t.doc_id = b.doc_id AND b.rn = 1
+"""
+    )
+
+
 def q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunker output over the corpus adapter (not SQL-expressible —
     driver records the rows-only check; pytest holds the real invariants)."""
@@ -1432,6 +1481,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),
         "bm25_boosted": (q_bm25_boosted, sql_bm25_boosted()),
+        "snippets": (q_snippets, sql_snippets()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (

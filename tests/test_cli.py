@@ -304,3 +304,14 @@ def test_cli_bool_query(capsys, spark, tmp_path_factory):
     assert {"rank", "doc_id", "score"} <= set(recs[0])
     scores = [r["score"] for r in recs]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_query_snippets(capsys, spark, index_dir):
+    out = run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "hash table",
+        "--k", "3", "--snippets", SF,
+    )
+    recs = [json.loads(x) for x in out]
+    assert len(recs) == 3
+    assert {"rank", "doc_id", "score", "line_no", "n_hits", "snippet"} <= set(recs[0])
+    assert any("«" in r["snippet"] for r in recs)  # highlighter ran
