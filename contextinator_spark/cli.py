@@ -296,7 +296,31 @@ def cmd_bool(args, spark) -> None:
     form the engine has."""
     from .operators.boolean import boolean_topk_query
 
-    out = boolean_topk_query(spark, args.index, args.query, k=args.k)
+    tie = getattr(args, "dismax", None)
+    out = boolean_topk_query(
+        spark, args.index, args.query, k=args.k,
+        combine="sum" if tie is None else "dismax",
+        tie_breaker=tie or 0.0,
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+        getattr(args, "toon_fold", False),
+    )
+
+
+def cmd_mlt(args, spark) -> None:
+    """More-Like-This: top-k docs most similar to --doc-id by lexical
+    overlap (operators/mlt.py) — interesting terms from the source doc
+    (tf/df gates, idf·tf ranking) run as a bounded disjunction."""
+    from .operators.mlt import more_like_this
+
+    out = more_like_this(
+        spark, args.index, _corpus(spark, args.corpus), args.doc_id,
+        k=args.k, max_query_terms=args.max_terms,
+        min_tf=args.min_tf, min_df=args.min_df,
+    )
     _emit(
         out.collect(),
         args.format,
@@ -454,7 +478,23 @@ def build_parser() -> argparse.ArgumentParser:
     bq.add_argument("--query", required=True)
     bq.add_argument("--index", required=True, help="positions index dir")
     bq.add_argument("--k", type=int, default=10)
+    bq.add_argument(
+        "--dismax", type=float, nargs="?", const=0.0, default=None,
+        metavar="TIE",
+        help="DisjunctionMax combiner: score = best clause + TIE × rest "
+             "(default combiner is BooleanQuery sum)",
+    )
     bq.set_defaults(fn=cmd_bool)
+
+    ml = sub.add_parser("mlt", help="more-like-this: docs similar to a doc_id")
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--corpus", required=True, help="corpus parquet (source doc read)")
+    ml.add_argument("--doc-id", type=int, required=True)
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=25)
+    ml.add_argument("--min-tf", type=int, default=2)
+    ml.add_argument("--min-df", type=int, default=2)
+    ml.set_defaults(fn=cmd_mlt)
 
     pb = sub.add_parser("phrase-build", help="write the positions phrase index")
     pb.add_argument("--corpus", required=True)

@@ -1082,6 +1082,124 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+# DisjunctionMax over three scoring clauses (two terms + a phrase): the
+# per-doc score is the BEST clause plus tie_breaker × the rest
+DISMAX_QUERY = 'hash spark "table hash"'
+DISMAX_TIE = 0.3
+
+
+def q_bm25_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisjunctionMaxQuery top-10 (operators/boolean.py combine='dismax'):
+    each clause folds to its own score first, then
+    score = max + tie·rest."""
+    from .operators.boolean import boolean_topk_query
+
+    return boolean_topk_query(
+        spark, _cached_phrase_index_dir(spark, sf_dir), DISMAX_QUERY,
+        k=10, combine="dismax", tie_breaker=DISMAX_TIE,
+    )
+
+
+def sql_bm25_dismax() -> str:
+    """Oracle: per-clause partials (cid 0 hash, 1 spark, 2 phrase), folded
+    per (doc, cid), then max + tie·(sum − max)."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+q(cid, term) AS (VALUES (0, 'hash'), (1, 'spark')),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        FROM post WHERE term IN (SELECT term FROM q) GROUP BY term),
+tp AS (
+  SELECT q.cid, p.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * ({k1} + 1.0))
+         / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl)) AS partial
+  FROM post p JOIN q ON p.term = q.term JOIN dfs d ON p.term = d.term
+       JOIN meta m ON p.doc_id = m.doc_id CROSS JOIN stats s),
+toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+pm AS (SELECT doc_id,
+              CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'hash')) AS INT) AS ptf,
+              CAST(len(t) AS INT) AS doc_len
+       FROM toks),
+pmm AS (SELECT * FROM pm WHERE ptf > 0),
+dfp AS (SELECT CAST(count(*) AS DOUBLE) AS dfp FROM pmm),
+pp AS (
+  SELECT 2 AS cid, pmm.doc_id,
+         ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+         * (pmm.ptf * ({k1} + 1.0))
+         / (pmm.ptf + {k1} * (1.0 - {b} + {b} * pmm.doc_len / s.avgdl)) AS partial
+  FROM pmm CROSS JOIN stats s CROSS JOIN dfp d),
+allp AS (SELECT * FROM tp UNION ALL SELECT * FROM pp),
+per_clause AS (SELECT doc_id, cid, sum(partial) AS cscore FROM allp GROUP BY doc_id, cid),
+agg AS (SELECT doc_id,
+               CAST(round(max(cscore) + {DISMAX_TIE} * (sum(cscore) - max(cscore)),
+                          {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+        FROM per_clause GROUP BY doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM agg) WHERE rank <= 10
+"""
+
+
+# More-Like-This: docs most similar to MLT_DOC_ID by lexical overlap —
+# max_query_terms=5 keeps the interestingness bound ACTIVE at sf0.01
+# (doc 0 has 7 candidate terms at min_tf=2)
+MLT_DOC_ID = 0
+MLT_PARAMS = dict(max_query_terms=5, min_tf=2, min_df=2)
+
+
+def q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This top-10 for MLT_DOC_ID (operators/mlt.py): interesting
+    terms (tf/df gates, idf·tf order, bounded) → disjunctive BM25, source
+    doc excluded."""
+    from .operators.mlt import more_like_this
+
+    return more_like_this(
+        spark, _cached_index_dir(spark, sf_dir), _docs(spark, sf_dir),
+        MLT_DOC_ID, k=10, **MLT_PARAMS,
+    )
+
+
+def sql_mlt() -> str:
+    """Oracle reproduces the full MLT chain: source-doc tf, candidate df,
+    interestingness ranking with bound, disjunctive BM25, source excluded."""
+    k1, b = BM25_K1, BM25_B
+    p = MLT_PARAMS
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+src AS (SELECT unnest({SQL_TOKENS}) AS term FROM documents WHERE doc_id = {MLT_DOC_ID}),
+tfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM src
+        GROUP BY term HAVING count(*) >= {p['min_tf']}),
+cdf AS (SELECT p.term, CAST(count(*) AS DOUBLE) AS df FROM post p
+        WHERE p.term IN (SELECT term FROM tfs) GROUP BY p.term),
+q AS (SELECT t.term, d.df FROM tfs t JOIN cdf d ON t.term = d.term
+      CROSS JOIN stats s
+      WHERE d.df >= {p['min_df']}
+      ORDER BY ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * t.tf DESC,
+               t.term
+      LIMIT {p['max_query_terms']}),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post p JOIN q ON p.term = q.term
+       JOIN meta m ON p.doc_id = m.doc_id
+       CROSS JOIN stats s
+  WHERE p.doc_id <> {MLT_DOC_ID}
+  GROUP BY p.doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+
+
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result-page snippets for the flagship BM25 top-10: each hit's
     highest-term-density line (earliest on ties), read via a doc_id-pruned
@@ -1482,6 +1600,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),
         "bm25_boosted": (q_bm25_boosted, sql_bm25_boosted()),
         "snippets": (q_snippets, sql_snippets()),
+        "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
+        "mlt": (q_mlt, sql_mlt()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (

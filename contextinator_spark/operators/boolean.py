@@ -263,12 +263,24 @@ def boolean_topk(
     b: float = BM25_B,
     max_expansions: int = MAX_EXPANSIONS,
     rare_filter: bool = True,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """(rank, doc_id, score) for a Boolean query over the segment store.
+
+    `combine` picks the cross-clause score combiner: "sum" is
+    BooleanQuery (Σ over matching scoring clauses); "dismax" is
+    DisjunctionMaxQuery — each scoring CLAUSE first folds to its own
+    score (a prefix/fuzzy clause is internally still a sum over its
+    expansion, per Lucene's rewrite), then
+    score(d) = max_c + tie_breaker · Σ_{c' ≠ argmax} c'. Occur semantics
+    (MUST coverage, MUST_NOT, FILTER) are combiner-independent.
 
     Positional clauses (phrase/near) require a positions store
     (posting_format=2, segments.write_index(positions=True)); term-only
     queries run on either format."""
+    if combine not in ("sum", "dismax"):
+        raise ValueError(f"combine must be sum|dismax, got {combine!r}")
     stats = load_stats(index_dir)
     n_partitions = int(stats["n_partitions"])
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
@@ -433,17 +445,42 @@ def boolean_topk(
     if tomb_over is not None:  # over-cap tombstones: distributed anti-join
         allp = allp.join(tomb_over, "doc_id", "left_anti")
 
-    # ---- ONE shuffle: fold partials + MUST coverage per doc
+    # ---- ONE shuffle: fold partials + MUST coverage per doc. For dismax
+    # a partial-aggregated first level folds each clause to its own score;
+    # Catalyst plans both groupBys into one exchange (same doc_id key).
     must_set = F.array(*[F.lit(i) for i in must_ids]) if must_ids else None
-    agg_cols = [F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")]
-    if must_ids:
-        agg_cols.append(
-            F.count_distinct(
-                F.when(F.array_contains(must_set, F.col("clause_id")),
-                       F.col("clause_id"))
-            ).alias("n_must")
+    if combine == "dismax":
+        per_clause = allp.groupBy("doc_id", "clause_id").agg(
+            F.sum("partial").alias("cscore")
         )
-    scored = allp.groupBy("doc_id").agg(*agg_cols)
+        agg_cols = [
+            F.round(
+                F.max("cscore")
+                + F.lit(float(tie_breaker))
+                * (F.sum("cscore") - F.max("cscore")),
+                SCORE_ROUND_DECIMALS,
+            ).alias("score")
+        ]
+        if must_ids:
+            agg_cols.append(
+                F.count_distinct(
+                    F.when(F.array_contains(must_set, F.col("clause_id")),
+                           F.col("clause_id"))
+                ).alias("n_must")
+            )
+        scored = per_clause.groupBy("doc_id").agg(*agg_cols)
+    else:
+        agg_cols = [
+            F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
+        ]
+        if must_ids:
+            agg_cols.append(
+                F.count_distinct(
+                    F.when(F.array_contains(must_set, F.col("clause_id")),
+                           F.col("clause_id"))
+                ).alias("n_must")
+            )
+        scored = allp.groupBy("doc_id").agg(*agg_cols)
     if must_ids:
         scored = scored.filter(F.col("n_must") == len(must_ids)).drop("n_must")
 

@@ -334,3 +334,67 @@ def test_phrase_boost_scales_partials(spark, idx):
     assert {d for _, d, _ in got} == set(base)
     for _, d, s in got:
         assert s == pytest.approx(3.0 * base[d], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# DisjunctionMax combiner
+# ---------------------------------------------------------------------------
+
+
+def test_dismax_single_clause_equals_sum(spark, idx):
+    cs = [Clause(SHOULD, "term", ("hash",))]
+    a = boolean_topk(spark, idx, cs)
+    b = boolean_topk(spark, idx, cs, combine="dismax", tie_breaker=0.0)
+    assert _rows(a) == _rows(b)
+
+
+def test_dismax_tie_one_equals_sum(spark, idx):
+    cs = [Clause(SHOULD, "term", ("hash",)), Clause(SHOULD, "term", ("spark",))]
+    a = boolean_topk(spark, idx, cs)
+    b = boolean_topk(spark, idx, cs, combine="dismax", tie_breaker=1.0)
+    assert _rows(a) == _rows(b)  # max + 1·rest = sum
+
+
+def test_dismax_takes_best_clause_plus_tiebreak(spark, idx):
+    h = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "hash"))}
+    j = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "join"))}
+    got = _rows(
+        boolean_topk(
+            spark, idx,
+            [Clause(SHOULD, "term", ("hash",)), Clause(SHOULD, "term", ("join",))],
+            combine="dismax", tie_breaker=0.3,
+        )
+    )
+    assert got
+    for _, d, s in got:
+        parts = [h.get(d, 0.0), j.get(d, 0.0)]
+        want = max(parts) + 0.3 * (sum(parts) - max(parts))
+        assert s == pytest.approx(want, abs=2e-6)
+
+
+def test_dismax_respects_occur_semantics(spark, idx):
+    got = boolean_topk(
+        spark, idx,
+        [
+            Clause(MUST, "term", ("hash",)),
+            Clause(SHOULD, "term", ("spark",)),
+            Clause(MUST_NOT, "term", ("join",)),
+        ],
+        combine="dismax", tie_breaker=0.5,
+    )
+    assert {d for _, d, _ in _rows(got)} == {3, 4}
+
+    with pytest.raises(ValueError):
+        boolean_topk(spark, idx, [Clause(SHOULD, "term", ("hash",))], combine="best")
+
+
+def test_dismax_multiterm_clause_folds_internally(spark, idx):
+    # a prefix clause is one subquery: its expansion sums WITHIN the clause
+    # before the max — so single-prefix dismax == prefix_topk regardless of tie
+    from contextinator_spark.operators.bm25_segments import prefix_topk
+
+    got = boolean_topk(
+        spark, idx, [Clause(SHOULD, "prefix", ("s",))],
+        combine="dismax", tie_breaker=0.0, max_expansions=4,
+    )
+    assert _rows(got) == _rows(prefix_topk(spark, idx, "s", max_expansions=4))

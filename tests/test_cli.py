@@ -315,3 +315,28 @@ def test_cli_query_snippets(capsys, spark, index_dir):
     assert len(recs) == 3
     assert {"rank", "doc_id", "score", "line_no", "n_hits", "snippet"} <= set(recs[0])
     assert any("«" in r["snippet"] for r in recs)  # highlighter ran
+
+
+def test_cli_mlt(capsys, spark, index_dir):
+    out = run_cli(
+        capsys, spark, "mlt", "--index", index_dir, "--corpus", SF,
+        "--doc-id", "0", "--k", "5",
+    )
+    recs = [json.loads(x) for x in out]
+    assert len(recs) == 5
+    assert all(r["doc_id"] != 0 for r in recs)  # source excluded
+    assert [r["rank"] for r in recs] == [1, 2, 3, 4, 5]
+
+
+def test_cli_bool_dismax(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_dm_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    plain = run_cli(capsys, spark, "bool", "--index", d, "--query", "hash spark")
+    dm = run_cli(
+        capsys, spark, "bool", "--index", d, "--query", "hash spark",
+        "--dismax", "0.0",
+    )
+    ps = {json.loads(x)["doc_id"]: json.loads(x)["score"] for x in plain}
+    ds = {json.loads(x)["doc_id"]: json.loads(x)["score"] for x in dm}
+    # dismax(tie=0) ≤ sum everywhere they overlap
+    assert all(ds[k] <= ps[k] + 1e-9 for k in ds if k in ps)
