@@ -329,6 +329,29 @@ def cmd_mlt(args, spark) -> None:
     )
 
 
+def cmd_hybrid(args, spark) -> None:
+    """Hybrid lexical+vector search: BM25 top-depth fused with cosine
+    top-depth by Reciprocal Rank Fusion (operators/hybrid.py). The query
+    vector is the stored embedding of --vec-id."""
+    from .operators.hybrid import hybrid_topk
+    from .oracle import tokenize
+
+    emb = spark.read.parquet(args.embeddings)
+    row = emb.filter(F.col("vec_id") == args.vec_id).select("embedding").collect()
+    if not row:
+        raise SystemExit(f"vec_id {args.vec_id} not in {args.embeddings}")
+    out = hybrid_topk(
+        spark, args.index, emb, tokenize(args.query),
+        [float(x) for x in row[0][0]], k=args.k, depth=args.depth,
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['rrf_score']:.6f}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_phrase_build(args, spark) -> None:
     """Write the positions-carrying phrase index (posting_format=2)."""
     from .operators.phrase import write_phrase_index
@@ -495,6 +518,15 @@ def build_parser() -> argparse.ArgumentParser:
     ml.add_argument("--min-tf", type=int, default=2)
     ml.add_argument("--min-df", type=int, default=2)
     ml.set_defaults(fn=cmd_mlt)
+
+    hy = sub.add_parser("hybrid", help="BM25 + vector ANN fused by RRF")
+    hy.add_argument("--index", required=True)
+    hy.add_argument("--embeddings", required=True, help="embeddings parquet")
+    hy.add_argument("--query", required=True)
+    hy.add_argument("--vec-id", type=int, required=True, help="query vector id")
+    hy.add_argument("--k", type=int, default=10)
+    hy.add_argument("--depth", type=int, default=50, help="per-run depth before fusion")
+    hy.set_defaults(fn=cmd_hybrid)
 
     pb = sub.add_parser("phrase-build", help="write the positions phrase index")
     pb.add_argument("--corpus", required=True)

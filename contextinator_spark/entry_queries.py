@@ -1200,6 +1200,60 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+# Hybrid retrieval: BM25 over the flagship terms fused with cosine-ANN for
+# vec_id 0's embedding via Reciprocal Rank Fusion (depth-50 runs, k=60).
+# The synthetic corpus has one vector per document (vec_id ≡ doc_id).
+HYBRID_DEPTH = 50
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector top-10 (operators/hybrid.py):
+    score(d) = Σ_runs 1/(60 + rank_run(d))."""
+    from .operators.hybrid import hybrid_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return hybrid_topk(
+        spark, _cached_index_dir(spark, sf_dir), emb, BM25_QUERY_TERMS,
+        [float(x) for x in qv], k=10, depth=HYBRID_DEPTH,
+    )
+
+
+def sql_hybrid_rrf() -> str:
+    """Oracle: BM25 top-depth run + cosine top-depth run (both with the
+    engine's rounding/tiebreaks), then RRF-sum, round, rank."""
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return (
+        _bm25_sql(values)
+        + f""",
+lex AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM scored) WHERE r <= {HYBRID_DEPTH}),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT doc_id, r FROM (
+    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+    FROM (SELECT e.vec_id, CAST(round({cos}, 6) AS DOUBLE) AS cos
+          FROM embeddings e CROSS JOIN qv q)) WHERE r <= {HYBRID_DEPTH}),
+contrib AS (
+  SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + r) AS c FROM vec),
+agg AS (SELECT doc_id, CAST(round(sum(c), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS rrf_score
+        FROM contrib GROUP BY doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, rrf_score FROM (
+  SELECT row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank, doc_id, rrf_score
+  FROM agg) WHERE rank <= 10
+"""
+    )
+
+
 def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result-page snippets for the flagship BM25 top-10: each hit's
     highest-term-density line (earliest on ties), read via a doc_id-pruned
@@ -1602,6 +1656,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "snippets": (q_snippets, sql_snippets()),
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
         "mlt": (q_mlt, sql_mlt()),
+        "hybrid_rrf": (q_hybrid_rrf, sql_hybrid_rrf()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (

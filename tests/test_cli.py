@@ -340,3 +340,16 @@ def test_cli_bool_dismax(capsys, spark, tmp_path_factory):
     ds = {json.loads(x)["doc_id"]: json.loads(x)["score"] for x in dm}
     # dismax(tie=0) ≤ sum everywhere they overlap
     assert all(ds[k] <= ps[k] + 1e-9 for k in ds if k in ps)
+
+
+def test_cli_hybrid(capsys, spark, index_dir):
+    out = run_cli(
+        capsys, spark, "hybrid", "--index", index_dir,
+        "--embeddings", SF + "/embeddings.parquet",
+        "--query", "hash table", "--vec-id", "0", "--k", "5", "--depth", "20",
+    )
+    recs = [json.loads(x) for x in out]
+    assert len(recs) == 5
+    assert {"rank", "doc_id", "rrf_score"} <= set(recs[0])
+    scores = [r["rrf_score"] for r in recs]
+    assert scores == sorted(scores, reverse=True)
