@@ -211,6 +211,10 @@ def cmd_query(args, spark) -> None:
         else:
             terms.extend(tokenize(word))
     where = getattr(args, "where", None)
+    after = None
+    if getattr(args, "after", None):
+        s, _, d = args.after.partition(":")
+        after = (float(s), int(d))
     if getattr(args, "mode", "any") == "all":
         out = topk_segments_conjunctive(spark, args.index, terms, k=args.k)
     elif where:
@@ -221,7 +225,8 @@ def cmd_query(args, spark) -> None:
         )
     else:
         out = topk_segments(
-            spark, args.index, terms, k=args.k, prune=not args.no_prune
+            spark, args.index, terms, k=args.k, prune=not args.no_prune,
+            after=after,
         )
     fold = getattr(args, "toon_fold", False)
     if getattr(args, "snippets", None):
@@ -474,6 +479,11 @@ def build_parser() -> argparse.ArgumentParser:
         "Lucene FILTER clause; scores stay global",
     )
     q.add_argument("--facets", action="store_true", help="append facet summary")
+    q.add_argument(
+        "--after", metavar="SCORE:DOC_ID",
+        help="cursor pagination (searchAfter): return hits strictly after "
+             "this (score, doc_id) in ranking order",
+    )
     q.add_argument(
         "--snippets", metavar="CORPUS",
         help="render each hit's best line from this corpus parquet, query "

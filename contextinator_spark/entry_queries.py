@@ -1200,6 +1200,31 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+def q_bm25_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (Lucene searchAfter): the SECOND page of the
+    flagship query — page 1's last (score, doc_id) is the cursor, page 2
+    ranks strictly after it with page-local ranks 1..10."""
+    from .operators.bm25_segments import topk_segments
+
+    idx = _cached_index_dir(spark, sf_dir)
+    p1 = topk_segments(spark, idx, BM25_QUERY_TERMS, k=10).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    return topk_segments(spark, idx, BM25_QUERY_TERMS, k=10, after=cursor)
+
+
+def sql_bm25_page2() -> str:
+    """Oracle: global ranks 11..20 renumbered 1..10."""
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return (
+        _bm25_sql(values)
+        + """
+SELECT CAST(rank - 10 AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank > 10 AND rank <= 20
+"""
+    )
+
+
 # Hybrid retrieval: BM25 over the flagship terms fused with cosine-ANN for
 # vec_id 0's embedding via Reciprocal Rank Fusion (depth-50 runs, k=60).
 # The synthetic corpus has one vector per document (vec_id ≡ doc_id).
@@ -1657,6 +1682,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
         "mlt": (q_mlt, sql_mlt()),
         "hybrid_rrf": (q_hybrid_rrf, sql_hybrid_rrf()),
+        "bm25_page2": (q_bm25_page2, sql_bm25_page2()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
         "reconstruct": (

@@ -330,8 +330,18 @@ def topk_segments(
     driver_path: bool = True,
     sketch: bool | None = None,
     scope: "np.ndarray | DataFrame | None" = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """(rank, doc_id, score) from the compressed segment store.
+
+    `after` = (score, doc_id) of the last hit already served (Lucene
+    searchAfter): only docs STRICTLY after that cursor in the
+    (score desc, doc_id asc) order rank, with page-local ranks 1..k —
+    deterministic cursor pagination with no offset re-scoring drift.
+    Impact-θ pruning is forced off for after-pages: θ lower-bounds the
+    GLOBAL k-th best, and page-2+ hits legitimately score below it;
+    dictionary/partition pruning (and the driver short-circuit) still
+    apply.
 
     Small candidate sets (Σdf ≤ DRIVER_TOPK_MAX_DF) short-circuit to a
     driver-side scatter-gather: one job collects the pruned blobs, numpy
@@ -376,7 +386,7 @@ def topk_segments(
     ):
         return _topk_driver(
             spark, index_dir, info, idf, k, k1, b, n, avgdl,
-            tomb_bc=tomb_bc, scope_bc=scope_bc,
+            tomb_bc=tomb_bc, scope_bc=scope_bc, after=after,
         )
     # global per-term upper bound: tf→∞ limit of tf_norm is (k1+1); tighter:
     # computed per slice from block maxima below. For the cross-term rest_ub
@@ -391,6 +401,7 @@ def topk_segments(
     total_df = sum(info[t]["df"] for t in matched)
     if (
         prune
+        and after is None  # θ bounds the GLOBAL top-k, not an after-page
         and tomb_over is None
         and scope_over is None
         and len(matched) > 1
@@ -496,6 +507,12 @@ def topk_segments(
     scored = partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < s_a)
+            | ((F.col("score") == s_a) & (F.col("doc_id") > d_a))
+        )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -906,6 +923,7 @@ def _topk_driver(
     avgdl: float,
     tomb_bc=None,
     scope_bc=None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Scatter-gather execution for small candidate sets: fetch the pruned
     blobs in one job, decode/score/rank with the SAME kernels as the
@@ -944,6 +962,12 @@ def _topk_driver(
     totals = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(totals, inv, scores)
     totals = np.round(totals, SCORE_ROUND_DECIMALS)
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        keep = (totals < s_a) | ((totals == s_a) & (uniq > d_a))
+        uniq, totals = uniq[keep], totals[keep]
+        if uniq.size == 0:
+            return spark.createDataFrame([], "rank int, doc_id long, score double")
     # (score desc, doc_id asc) — identical tiebreak to the Window path
     order = np.lexsort((uniq, -totals))[: min(k, uniq.size)]
     out = [

@@ -353,3 +353,19 @@ def test_cli_hybrid(capsys, spark, index_dir):
     assert {"rank", "doc_id", "rrf_score"} <= set(recs[0])
     scores = [r["rrf_score"] for r in recs]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_query_after_pagination(capsys, spark, index_dir):
+    p1 = [json.loads(x) for x in run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "hash", "--k", "3"
+    )]
+    cursor = f"{p1[-1]['score']}:{p1[-1]['doc_id']}"
+    p2 = [json.loads(x) for x in run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "hash",
+        "--k", "3", "--after", cursor,
+    )]
+    full = [json.loads(x) for x in run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "hash", "--k", "6"
+    )]
+    got = [(r["doc_id"], r["score"]) for r in p1 + p2]
+    assert got == [(r["doc_id"], r["score"]) for r in full]

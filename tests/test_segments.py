@@ -603,3 +603,35 @@ def test_scoped_empty_scope(spark, index_dir):
         spark, index_dir, ["import"], "lang = 'cobol'", k=10
     )
     assert out.count() == 0
+
+
+def test_search_after_pages_tile_the_full_ranking(spark, index_dir):
+    """Cursor pagination (Lucene searchAfter): page1 ∪ page2 ∪ page3 ==
+    top-3k, in order, on both execution paths; θ off for after-pages."""
+    terms = ["import", "return", "class"]  # heavy → distributed + θ-eligible
+    for driver_path in (True, False):
+        full = [
+            (r.doc_id, r.score)
+            for r in bm25_segments.topk_segments(
+                spark, index_dir, terms, k=9, driver_path=driver_path
+            ).collect()
+        ]
+        pages, cursor = [], None
+        for _ in range(3):
+            rows = bm25_segments.topk_segments(
+                spark, index_dir, terms, k=3,
+                driver_path=driver_path, after=cursor,
+            ).collect()
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            pages.extend((r.doc_id, r.score) for r in rows)
+            if not rows:
+                break
+            cursor = (rows[-1].score, rows[-1].doc_id)
+        assert pages == full, f"driver_path={driver_path}"
+
+
+def test_search_after_past_the_end_is_empty(spark, index_dir):
+    rows = bm25_segments.topk_segments(
+        spark, index_dir, ["import"], k=5, after=(-1.0, 0)
+    ).collect()
+    assert rows == []
