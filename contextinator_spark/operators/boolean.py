@@ -446,21 +446,24 @@ def boolean_topk(
         allp = allp.join(tomb_over, "doc_id", "left_anti")
 
     # ---- ONE shuffle: fold partials + MUST coverage per doc. For dismax
-    # a partial-aggregated first level folds each clause to its own score;
-    # Catalyst plans both groupBys into one exchange (same doc_id key).
+    # the per-clause fold is pivoted into one column per scoring clause
+    # (clause count is small and known) inside the SAME aggregate — a
+    # groupBy(doc_id, clause_id) → groupBy(doc_id) chain would be two
+    # exchanges over the posting-sized partial stream (measured 2× slower
+    # at 8M docs, scripts/new_surface_probe.py).
     must_set = F.array(*[F.lit(i) for i in must_ids]) if must_ids else None
     if combine == "dismax":
-        per_clause = allp.groupBy("doc_id", "clause_id").agg(
-            F.sum("partial").alias("cscore")
-        )
-        agg_cols = [
-            F.round(
-                F.max("cscore")
-                + F.lit(float(tie_breaker))
-                * (F.sum("cscore") - F.max("cscore")),
-                SCORE_ROUND_DECIMALS,
-            ).alias("score")
+        scids = [cid for cid, c in enumerate(clauses) if c.occur in (MUST, SHOULD)]
+        # BM25 partials are strictly positive, so coalesce-to-0 is a safe
+        # identity for both the max and the sum of absent clauses
+        cs = [
+            F.coalesce(
+                F.sum(F.when(F.col("clause_id") == cid, F.col("partial"))),
+                F.lit(0.0),
+            ).alias(f"_c{cid}")
+            for cid in scids
         ]
+        agg_cols = list(cs)
         if must_ids:
             agg_cols.append(
                 F.count_distinct(
@@ -468,7 +471,23 @@ def boolean_topk(
                            F.col("clause_id"))
                 ).alias("n_must")
             )
-        scored = per_clause.groupBy("doc_id").agg(*agg_cols)
+        ccols = [F.col(f"_c{cid}") for cid in scids]
+        best = F.greatest(*ccols) if len(ccols) > 1 else ccols[0]
+        total = ccols[0]
+        for c in ccols[1:]:
+            total = total + c
+        scored = (
+            allp.groupBy("doc_id")
+            .agg(*agg_cols)
+            .withColumn(
+                "score",
+                F.round(
+                    best + F.lit(float(tie_breaker)) * (total - best),
+                    SCORE_ROUND_DECIMALS,
+                ),
+            )
+            .drop(*[f"_c{cid}" for cid in scids])
+        )
     else:
         agg_cols = [
             F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")

@@ -272,6 +272,178 @@ def _candidate_positions(
     return pivoted, stats_df
 
 
+# ---------------------------------------------------------------------------
+# bucket-packed positional kernel (the single-query fast path)
+# ---------------------------------------------------------------------------
+# The pivot path above materializes one JVM row per (candidate doc, slot) —
+# ~12M rows for a two-heavy-term phrase at 8M docs — and hash-aggregates
+# millions of per-doc groups. The bucketed kernel ships the SAME decoded
+# bytes as a few thousand array-packed rows keyed by doc-id range, and does
+# the positional predicate with sorted composite keys in numpy:
+#   key = (local_doc << _POS_BITS) | adjusted_position
+# phrase:  tf(d) = |∩_j keys_j| with position adjusted by −slot (the
+#          classic shifted-intersection, now one sorted-array member mask
+#          per slot instead of per-doc array_intersect);
+# NEAR:    anchor key k survives iff every other slot has a key in
+#          [k−w, k+w] clamped to the anchor doc's key range — two
+#          searchsorted per slot over ALL anchors at once.
+# Measured 31.1s → (recorded below) on the 8M-doc two-heavy-term phrase
+# (scripts/new_surface_probe.py); result-identical (shared oracle + tests).
+_BUCKET_SHIFT = 18  # 262k docs per match bucket — bounds kernel memory
+_POS_BITS = 32  # positions fit 32 bits (token offset in one document)
+
+
+def _bucketed_matches(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    window: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(matched, stats_df) via the bucket-packed kernel. Same contract as
+    the pivot path: matched = (doc_id, phrase_tf, doc_len), phrase_tf > 0."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
+        raise ValueError(
+            f"{index_dir} is not a positions index "
+            f"(posting_format={stats.get('posting_format')})"
+        )
+    n_partitions = stats["n_partitions"]
+    n = len(terms)
+    uniq = sorted(set(terms))
+    from ..functions.xxhash import term_partition
+
+    parts = sorted({term_partition(t, n_partitions) for t in uniq})
+    probe = (
+        spark.read.parquet(os.path.join(index_dir, "segments"))
+        .select("partition_id", "term", "blob")
+        .filter(F.col("partition_id").isin(parts) & F.col("term").isin(uniq))
+    )
+    from .bm25_segments import _tombstones
+    from .deletes import live_mask
+
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    ords: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        ords.setdefault(t, []).append(j)
+
+    def pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            out = {k: [] for k in ("bucket", "slot", "docs", "dls", "tfs", "flat")}
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                docs, tfs, dls, flat = decode_postings_with_positions_flat(bytes(blob))
+                if tomb_bc is not None and docs.size:
+                    m = live_mask(docs, tomb_bc.value)
+                    if not m.all():
+                        flat = flat[np.repeat(m, tfs.astype(np.int64))]
+                        docs, tfs, dls = docs[m], tfs[m], dls[m]
+                if docs.size == 0:
+                    continue
+                docs = docs.astype(np.int64)
+                buckets = docs >> _BUCKET_SHIFT  # docs sorted → nondecreasing
+                ub, starts = np.unique(buckets, return_index=True)
+                ends = np.append(starts[1:], docs.size)
+                poff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+                for bkt, a, z in zip(ub, starts, ends):
+                    seg_docs = docs[a:z]
+                    seg_tfs = tfs[a:z].astype(np.int32)
+                    seg_dls = dls[a:z].astype(np.int32)
+                    seg_flat = flat[poff[a]:poff[z]].astype(np.int64)
+                    for j in ords[term]:
+                        out["bucket"].append(int(bkt))
+                        out["slot"].append(j)
+                        out["docs"].append(seg_docs)
+                        out["dls"].append(seg_dls)
+                        out["tfs"].append(seg_tfs)
+                        out["flat"].append(seg_flat)
+            if out["bucket"]:
+                yield pd.DataFrame(out)
+
+    packed = probe.mapInPandas(
+        pack,
+        schema=(
+            "bucket long, slot int, docs array<long>, dls array<int>, "
+            "tfs array<int>, flat array<long>"
+        ),
+    )
+
+    w = window
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "phrase_tf": pd.Series(dtype="int32"),
+             "doc_len": pd.Series(dtype="int32")}
+        )
+        base = int(pdf["bucket"].iloc[0]) << _BUCKET_SHIFT
+        keys, doc0, dl0 = {}, None, None
+        for j in range(n):
+            rows = pdf[pdf["slot"] == j]
+            if rows.empty:
+                return empty  # a slot with no postings in this bucket
+            docs = np.concatenate([np.asarray(d, np.int64) for d in rows["docs"]])
+            tfs = np.concatenate([np.asarray(t, np.int64) for t in rows["tfs"]])
+            flat = np.concatenate([np.asarray(f, np.int64) for f in rows["flat"]])
+            local = docs - base
+            rep = np.repeat(local, tfs)
+            if w is None:  # phrase: shift by −slot (+n keeps it positive)
+                kj = (rep << _POS_BITS) | (flat - j + n)
+            else:  # NEAR: raw positions
+                kj = (rep << _POS_BITS) | flat
+            kj.sort()
+            keys[j] = kj
+            if j == 0:
+                order = np.argsort(docs, kind="stable")
+                doc0, dl0 = docs[order], np.concatenate(
+                    [np.asarray(d, np.int64) for d in rows["dls"]]
+                )[order]
+        if w is None:
+            inter = keys[0]
+            for j in range(1, n):
+                kj = keys[j]
+                pos = np.searchsorted(kj, inter)
+                pos = np.minimum(pos, kj.size - 1)
+                inter = inter[kj[pos] == inter]
+                if inter.size == 0:
+                    return empty
+            ids, counts = np.unique(inter >> _POS_BITS, return_counts=True)
+        else:
+            a0 = keys[0]
+            aloc, apos = a0 >> _POS_BITS, a0 & ((1 << _POS_BITS) - 1)
+            ok = np.ones(a0.size, dtype=bool)
+            for j in range(1, n):
+                kj = keys[j]
+                lo = (aloc << _POS_BITS) | np.maximum(apos - w, 0)
+                hi = (aloc << _POS_BITS) | np.minimum(
+                    apos + w, (1 << _POS_BITS) - 1
+                )
+                ok &= np.searchsorted(kj, lo, "left") < np.searchsorted(
+                    kj, hi, "right"
+                )
+            if not ok.any():
+                return empty
+            ids, counts = np.unique(aloc[ok], return_counts=True)
+        dls = dl0[np.searchsorted(doc0, ids + base)]
+        return pd.DataFrame(
+            {
+                "doc_id": ids + base,
+                "phrase_tf": counts.astype(np.int32),
+                "doc_len": dls.astype(np.int32),
+            }
+        )
+
+    matched = packed.groupBy("bucket").applyInPandas(
+        match, schema="doc_id long, phrase_tf int, doc_len int"
+    )
+    if tomb_over is not None:  # over-cap tombstones: per-doc predicate, so
+        matched = matched.join(tomb_over, "doc_id", "left_anti")  # post-match ok
+    stats_df = spark.createDataFrame(
+        [(float(stats["n_docs"]), float(stats["avgdl"]))],
+        "n_docs double, avgdl double",
+    )
+    return matched, stats_df
+
+
 def positional_matches(
     spark: SparkSession,
     index_dir: str,
@@ -286,32 +458,11 @@ def positional_matches(
     (operators/boolean.py), which scores a positional clause as one
     synthetic term over this matched set.
 
-    Adjacency check: decode each term's positions, pivot to one row per
-    candidate doc, then |∩_j (P_j − j)| via array_intersect/transform —
-    all JVM-side after the Arrow decode."""
-    pivoted, stats_df = _candidate_positions(spark, index_dir, terms)
-    n = len(terms)
-    if window is None:
-
-        def _shift(j: int):
-            # NOTE: transform's 2-arg lambda form means (element, INDEX) —
-            # a defaulted second parameter would silently receive the index
-            return lambda x: x - F.lit(j)
-
-        inter = F.col("0")
-        for j in range(1, n):
-            inter = F.array_intersect(inter, F.transform(F.col(str(j)), _shift(j)))
-        tf_col = F.size(inter)
-    else:
-        cond = _near_anchor_cond([F.col(str(j)) for j in range(1, n)], window)
-        tf_col = F.size(F.filter(F.col("0"), cond))
-    matched = (
-        pivoted.dropna(subset=[str(j) for j in range(n)])
-        .withColumn("phrase_tf", tf_col)
-        .filter(F.col("phrase_tf") > 0)
-        .select("doc_id", "phrase_tf", "doc_len")
-    )
-    return matched, stats_df
+    Executes via the bucket-packed numpy kernel (_bucketed_matches) — the
+    pivot/array_intersect path survives in _candidate_positions for the
+    batch executor and as the semantic reference the tests pin both
+    against."""
+    return _bucketed_matches(spark, index_dir, terms, window)
 
 
 def phrase_topk_indexed(
