@@ -579,12 +579,16 @@ def positional_topk_indexed_multi(
     near_topk_indexed (tested).
 
     Topology: ONE partition-pruned scan decodes each needed term ONCE
-    (regardless of how many queries use it) → broadcast-join the tiny
-    (qid, slot, term, window) frame → groupBy (qid, doc) folds the per-slot
-    position arrays JVM-side: phrase rows intersect slot-shifted arrays,
-    NEAR rows filter anchor positions by per-slot window existence — the
-    per-(qid, doc) combine is a Catalyst `aggregate` over the collected
-    struct array, no UDF after the Arrow decode."""
+    (regardless of how many queries use it) into doc-range-bucketed array
+    rows (the same bucket-packed layout as _bucketed_matches, ~10³ rows
+    instead of one per (doc, term)); the per-bucket kernel builds each
+    term's sorted composite-key array ONCE, then answers EVERY query from
+    constant-offset views of it (phrase slot shift = key + (n − slot),
+    which preserves sort order) — the per-query cost is pure numpy
+    member-masks / searchsorted over already-built arrays. The old
+    broadcast-join + groupBy(qid, doc) Catalyst fold materialized one JVM
+    row per (doc, slot, qid) — query-count-multiplied row explosion that
+    the bucket layout eliminates."""
     all_terms = sorted({t for ts, _w in queries.values() for t in ts})
     if not all_terms or not queries:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
@@ -609,9 +613,9 @@ def positional_topk_indexed_multi(
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
 
-    def decode(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
-            term_a, doc_a, dl_a, pos_a = [], [], [], []
+            out = {k: [] for k in ("bucket", "term", "docs", "dls", "tfs", "flat")}
             for term, blob in zip(pdf["term"], pdf["blob"]):
                 docs, tfs, dls, flat = decode_postings_with_positions_flat(bytes(blob))
                 if tomb_bc is not None and docs.size:
@@ -621,85 +625,103 @@ def positional_topk_indexed_multi(
                         docs, tfs, dls = docs[m], tfs[m], dls[m]
                 if docs.size == 0:
                     continue
-                term_a.append(np.full(docs.size, term, dtype=object))
-                doc_a.append(docs)
-                dl_a.append(dls)
-                pos_a.extend(
-                    np.split(flat.astype(np.int32), np.cumsum(tfs.astype(np.int64))[:-1])
-                )
-            if term_a:
-                yield pd.DataFrame(
-                    {
-                        "term": np.concatenate(term_a),
-                        "doc_id": np.concatenate(doc_a),
-                        "doc_len": np.concatenate(dl_a),
-                        "positions": pos_a,
-                    }
-                )
+                docs = docs.astype(np.int64)
+                buckets = docs >> _BUCKET_SHIFT  # docs sorted → nondecreasing
+                ub, starts = np.unique(buckets, return_index=True)
+                ends = np.append(starts[1:], docs.size)
+                poff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+                for bkt, a, z in zip(ub, starts, ends):
+                    out["bucket"].append(int(bkt))
+                    out["term"].append(term)
+                    out["docs"].append(docs[a:z])
+                    out["dls"].append(dls[a:z].astype(np.int32))
+                    out["tfs"].append(tfs[a:z].astype(np.int32))
+                    out["flat"].append(flat[poff[a]:poff[z]].astype(np.int64))
+            if out["bucket"]:
+                yield pd.DataFrame(out)
 
-    dec_schema = T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("doc_len", T.IntegerType(), False),
-            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
-        ]
-    )
-    decoded = probe.mapInPandas(decode, schema=dec_schema)
-    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
-        decoded = decoded.join(tomb_over, "doc_id", "left_anti")
-
-    qrows = [
-        (int(qid), int(slot), t, None if w is None else int(w), len(ts))
-        for qid, (ts, w) in queries.items()
-        for slot, t in enumerate(ts)
-    ]
-    qdf = spark.createDataFrame(
-        qrows, "query_id int, slot int, term string, window int, n_terms int"
-    )
-    joined = decoded.join(F.broadcast(qdf), "term").withColumn(
-        # phrase mode pre-shifts each slot's positions by its offset so the
-        # per-doc combine is a plain intersection; NEAR keeps raw positions
-        "shifted",
-        F.when(
-            F.col("window").isNull(),
-            F.transform("positions", _make_sub_slot()),
-        ).otherwise(F.col("positions")),
-    )
-    grouped = (
-        joined.groupBy("query_id", "doc_id")
-        .agg(
-            F.first("doc_len").alias("doc_len"),
-            F.first("window").alias("window"),
-            F.first("n_terms").alias("n_terms"),
-            F.count(F.lit(1)).alias("n_slots"),
-            F.sort_array(F.collect_list(F.struct("slot", "shifted"))).alias("arrs"),
-        )
-        # every slot must be present (duplicate terms contribute one decoded
-        # row per slot through the join, so n_slots counts slots, not terms)
-        .filter(F.col("n_slots") == F.col("n_terms"))
-    )
-    pos0 = F.col("arrs")[0]["shifted"]
-    rest = F.slice(
-        F.transform("arrs", lambda s: s["shifted"]), 2, F.greatest(F.size("arrs") - 1, F.lit(1))
-    )
-    inter = F.aggregate(rest, pos0, lambda acc, x: F.array_intersect(acc, x))
-    w_col = F.col("window")
-    near = F.aggregate(
-        rest,
-        pos0,
-        lambda acc, x: F.filter(
-            acc, lambda p0: F.exists(x, lambda pj: F.abs(pj - p0) <= w_col)
+    packed = probe.mapInPandas(
+        pack,
+        schema=(
+            "bucket long, term string, docs array<long>, dls array<int>, "
+            "tfs array<int>, flat array<long>"
         ),
     )
-    matched = (
-        grouped.withColumn(
-            "phrase_tf",
-            F.when(w_col.isNull(), F.size(inter)).otherwise(F.size(near)),
+    qspec = {
+        int(qid): ([*ts], None if w is None else int(w))
+        for qid, (ts, w) in queries.items()
+    }
+    pos_mask = (1 << _POS_BITS) - 1
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(pdf["bucket"].iloc[0]) << _BUCKET_SHIFT
+        per: dict[str, tuple] = {}
+        for term, grp in pdf.groupby("term"):
+            docs = np.concatenate([np.asarray(d, np.int64) for d in grp["docs"]])
+            tfs = np.concatenate([np.asarray(t, np.int64) for t in grp["tfs"]])
+            flat = np.concatenate([np.asarray(x, np.int64) for x in grp["flat"]])
+            dls = np.concatenate([np.asarray(d, np.int64) for d in grp["dls"]])
+            keys = (np.repeat(docs - base, tfs) << _POS_BITS) | flat
+            keys.sort()
+            order = np.argsort(docs, kind="stable")
+            per[term] = (keys, docs[order], dls[order])
+        oq, od, otf, odl = [], [], [], []
+        for qid, (ts, w) in qspec.items():
+            if any(t not in per for t in ts):
+                continue
+            n = len(ts)
+            if w is None:  # phrase: +(n−slot) preserves sort, shifts position
+                inter = per[ts[0]][0] + n
+                for j in range(1, n):
+                    kj = per[ts[j]][0] + (n - j)
+                    pos = np.minimum(np.searchsorted(kj, inter), kj.size - 1)
+                    inter = inter[kj[pos] == inter]
+                    if inter.size == 0:
+                        break
+                if inter.size == 0:
+                    continue
+                ids, counts = np.unique(inter >> _POS_BITS, return_counts=True)
+            else:  # NEAR: window probe around every anchor at once
+                a0 = per[ts[0]][0]
+                aloc, apos = a0 >> _POS_BITS, a0 & pos_mask
+                ok = np.ones(a0.size, dtype=bool)
+                for j in range(1, n):
+                    kj = per[ts[j]][0]
+                    lo = (aloc << _POS_BITS) | np.maximum(apos - w, 0)
+                    hi = (aloc << _POS_BITS) | np.minimum(apos + w, pos_mask)
+                    ok &= np.searchsorted(kj, lo, "left") < np.searchsorted(
+                        kj, hi, "right"
+                    )
+                if not ok.any():
+                    continue
+                ids, counts = np.unique(aloc[ok], return_counts=True)
+            d0, dl0 = per[ts[0]][1], per[ts[0]][2]
+            dls = dl0[np.searchsorted(d0, ids + base)]
+            oq.append(np.full(ids.size, qid, np.int32))
+            od.append(ids + base)
+            otf.append(counts.astype(np.int32))
+            odl.append(dls.astype(np.int32))
+        if not oq:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int32"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "phrase_tf": pd.Series(dtype="int32"),
+                 "doc_len": pd.Series(dtype="int32")}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(oq),
+                "doc_id": np.concatenate(od),
+                "phrase_tf": np.concatenate(otf),
+                "doc_len": np.concatenate(odl),
+            }
         )
-        .filter(F.col("phrase_tf") > 0)
-        .select("query_id", "doc_id", "phrase_tf", "doc_len")
+
+    matched = packed.groupBy("bucket").applyInPandas(
+        match, schema="query_id int, doc_id long, phrase_tf int, doc_len int"
     )
+    if tomb_over is not None:  # per-doc predicate → post-match anti-join ok
+        matched = matched.join(tomb_over, "doc_id", "left_anti")
     dfp = matched.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("double").alias("df_phrase")
     )
@@ -725,13 +747,6 @@ def positional_topk_indexed_multi(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
-
-
-def _make_sub_slot():
-    """Factory for the phrase pre-shift lambda: transform's 2-arg form gets
-    (element, INDEX), so bind the slot column inside a 1-arg lambda."""
-    slot = F.col("slot")
-    return lambda p: p - slot
 
 
 def near_topk_indexed(
