@@ -293,6 +293,22 @@ _BUCKET_SHIFT = 18  # 262k docs per match bucket — bounds kernel memory
 _POS_BITS = 32  # positions fit 32 bits (token offset in one document)
 
 
+def _bucket_shift(spark: SparkSession, stats: dict) -> int:
+    """Adaptive bucket width: _BUCKET_SHIFT caps per-bucket kernel memory
+    at any corpus size, but a SMALL doc-id span would then yield too few
+    buckets to occupy the executors (measured: a 2M-doc store at shift 18
+    has 8 buckets — applyInPandas parallelism was bucket-bound and the
+    8→32-core batch pair collapsed to 0.31 efficiency). Shrink the shift
+    until the bucket count covers ~4× the session parallelism; at 100 TB
+    spans the loop never fires and the memory bound rules."""
+    span = int(stats.get("max_doc_id", 0)) + 1
+    target = 4 * spark.sparkContext.defaultParallelism
+    shift = _BUCKET_SHIFT
+    while shift > 8 and (span >> shift) < target:
+        shift -= 1
+    return shift
+
+
 def _bucketed_matches(
     spark: SparkSession,
     index_dir: str,
@@ -323,6 +339,7 @@ def _bucketed_matches(
     from .deletes import live_mask
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    shift = _bucket_shift(spark, stats)
     ords: dict[str, list[int]] = {}
     for j, t in enumerate(terms):
         ords.setdefault(t, []).append(j)
@@ -340,7 +357,7 @@ def _bucketed_matches(
                 if docs.size == 0:
                     continue
                 docs = docs.astype(np.int64)
-                buckets = docs >> _BUCKET_SHIFT  # docs sorted → nondecreasing
+                buckets = docs >> shift  # docs sorted → nondecreasing
                 ub, starts = np.unique(buckets, return_index=True)
                 ends = np.append(starts[1:], docs.size)
                 poff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
@@ -375,7 +392,7 @@ def _bucketed_matches(
              "phrase_tf": pd.Series(dtype="int32"),
              "doc_len": pd.Series(dtype="int32")}
         )
-        base = int(pdf["bucket"].iloc[0]) << _BUCKET_SHIFT
+        base = int(pdf["bucket"].iloc[0]) << shift
         keys, doc0, dl0 = {}, None, None
         for j in range(n):
             rows = pdf[pdf["slot"] == j]
@@ -612,6 +629,7 @@ def positional_topk_indexed_multi(
     from .deletes import live_mask
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    shift = _bucket_shift(spark, stats)
 
     def pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
@@ -626,7 +644,7 @@ def positional_topk_indexed_multi(
                 if docs.size == 0:
                     continue
                 docs = docs.astype(np.int64)
-                buckets = docs >> _BUCKET_SHIFT  # docs sorted → nondecreasing
+                buckets = docs >> shift  # docs sorted → nondecreasing
                 ub, starts = np.unique(buckets, return_index=True)
                 ends = np.append(starts[1:], docs.size)
                 poff = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
@@ -654,7 +672,7 @@ def positional_topk_indexed_multi(
     pos_mask = (1 << _POS_BITS) - 1
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        base = int(pdf["bucket"].iloc[0]) << _BUCKET_SHIFT
+        base = int(pdf["bucket"].iloc[0]) << shift
         per: dict[str, tuple] = {}
         for term, grp in pdf.groupby("term"):
             docs = np.concatenate([np.asarray(d, np.int64) for d in grp["docs"]])
