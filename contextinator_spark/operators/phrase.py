@@ -22,8 +22,11 @@ Two execution strategies, result-identical (test-pinned, shared oracle):
   had a groupBy(term, doc) + whole-term applyInPandas skew cliff). A
   phrase query reads ONLY its terms' partitions (partition-pruned),
   decodes positions, and intersects per-doc position sets shifted by term
-  offset: occurrences = |P0 ∩ (P1−1) ∩ … ∩ (P(n−1)−(n−1))| —
-  array_intersect on decoded columns, JVM-side. At 100 TB the scan form
+  offset: occurrences = |P0 ∩ (P1−1) ∩ … ∩ (P(n−1)−(n−1))|. Since late
+  round 4 the intersection runs in the bucket-packed numpy kernel
+  (_bucketed_matches: sorted composite keys per doc-range bucket) rather
+  than a per-doc JVM pivot; the pivot form survives in
+  _candidate_positions as the semantic reference. At 100 TB the scan form
   touches the whole corpus per query; the indexed form touches df(term)
   postings only.
 
