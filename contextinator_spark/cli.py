@@ -216,12 +216,28 @@ def cmd_query(args, spark) -> None:
         s, _, d = args.after.partition(":")
         after = (float(s), int(d))
     if getattr(args, "mode", "any") == "all":
+        # the conjunctive executor has no scope/pagination/prune knobs —
+        # reject rather than silently return unscoped page 1
+        bad = [
+            f
+            for f, v in (
+                ("--where", where),
+                ("--after", after),
+                ("--no-prune", getattr(args, "no_prune", False)),
+            )
+            if v
+        ]
+        if bad:
+            raise SystemExit(
+                f"--mode all does not support {', '.join(bad)}"
+            )
         out = topk_segments_conjunctive(spark, args.index, terms, k=args.k)
     elif where:
         from .operators.bm25_segments import scoped_topk_segments
 
         out = scoped_topk_segments(
-            spark, args.index, terms, where, k=args.k, prune=not args.no_prune
+            spark, args.index, terms, where, k=args.k,
+            prune=not args.no_prune, after=after,
         )
     else:
         out = topk_segments(

@@ -163,9 +163,12 @@ def parse_query(q: str) -> list[Clause]:
                 raise ValueError("empty phrase clause")
             w = m.group("window")
             pb = m.group("pboost")
+            # Lucene slop 0 IS an exact phrase — `"a b"~0` must not become
+            # a NEAR clause with an unsatisfiable window for distinct terms
+            win = int(w) if w else None
             clauses.append(
-                Clause(occur, "near" if w else "phrase", terms,
-                       window=int(w) if w else None,
+                Clause(occur, "near" if win else "phrase", terms,
+                       window=win or None,
                        boost=float(pb) if pb else 1.0)
             )
         elif m.group("fld") is not None:
@@ -200,6 +203,14 @@ def parse_query(q: str) -> list[Clause]:
                 edits, word = int(fm.group("edits") or 2), word[: fm.start()]
             if not word:
                 raise ValueError("dangling ~/^ suffix with no term")
+            # any ~/^ still present is a malformed suffix (`term~3`,
+            # `term^`, `a^b`) — raise rather than silently reparse the
+            # suffix digits as a second phrase token
+            if "~" in word or "^" in word:
+                raise ValueError(
+                    f"malformed ~/^ suffix in {m.group('word')!r} "
+                    "(fuzzy supports ~, ~0, ~1, ~2; boost needs a number)"
+                )
             if "*" in word:
                 if edits is not None:
                     raise ValueError(f"wildcard cannot also be fuzzy: {word!r}~")
@@ -439,6 +450,11 @@ def boolean_topk(
             )
         )
 
+    if not parts:
+        # every scoring clause expanded to zero indexed terms (e.g. a
+        # SHOULD-only query of unknown words): nothing can score, so the
+        # Lucene-faithful result is empty — not an error
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)

@@ -673,6 +673,50 @@ def build_slices(
     )
 
 
+def build_slices_fused(
+    corpus: DataFrame,
+    heavy_fanout: dict,
+    max_doc_id: int,
+    avgdl: float | None,
+    n_partitions: int = INDEX_PARTITIONS,
+    id_col: str = "doc_id",
+    positions: bool = False,
+) -> DataFrame:
+    """Slice rows straight from raw (doc_id, content) via the fused
+    tokenize+combine kernel — the ONE slice-build path shared by
+    write_index and streaming ingest, so format-2 (positions) delta blobs
+    ride the identical salting + array-shuffle + merge machinery as a
+    batch build. Returns (term, slice_id, df_slice, cf_slice, blob,
+    block_max, kth_tfnorm, partition_id) for ALL partitions; callers
+    filter/shift as needed."""
+    partial = corpus.select(F.col(id_col), "content").mapInPandas(
+        _make_fused_combine(heavy_fanout, max_doc_id, id_col, positions),
+        schema=_COMBINE_SCHEMA_POS if positions else _COMBINE_SCHEMA,
+    )
+    agg_cols = [
+        F.collect_list("docs").alias("docs_ll"),
+        F.collect_list("tfs").alias("tfs_ll"),
+        F.collect_list("dls").alias("dls_ll"),
+    ]
+    if positions:
+        agg_cols.append(F.collect_list("poss").alias("poss_ll"))
+    grouped = partial.groupBy("term", "slice_id").agg(*agg_cols)
+    merge_cols = [F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")]
+    if positions:
+        merge_cols.append(F.col("poss_ll"))
+    enc = _make_merge_udf(n_partitions, avgdl=avgdl, positions=positions)(*merge_cols)
+    return grouped.select(
+        "term",
+        "slice_id",
+        enc["df_slice"].alias("df_slice"),
+        enc["cf_slice"].alias("cf_slice"),
+        enc["blob"].alias("blob"),
+        enc["block_max"].alias("block_max"),
+        enc["kth_tfnorm"].alias("kth_tfnorm"),
+        F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
+    )
+
+
 def collection_stats_row(doc_meta: DataFrame) -> dict:
     r = doc_meta.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -879,33 +923,14 @@ def write_index(
             )
         phases["sample_sec"] = round(time.perf_counter() - tp, 2)
         tp = time.perf_counter()
-        partial = corpus.select(F.col(id_col), "content").mapInPandas(
-            _make_fused_combine(heavy_fanout, stats["max_doc_id"], id_col, positions),
-            schema=_COMBINE_SCHEMA_POS if positions else _COMBINE_SCHEMA,
-        )
-        agg_cols = [
-            F.collect_list("docs").alias("docs_ll"),
-            F.collect_list("tfs").alias("tfs_ll"),
-            F.collect_list("dls").alias("dls_ll"),
-        ]
-        if positions:
-            agg_cols.append(F.collect_list("poss").alias("poss_ll"))
-        grouped = partial.groupBy("term", "slice_id").agg(*agg_cols)
-        merge_cols = [F.col("docs_ll"), F.col("tfs_ll"), F.col("dls_ll")]
-        if positions:
-            merge_cols.append(F.col("poss_ll"))
-        enc = _make_merge_udf(
-            n_partitions, avgdl=float(stats["avgdl"]), positions=positions
-        )(*merge_cols)
-        slices = grouped.select(
-            "term",
-            "slice_id",
-            enc["df_slice"].alias("df_slice"),
-            enc["cf_slice"].alias("cf_slice"),
-            enc["blob"].alias("blob"),
-            enc["block_max"].alias("block_max"),
-            enc["kth_tfnorm"].alias("kth_tfnorm"),
-            F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("partition_id"),
+        slices = build_slices_fused(
+            corpus,
+            heavy_fanout,
+            stats["max_doc_id"],
+            avgdl=float(stats["avgdl"]),
+            n_partitions=n_partitions,
+            id_col=id_col,
+            positions=positions,
         ).filter(F.col("partition_id").isin(todo))
         slices.repartition(len(todo), "partition_id").write.mode("append").partitionBy(
             "partition_id"
@@ -1246,9 +1271,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     Driver state is ONE sorted int64 array of deleted ids (Lucene holds the
     same information as a liveDocs bitset per segment); everything else is
-    distributed. Swap discipline: each rewritten directory goes to
-    `<name>.compact.tmp` then renames over — a crash mid-swap leaves either
-    the old or new artifact fully intact under one of the two names."""
+    distributed. Swap discipline: each rewritten directory (segments/,
+    catalog/, terms/, doc_meta/) goes to `<name>.compact.tmp` then renames
+    over — a crash mid-swap leaves either the old or new artifact fully
+    intact under one of the two names.
+
+    Crash window: a purge commit touches five artifacts in sequence
+    (segments → catalog → terms → doc_meta → stats.json); a crash between
+    any two leaves mixed pre/post-purge statistics. The commit is made
+    DETECTABLE and SELF-HEALING by (a) a `compact.inprogress` marker
+    written before the first mutation and removed only after the last,
+    and (b) keeping tombstones until the very end — every individual step
+    is idempotent under re-run with tombstones present (purged postings
+    are already absent, anti-joins are no-ops), so the recovery protocol
+    is simply: marker present ⇒ re-run compact_index."""
     import shutil
 
     from .deletes import clear_tombstones, tombstone_state, tombstones_df
@@ -1293,6 +1329,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         if new_stats["n_docs"] == 0:
             raise ValueError("compact_index: purge would delete every document")
 
+    # commit marker: present ⇒ a compact/purge commit is (or was) in
+    # flight; removed only after the LAST artifact lands. Recovery = re-run.
+    marker = os.path.join(index_dir, "compact.inprogress")
+    with open(marker, "w") as f:
+        json.dump({"purge": purge, "n_tomb": 0 if tomb is None else int(tomb.size)}, f)
+
     compacted = compact_segments(
         spark,
         index_dir,
@@ -1322,7 +1364,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         F.lit(0).cast("int").alias("checkpoint_epoch"),
         F.lit("compact" + (";purge" if purge else "")).alias("lineage"),
     )
-    cat.write.mode("overwrite").parquet(_catalog_path(index_dir))
+    # catalog rides the same stage-then-rename discipline as segments/ —
+    # a plain overwrite would delete-then-write, leaving no catalog at all
+    # on a mid-write crash
+    cat_rows = cat.persist()
+    cat_rows.count()
+    _swap(
+        _catalog_path(index_dir),
+        lambda tmp: cat_rows.write.mode("overwrite").parquet(tmp),
+    )
 
     n_purged = 0
     if purge:
@@ -1360,11 +1410,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             json.dump(stats, f)
         clear_tombstones(index_dir)
 
-    counters = cat.agg(
+    counters = cat_rows.agg(
         F.sum("n_terms").alias("terms"),
         F.sum("n_postings").alias("postings"),
         F.sum("bytes").alias("bytes"),
     ).collect()[0]
+    cat_rows.unpersist()
+    os.remove(marker)  # commit complete — LAST mutation, see docstring
     return {
         "compacted": True,
         "purged_docs": n_purged,

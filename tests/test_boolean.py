@@ -398,3 +398,39 @@ def test_dismax_multiterm_clause_folds_internally(spark, idx):
         combine="dismax", tie_breaker=0.0, max_expansions=4,
     )
     assert _rows(got) == _rows(prefix_topk(spark, idx, "s", max_expansions=4))
+
+
+# ---------------------------------------------------------------------------
+# round-5 hardening: empty scoring stream, slop-0, malformed suffixes
+# ---------------------------------------------------------------------------
+
+
+def test_should_only_unindexed_terms_returns_empty(spark, idx):
+    """A SHOULD-only query whose terms are all absent from the dictionary
+    must return an empty frame with the standard result schema — not
+    IndexError on an empty partial-stream list."""
+    out = boolean_topk_query(spark, idx, "zzzz qqqq")
+    assert out.columns == ["rank", "doc_id", "score"]
+    assert out.count() == 0
+    # same through an expansion clause that matches no dictionary term
+    out2 = boolean_topk_query(spark, idx, "zzz*")
+    assert out2.count() == 0
+
+
+def test_parse_slop_zero_is_phrase():
+    """Lucene slop 0 IS the exact phrase — `"a b"~0` must not become an
+    unsatisfiable NEAR clause with window 0."""
+    (c,) = parse_query('"table hash"~0')
+    assert c == Clause(SHOULD, "phrase", ("table", "hash"))
+
+
+def test_slop_zero_matches_like_phrase(spark, idx):
+    assert _rows(boolean_topk_query(spark, idx, '"table hash"~0')) == _rows(
+        boolean_topk_query(spark, idx, '"table hash"')
+    )
+
+
+def test_parse_rejects_malformed_suffixes():
+    for bad in ("term~3", "term^", "a^b", "x~9", "hash~12"):
+        with pytest.raises(ValueError):
+            parse_query(bad)

@@ -14,6 +14,7 @@ Semantics under test (operators/deletes.py module docstring):
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import numpy as np
@@ -261,3 +262,24 @@ def test_scope_and_deletes_compose(spark, index_copy):
     assert victim not in {r["doc_id"] for r in after}
     exp = [(r["doc_id"], r["score"]) for r in base if r["doc_id"] != victim]
     assert [(r["doc_id"], r["score"]) for r in after][: len(exp)] == exp
+
+
+def test_compact_commit_marker_lifecycle(spark, index_copy):
+    """compact_index writes a `compact.inprogress` marker before the first
+    artifact mutation and removes it only after the last (the detectable/
+    self-healing purge-commit contract); catalog/ survives as a directory
+    (stage-then-rename, never delete-then-write)."""
+    marker = os.path.join(index_copy, "compact.inprogress")
+    deletes.delete_docs(spark, index_copy, [1, 2])
+    out = S.compact_index(spark, index_copy)
+    assert out["purged_docs"] == 2
+    assert not os.path.exists(marker)
+    cat = os.path.join(index_copy, "catalog")
+    assert os.path.isdir(cat)
+    assert not os.path.exists(cat + ".compact.tmp")
+    assert not os.path.exists(cat + ".compact.old")
+    # re-run on the already-committed store is a no-op purge-wise and
+    # converges (the recovery protocol is "marker present => re-run")
+    out2 = S.compact_index(spark, index_copy)
+    assert out2["purged_docs"] == 0
+    assert not os.path.exists(marker)

@@ -167,3 +167,60 @@ def test_clean_uncommitted_spares_ingest_deltas(tmp_path):
     removed = S._clean_uncommitted(idx, done=set())
     assert removed == ["segments/partition_id=3/part-00000-stale.parquet"]
     assert os.path.exists(f"{pdir}/ingest-b2-0.parquet")
+
+
+def test_incremental_ingest_positions_matches_batch(spark, corpus, tmp_path_factory):
+    """Positional twin of test_incremental_ingest_matches_batch: streaming
+    format-2 delta blobs into a positions store must leave phrase, NEAR and
+    BM25 queries rank-identical (incl. scores) to a fresh full-corpus
+    write_index(positions=True) build — the round-4 loud refusal replaced
+    by a working path."""
+    from contextinator_spark.operators.phrase import (
+        near_topk_indexed,
+        phrase_topk_indexed,
+    )
+
+    base_dir = str(tmp_path_factory.mktemp("pstream_idx"))
+    fresh_dir = str(tmp_path_factory.mktemp("pfresh_idx"))
+    drop_dir = str(tmp_path_factory.mktemp("pstream_drops"))
+    ckpt = str(tmp_path_factory.mktemp("pstream_ckpt"))
+
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    first, second = c.filter(F.col("doc_id") % 2 == 0), c.filter(F.col("doc_id") % 2 == 1)
+
+    S.write_index(spark, first, base_dir, positions=True)
+    second.select("doc_id", "repo", "path", "commit", "lang", "content").write.parquet(
+        f"{drop_dir}/drop1"
+    )
+    q = start_incremental_ingest(spark, f"{drop_dir}/*", base_dir, ckpt)
+    q.awaitTermination(120)
+    S.write_index(spark, c, fresh_dir, positions=True)
+
+    with open(f"{base_dir}/stats.json") as f:
+        merged = json.load(f)
+    with open(f"{fresh_dir}/stats.json") as f:
+        fresh = json.load(f)
+    for key in ("n_docs", "avgdl", "max_doc_id", "total_terms", "posting_format"):
+        assert merged[key] == fresh[key], key
+
+    def rows(df):
+        return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+    # phrase + NEAR (the format-2 payload) and plain BM25 on the same store
+    for terms in (["def"], ["import", "os"]):
+        got = rows(phrase_topk_indexed(spark, base_dir, terms, k=10))
+        want = rows(phrase_topk_indexed(spark, fresh_dir, terms, k=10))
+        assert got == want, f"phrase {terms}\n{got}\nvs\n{want}"
+    gotn = rows(near_topk_indexed(spark, base_dir, ["def", "return"], 8, k=10))
+    wantn = rows(near_topk_indexed(spark, fresh_dir, ["def", "return"], 8, k=10))
+    assert gotn == wantn
+    assert gotn, "NEAR query returned nothing — probe corpus mismatch"
+    for prune in (True, False):
+        assert _topk(spark, base_dir, ["def", "import"], prune=prune) == _topk(
+            spark, fresh_dir, ["def", "import"], prune=prune
+        )
+
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+    shutil.rmtree(drop_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
