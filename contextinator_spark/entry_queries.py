@@ -283,20 +283,17 @@ def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k through the PERSISTED, (table_id, bucket)-partitioned
-    signature table — the scale path where a query reads only its n_tables
-    bucket partitions (partition-pruned scan) instead of recomputing
-    signatures over the corpus."""
+def _sig_table_dir(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Build-once cache of the persisted (table_id, bucket)-partitioned
+    signature table for sf_dir's embeddings — shared by the indexed-ANN
+    and hybrid entries. The cache key folds a DATA fingerprint (every
+    parquet part's name, size, mtime) so a regenerated embeddings.parquet
+    at the same path can never serve stale signatures; the cache lives
+    under the system temp dir, not the repo tree (ADVICE round 2)."""
     import os as _os
 
-    from .operators.similarity import knn_lsh_indexed, write_signature_table
+    from .operators.similarity import write_signature_table
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # cache key folds a DATA fingerprint (every parquet part's name, size,
-    # mtime) so a regenerated embeddings.parquet at the same path can never
-    # serve stale signatures; the cache lives under the system temp dir,
-    # not the repo tree (ADVICE round 2)
     key = (
         f"{sf_dir}|sig|D={EMBEDDING_DIM}|B={RHP_BITS}|T={RHP_TABLES}|"
         + _data_fingerprint(f"{sf_dir}/embeddings.parquet")
@@ -304,6 +301,18 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _cache_dir(key)
     if not _os.path.exists(_os.path.join(d, "_SUCCESS")):
         write_signature_table(emb, d, EMBEDDING_DIM, RHP_BITS, RHP_TABLES)
+    return d
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k through the PERSISTED, (table_id, bucket)-partitioned
+    signature table — the scale path where a query reads only its n_tables
+    bucket partitions (partition-pruned scan) instead of recomputing
+    signatures over the corpus."""
+    from .operators.similarity import knn_lsh_indexed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = _sig_table_dir(spark, sf_dir, emb)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
     return knn_lsh_indexed(spark, d, qv, k=10, dim=EMBEDDING_DIM,
                            n_bits=RHP_BITS, n_tables=RHP_TABLES)
@@ -1233,7 +1242,10 @@ HYBRID_DEPTH = 50
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector top-10 (operators/hybrid.py):
-    score(d) = Σ_runs 1/(60 + rank_run(d))."""
+    score(d) = Σ_runs 1/(60 + rank_run(d)). The vector run goes through
+    the PERSISTED partition-pruned LSH signature table (the scale default
+    — round-4's brute default dominated hybrid latency at 8M docs);
+    ann='brute' remains the explicit exact baseline."""
     from .operators.hybrid import hybrid_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1241,12 +1253,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_topk(
         spark, _cached_index_dir(spark, sf_dir), emb, BM25_QUERY_TERMS,
         [float(x) for x in qv], k=10, depth=HYBRID_DEPTH,
+        ann="lsh_indexed", sig_path=_sig_table_dir(spark, sf_dir, emb),
+        n_bits=RHP_BITS, n_tables=RHP_TABLES,
     )
 
 
 def sql_hybrid_rrf() -> str:
-    """Oracle: BM25 top-depth run + cosine top-depth run (both with the
-    engine's rounding/tiebreaks), then RRF-sum, round, rank."""
+    """Oracle: BM25 top-depth run + cosine top-depth run over the LSH
+    candidate pool (the engine's indexed-LSH vector run, reproduced in
+    SQL: same ±1 hyperplanes, same buckets, exact re-score of the pool),
+    then RRF-sum, round, rank."""
     values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
     cos = (
         "list_dot_product(e.embedding::DOUBLE[], q.qv)"
@@ -1256,16 +1272,24 @@ def sql_hybrid_rrf() -> str:
     return (
         _bm25_sql(values)
         + f""",
+{_sql_rhp_ctes().strip().rstrip()},
 lex AS (
   SELECT doc_id, r FROM (
     SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
     FROM scored) WHERE r <= {HYBRID_DEPTH}),
+qb AS (
+  SELECT h.table_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hv) >= 0
+                       THEN (1::BIGINT << h.bit) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN h WHERE e.vec_id = 0
+  GROUP BY h.table_id),
+pool AS (SELECT DISTINCT b.vec_id FROM buckets b JOIN qb USING (table_id, bucket)),
 qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 vec AS (
   SELECT doc_id, r FROM (
     SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS r
     FROM (SELECT e.vec_id, CAST(round({cos}, 6) AS DOUBLE) AS cos
-          FROM embeddings e CROSS JOIN qv q)) WHERE r <= {HYBRID_DEPTH}),
+          FROM embeddings e JOIN pool USING (vec_id) CROSS JOIN qv q)) WHERE r <= {HYBRID_DEPTH}),
 contrib AS (
   SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lex
   UNION ALL

@@ -70,26 +70,44 @@ def hybrid_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ann: str = "brute",
+    sig_path: str | None = None,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
     **kw,
 ) -> DataFrame:
     """BM25 top-`depth` ∪ cosine top-`depth`, RRF-fused to top-k.
     Assumes the embedding table's id space IS the corpus doc_id space
     (one vector per document, as the chunk→embedding pipeline produces).
 
-    ann="brute" scores every vector (the exact baseline and the graded
-    form); ann="lsh" is the scale path — RHP-bucketed candidates re-scored
-    exactly (similarity.knn_lsh; with a persisted signature table the
-    bucket filter becomes a partition-pruned scan), trading exactness of
-    the VECTOR run's tail for a corpus-size-independent candidate pool.
-    Fusion is identical either way."""
+    ann selects the vector run (the SCALE default for a store that has a
+    signature table is "lsh_indexed" — the graded entry q_hybrid_rrf uses
+    it; at 8M docs the round-4 probe showed the brute scan dominating
+    hybrid latency at 7.3 s):
+      - "lsh_indexed": persisted (table_id, bucket)-partitioned signature
+        table at `sig_path` (similarity.write_signature_table) — the query
+        reads exactly n_tables partitions (partition-pruned scan), then
+        exact re-score of the candidate pool. Corpus-size-independent.
+      - "lsh": inline RHP bucketing (recomputes signatures per query —
+        correct, but a full-table scan; use when no table is persisted).
+      - "brute": exact full scan — the correctness baseline.
+    Fusion is identical in all cases."""
     from .bm25_segments import topk_segments
-    from .similarity import knn_brute, knn_lsh
+    from .similarity import knn_brute, knn_lsh, knn_lsh_indexed
 
     lex = topk_segments(spark, index_dir, terms, k=depth, **kw)
     if ann == "brute":
         vec = knn_brute(emb, query_vec, k=depth, id_col=id_col, vec_col=vec_col)
     elif ann == "lsh":
         vec = knn_lsh(emb, query_vec, k=depth, id_col=id_col, vec_col=vec_col)
+    elif ann == "lsh_indexed":
+        if not sig_path:
+            raise ValueError("ann='lsh_indexed' needs sig_path")
+        lsh_kw = {}
+        if n_bits is not None:
+            lsh_kw["n_bits"] = n_bits
+        if n_tables is not None:
+            lsh_kw["n_tables"] = n_tables
+        vec = knn_lsh_indexed(spark, sig_path, query_vec, k=depth, **lsh_kw)
     else:
-        raise ValueError(f"ann must be brute|lsh, got {ann!r}")
+        raise ValueError(f"ann must be brute|lsh|lsh_indexed, got {ann!r}")
     return rrf_fuse([lex, vec.withColumnRenamed("vec_id", "doc_id")], k=k, rrf_k=rrf_k)

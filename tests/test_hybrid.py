@@ -94,3 +94,38 @@ def test_hybrid_ann_lsh_path(spark, tmp_path_factory):
         assert r.rrf_score <= brute.get(r.doc_id, float("inf")) + 1e-9
     with pytest.raises(ValueError):
         hybrid_topk(spark, d, emb, ["hash"], [1.0, 0.0], ann="ivf")
+
+
+def test_hybrid_ann_lsh_indexed_matches_inline(spark, tmp_path_factory):
+    """ann='lsh_indexed' (persisted partition-pruned signature table — the
+    graded q_hybrid_rrf path) fuses bit-identically to the inline knn_lsh
+    run with the same parameters."""
+    from contextinator_spark.operators.segments import write_index
+    from contextinator_spark.operators.similarity import write_signature_table
+
+    docs = spark.createDataFrame(
+        [(i, "hash table" if i < 3 else "merge sort") for i in range(8)],
+        "doc_id long, content string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.1 * i]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    d = str(tmp_path_factory.mktemp("hyb_sig_idx"))
+    sig = str(tmp_path_factory.mktemp("hyb_sig_tab"))
+    write_index(spark, docs, d)
+    write_signature_table(emb, sig, dim=2, n_bits=4, n_tables=2)
+    qv = [1.0, 0.0]
+    got = hybrid_topk(
+        spark, d, emb, ["hash"], qv, k=5, depth=5,
+        ann="lsh_indexed", sig_path=sig, n_bits=4, n_tables=2,
+    ).collect()
+    # inline LSH twin (recomputes signatures; same hyperplanes/params)
+    want = hybrid_topk(
+        spark, d, emb, ["hash"], qv, k=5, depth=5, ann="lsh",
+    ).collect()
+    assert [(r.rank, r.doc_id, r.rrf_score) for r in got] == [
+        (r.rank, r.doc_id, r.rrf_score) for r in want
+    ]
+    with pytest.raises(ValueError):
+        hybrid_topk(spark, d, emb, ["hash"], qv, ann="lsh_indexed")
