@@ -1152,6 +1152,178 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+# Boolean batch: a query-log-shaped mix answered by boolean_topk_multi in
+# ONE plan (one dictionary probe, one pruned term scan with decode-once
+# fanout, one positional matcher pass, one fold exchange). The generic
+# per-query oracle below compiles each query's clause algebra to SQL.
+BOOLEAN_BATCH_QUERIES: dict[int, str] = {
+    0: "+hash spark",                 # MUST + SHOULD terms
+    1: 'hash -join "table hash"',     # MUST_NOT term + SHOULD phrase
+    2: '+"table hash" join',          # MUST phrase + SHOULD term
+    3: '"table hash"~3 spark^2',      # NEAR + boosted term
+    4: "hash lang:en",                # FILTER predicate
+    5: "-lang:de table",              # negated predicate
+    6: "+hash +join -spark",          # conjunctive MUSTs + MUST_NOT
+    7: "zzz_absent_term hash",        # partially unindexed disjunction
+}
+
+
+def _sql_boolean_one(query: str, k: int = 10) -> str:
+    """Compile ONE Boolean query string to its DuckDB oracle: the same
+    clause-by-clause structure as sql_bm25_boolean, generated generically
+    from the engine's own parse (the oracle reuses the parser only to
+    enumerate clauses — scoring math, coverage and occur semantics are all
+    spelled out in SQL). Supports term / phrase / near scoring clauses,
+    term / positional / predicate MUST_NOT, and predicate FILTER."""
+    from .operators.boolean import FILTER as B_FILTER
+    from .operators.boolean import MUST as B_MUST
+    from .operators.boolean import MUST_NOT as B_MUST_NOT
+    from .operators.boolean import parse_query
+
+    k1, b = BM25_K1, BM25_B
+    term_rows: list[tuple[int, bool, str, float]] = []
+    pos_rows: list[tuple[int, bool, list[str], int | None, float]] = []
+    not_terms: list[str] = []
+    not_pos: list[tuple[list[str], int | None]] = []
+    not_preds: list[str] = []
+    filt_preds: list[str] = []
+    n_must = 0
+    for cid, c in enumerate(parse_query(query)):
+        if c.occur == B_FILTER:
+            filt_preds.append(c.predicate)
+        elif c.occur == B_MUST_NOT:
+            if c.kind == "term":
+                not_terms.append(c.terms[0])
+            elif c.kind in ("phrase", "near"):
+                not_pos.append((list(c.terms), c.window))
+            else:
+                not_preds.append(c.predicate)
+        else:
+            if c.occur == B_MUST:
+                n_must += 1
+            if c.kind == "term":
+                term_rows.append((cid, c.occur == B_MUST, c.terms[0], c.boost))
+            elif c.kind in ("phrase", "near"):
+                pos_rows.append(
+                    (cid, c.occur == B_MUST, list(c.terms), c.window, c.boost)
+                )
+            else:
+                raise ValueError(
+                    f"batch oracle supports term/phrase/near scoring only: {c.kind}"
+                )
+
+    ctes = [
+        f"post AS ({SQL_POSTINGS})",
+        f"meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents)",
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta)",
+        f"toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents)",
+    ]
+    unions: list[str] = []
+    if term_rows:
+        vals = ", ".join(
+            f"({cid}, {str(m).upper()}, '{t}', {bo})" for cid, m, t, bo in term_rows
+        )
+        ctes.append(f"q(cid, is_must, term, boost) AS (VALUES {vals})")
+        ctes.append(
+            "dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post "
+            "WHERE term IN (SELECT term FROM q) GROUP BY term)"
+        )
+        ctes.append(f"""tp AS (
+  SELECT q.cid, q.is_must, p.doc_id,
+         q.boost * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * ({k1} + 1.0))
+         / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl)) AS partial
+  FROM post p JOIN q ON p.term = q.term JOIN dfs d ON p.term = d.term
+       JOIN meta m ON p.doc_id = m.doc_id CROSS JOIN stats s)""")
+        unions.append("SELECT * FROM tp")
+
+    def match_cte(name: str, terms: list[str], window: int | None) -> str:
+        n = len(terms)
+        if window is None:
+            cond = " AND ".join(
+                (f"t[i+{j}] = '{t}'" if j else f"t[i] = '{t}'")
+                for j, t in enumerate(terms)
+            )
+            return (
+                f"{name} AS (SELECT doc_id, "
+                f"CAST(len(list_filter(range(1, len(t) - {n} + 2), i -> {cond})) AS INT) AS ptf, "
+                f"CAST(len(t) AS INT) AS doc_len FROM toks)"
+            )
+
+        def pos(term: str) -> str:
+            return f"list_filter(range(1, len(t)+1), i -> t[i] = '{term}')"
+
+        near = " AND ".join(
+            f"len(list_filter({pos(t)}, p{j+1} -> abs(p{j+1} - p0) <= {window})) > 0"
+            for j, t in enumerate(terms[1:])
+        ) or "TRUE"
+        return (
+            f"{name} AS (SELECT doc_id, "
+            f"CAST(len(list_filter({pos(terms[0])}, p0 -> {near})) AS INT) AS ptf, "
+            f"CAST(len(t) AS INT) AS doc_len FROM toks)"
+        )
+
+    for i, (cid, m, ts, w, bo) in enumerate(pos_rows):
+        ctes.append(match_cte(f"pm{i}", ts, w))
+        ctes.append(f"pmm{i} AS (SELECT * FROM pm{i} WHERE ptf > 0)")
+        ctes.append(f"dfp{i} AS (SELECT CAST(count(*) AS DOUBLE) AS dfp FROM pmm{i})")
+        ctes.append(f"""pp{i} AS (
+  SELECT {cid} AS cid, {str(m).upper()} AS is_must, x.doc_id,
+         {bo} * ln(1.0 + (s.n_docs - d.dfp + 0.5) / (d.dfp + 0.5))
+         * (x.ptf * ({k1} + 1.0))
+         / (x.ptf + {k1} * (1.0 - {b} + {b} * x.doc_len / s.avgdl)) AS partial
+  FROM pmm{i} x CROSS JOIN stats s CROSS JOIN dfp{i} d)""")
+        unions.append(f"SELECT * FROM pp{i}")
+
+    conds = [f"nm = {n_must}"]
+    for i, (ts, w) in enumerate(not_pos):
+        ctes.append(match_cte(f"npm{i}", ts, w))
+        conds.append(f"doc_id NOT IN (SELECT doc_id FROM npm{i} WHERE ptf > 0)")
+    ctes.append("allp AS (" + " UNION ALL ".join(unions) + ")")
+    ctes.append(
+        f"agg AS (SELECT doc_id, CAST(round(sum(partial), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score, "
+        "count(DISTINCT CASE WHEN is_must THEN cid END) AS nm FROM allp GROUP BY doc_id)"
+    )
+    if not_terms:
+        tl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+        conds.append(f"doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ({tl}))")
+    for p in not_preds:
+        conds.append(f"doc_id NOT IN (SELECT doc_id FROM documents WHERE {p})")
+    for p in filt_preds:
+        conds.append(f"doc_id IN (SELECT doc_id FROM documents WHERE {p})")
+    where = " AND ".join(conds)
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM agg WHERE {where}
+) WHERE rank <= {k}
+"""
+
+
+def q_boolean_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Boolean executor (operators/boolean.boolean_topk_multi): the
+    whole BOOLEAN_BATCH_QUERIES log in ONE plan — per-query identical to
+    boolean_topk (tested)."""
+    from .operators.boolean import boolean_topk_multi
+
+    return boolean_topk_multi(
+        spark, _cached_phrase_index_dir(spark, sf_dir), BOOLEAN_BATCH_QUERIES, k=10
+    )
+
+
+def sql_boolean_batch() -> str:
+    """UNION ALL of per-query compiled Boolean oracles, each tagged with
+    its query_id — same shape as the Spark batch output."""
+    parts = [
+        f"SELECT CAST({qid} AS INT) AS query_id, t.* FROM ({_sql_boolean_one(q)}) t"
+        for qid, q in BOOLEAN_BATCH_QUERIES.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
 # More-Like-This: docs most similar to MLT_DOC_ID by lexical overlap —
 # max_query_terms=5 keeps the interestingness bound ACTIVE at sf0.01
 # (doc 0 has 7 candidate terms at min_tf=2)
@@ -1704,6 +1876,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_boosted": (q_bm25_boosted, sql_bm25_boosted()),
         "snippets": (q_snippets, sql_snippets()),
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
+        "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
         "mlt": (q_mlt, sql_mlt()),
         "hybrid_rrf": (q_hybrid_rrf, sql_hybrid_rrf()),
         "bm25_page2": (q_bm25_page2, sql_bm25_page2()),

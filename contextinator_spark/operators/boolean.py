@@ -606,3 +606,389 @@ def boolean_topk_query(
 ) -> DataFrame:
     """parse_query + boolean_topk: the one-call query-string surface."""
     return boolean_topk(spark, index_dir, parse_query(query), k=k, **kw)
+
+
+# ---------------------------------------------------------------------------
+# batch executor (S10): many Boolean queries, ONE plan
+# ---------------------------------------------------------------------------
+
+_SLOT_BASE = 1024  # positional keys pack (qid, clause-slot); slots < 1024
+_BATCH_SCHEMA = "query_id int, rank int, doc_id long, score double"
+
+
+def boolean_topk_multi(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, str | list[Clause]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """Batch Boolean executor: (query_id, rank, doc_id, score) for many
+    Boolean queries in ONE plan — the Boolean twin of
+    bm25_segments.topk_segments_multi / phrase.positional_topk_indexed_multi.
+    Per-query results are identical to boolean_topk with the same combine
+    (tested); `queries` values are query strings (parsed here) or
+    pre-parsed clause lists.
+
+    Topology (a query log is mostly Boolean-shaped, so this is the
+    throughput path):
+      * ONE dictionary probe for the union of every query's scoring +
+        MUST_NOT terms (prefix/wildcard/fuzzy expansions are per-clause
+        dictionary probes — bounded, metadata-only, as in Lucene's
+        MultiTermQuery rewrite);
+      * ONE pruned segment scan decodes each term's blob ONCE and fans the
+        tf-normalized scores out to every (query, clause-slot) using it —
+        rows carry (query_id, slot, is_must, partial);
+      * positional clauses across ALL queries ride ONE
+        phrase.positional_matches_multi pass (each term decoded once into
+        the bucket-packed layout, every clause answered from offset views);
+      * MUST_NOT doc sets fold into ONE (query_id, doc_id) anti-join;
+        FILTER predicates into ONE semi-join — per-query joins never
+        multiply with batch size;
+      * ONE exchange folds partials: per-slot sums are pivoted inside the
+        same aggregate (the single-query dismax lesson — a slot-then-doc
+        chain would be two exchanges over the partial stream), giving both
+        Σ (BooleanQuery) and max+tie·rest (DisMax) per (query, doc), plus
+        MUST coverage via count_distinct over must slots.
+
+    Not carried over from the latency path: the rare-MUST candidate
+    broadcast (per-query driver state that doesn't compose across a
+    batch; MUST coverage still guarantees correctness, it's purely a
+    pruning loss) and θ/block-max pruning (unsound under MUST coverage,
+    same as boolean_topk)."""
+    if combine not in ("sum", "dismax"):
+        raise ValueError(f"combine must be sum|dismax, got {combine!r}")
+    parsed: dict[int, list[Clause]] = {
+        int(qid): (parse_query(q) if isinstance(q, str) else list(q))
+        for qid, q in queries.items()
+    }
+    if not parsed:
+        return spark.createDataFrame([], _BATCH_SCHEMA)
+    stats = load_stats(index_dir)
+    n_partitions = int(stats["n_partitions"])
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+
+    # ---- per-query clause partition + slot assignment
+    scoring: dict[int, list[tuple[int, Clause]]] = {}  # qid -> [(slot, c)]
+    nots: dict[int, list[Clause]] = {}
+    filters: dict[int, list[Clause]] = {}
+    for qid, cls in parsed.items():
+        if qid < 0 or qid >= 2**20:
+            raise ValueError(f"query_id out of range [0, 2^20): {qid}")
+        sc = [c for c in cls if c.occur in (MUST, SHOULD)]
+        if not sc:
+            raise ValueError(f"query {qid}: needs ≥1 scoring clause")
+        if any(c.kind == "predicate" for c in sc):
+            raise ValueError(f"query {qid}: predicate clauses are FILTER/MUST_NOT only")
+        if len(sc) > _SLOT_BASE:
+            raise ValueError(f"query {qid}: >{_SLOT_BASE} scoring clauses")
+        scoring[qid] = list(enumerate(sc))
+        nots[qid] = [c for c in cls if c.occur == MUST_NOT]
+        filters[qid] = [c for c in cls if c.occur == FILTER]
+    m_slots = max(len(v) for v in scoring.values())
+
+    # ---- expansion + ONE dictionary probe over the union
+    cl_terms: dict[tuple[int, int], list[str]] = {}
+    for qid, slots in scoring.items():
+        for slot, c in slots:
+            if c.kind in ("term", "prefix", "wildcard", "fuzzy"):
+                cl_terms[(qid, slot)] = _clause_terms(spark, index_dir, c, max_expansions)
+    not_terms: dict[int, list[str]] = {}
+    for qid, cs in nots.items():
+        ts: list[str] = []
+        for c in cs:
+            if c.kind in ("term", "prefix", "wildcard", "fuzzy"):
+                ts.extend(_clause_terms(spark, index_dir, c, max_expansions))
+        if ts:
+            not_terms[qid] = sorted(set(ts))
+    all_terms = sorted(
+        {t for ts in cl_terms.values() for t in ts}
+        | {t for ts in not_terms.values() for t in ts}
+    )
+    info = probe_dictionary(spark, index_dir, all_terms, n_partitions) if all_terms else {}
+    idf = {t: _idf(float(info[t]["df"]), n_docs) for t in info}
+
+    # a MUST term-group with no indexed expansion ⇒ that query is empty
+    dead = {
+        qid
+        for qid, slots in scoring.items()
+        for slot, c in slots
+        if c.occur == MUST
+        and c.kind in ("term", "prefix", "wildcard", "fuzzy")
+        and not any(t in info for t in cl_terms[(qid, slot)])
+    }
+    live = sorted(set(scoring) - dead)
+    if not live:
+        return spark.createDataFrame([], _BATCH_SCHEMA)
+    live_set = set(live)
+
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    parts: list[DataFrame] = []
+
+    # ---- term-clause partial stream: decode once, fan out per (qid, slot)
+    fan: dict[str, tuple] = {}
+    for (qid, slot), ts in cl_terms.items():
+        if qid not in live_set:
+            continue
+        c = scoring[qid][slot][1]
+        is_m = c.occur == MUST
+        for t in ts:
+            if t in info:
+                fan.setdefault(t, []).append(
+                    (qid, slot, is_m, idf[t] * float(c.boost))
+                )
+    if fan:
+        fan_arr = {
+            t: (
+                np.asarray([e[0] for e in v], np.int32),
+                np.asarray([e[1] for e in v], np.int32),
+                np.asarray([e[2] for e in v], bool),
+                np.asarray([e[3] for e in v], np.float64),
+            )
+            for t, v in fan.items()
+        }
+        pids = sorted({info[t]["partition_id"] for t in fan})
+        seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+            F.col("partition_id").isin(pids) & F.col("term").isin(sorted(fan))
+        )
+        seg = _spread_slices(seg, spark, sum(int(info[t]["df"]) for t in fan))
+
+        from .bm25_segments import _OUT_CHUNK_ROWS
+
+        def score_slices(pdf_iter):
+            oq, os_, om, od, op, n_out = [], [], [], [], [], 0
+
+            def flush():
+                return pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(oq),
+                        "slot": np.concatenate(os_),
+                        "is_must": np.concatenate(om),
+                        "doc_id": np.concatenate(od),
+                        "partial": np.concatenate(op),
+                    }
+                )
+
+            for pdf in pdf_iter:
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    doc_ids, tfs, dls = decode_postings(bytes(blob))
+                    if tomb_bc is not None and doc_ids.size:
+                        mliv = live_mask(doc_ids, tomb_bc.value)
+                        if not mliv.all():
+                            doc_ids, tfs, dls = doc_ids[mliv], tfs[mliv], dls[mliv]
+                    if doc_ids.size == 0:
+                        continue
+                    tfn = _tf_norm(
+                        tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
+                    )
+                    qa, sa, ma, wa = fan_arr[term]
+                    for i in range(qa.size):
+                        oq.append(np.full(doc_ids.size, qa[i], np.int32))
+                        os_.append(np.full(doc_ids.size, sa[i], np.int32))
+                        om.append(np.full(doc_ids.size, ma[i], bool))
+                        od.append(doc_ids)
+                        op.append(tfn * wa[i])
+                        n_out += doc_ids.size
+                        if n_out >= _OUT_CHUNK_ROWS:
+                            yield flush()
+                            oq, os_, om, od, op, n_out = [], [], [], [], [], 0
+            if od:
+                yield flush()
+
+        parts.append(
+            seg.mapInPandas(
+                score_slices,
+                schema="query_id int, slot int, is_must boolean, doc_id long, partial double",
+            )
+        )
+
+    # ---- positional clauses (scoring AND MUST_NOT) in ONE matcher pass
+    pos_spec: dict[int, tuple[list[str], int | None]] = {}
+    pos_meta: list[tuple[int, int, int, bool, float]] = []  # key,qid,slot,is_must,boost
+    not_pos_keys: dict[int, int] = {}  # key -> qid (exclusion matches)
+    for qid in live:
+        for slot, c in scoring[qid]:
+            if c.kind in ("phrase", "near"):
+                key = qid * _SLOT_BASE + slot
+                pos_spec[key] = (list(c.terms), c.window)
+                pos_meta.append((key, qid, slot, c.occur == MUST, float(c.boost)))
+        for j, c in enumerate(nots[qid]):
+            if c.kind in ("phrase", "near"):
+                key = -(qid * _SLOT_BASE + j + 1)
+                pos_spec[key] = (list(c.terms), c.window)
+                not_pos_keys[key] = qid
+    excl: list[DataFrame] = []
+    if pos_spec:
+        from .phrase import positional_matches_multi
+
+        matched, _pstats = positional_matches_multi(spark, index_dir, pos_spec)
+        matched = matched.persist()
+        if pos_meta:
+            meta_df = spark.createDataFrame(
+                pos_meta,
+                "query_id_key int, qid int, slot int, is_must boolean, boost double",
+            )
+            sc_m = matched.withColumnRenamed("query_id", "query_id_key").join(
+                F.broadcast(meta_df), "query_id_key"
+            )
+            dfp = sc_m.groupBy("query_id_key").agg(
+                F.count(F.lit(1)).cast("double").alias("df_phrase")
+            )
+            parts.append(
+                sc_m.join(F.broadcast(dfp), "query_id_key").select(
+                    F.col("qid").alias("query_id"),
+                    "slot",
+                    "is_must",
+                    "doc_id",
+                    (
+                        idf_expr(F.col("df_phrase"), F.lit(n_docs))
+                        * tf_norm_expr(
+                            F.col("phrase_tf").cast("double"),
+                            F.col("doc_len").cast("double"),
+                            F.lit(avgdl),
+                            k1,
+                            b,
+                        )
+                        * F.col("boost")
+                    ).alias("partial"),
+                )
+            )
+        if not_pos_keys:
+            nk = spark.createDataFrame(
+                list(not_pos_keys.items()), "query_id_key int, qid int"
+            )
+            excl.append(
+                matched.withColumnRenamed("query_id", "query_id_key")
+                .join(F.broadcast(nk), "query_id_key")
+                .select(F.col("qid").alias("query_id"), "doc_id")
+            )
+
+    if not parts:
+        return spark.createDataFrame([], _BATCH_SCHEMA)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    if tomb_over is not None:
+        allp = allp.join(tomb_over, "doc_id", "left_anti")
+
+    # ---- ONE exchange: per-slot pivot + MUST coverage per (query, doc)
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("slot") == j, F.col("partial"))), F.lit(0.0)
+        ).alias(f"_s{j}")
+        for j in range(m_slots)
+    ]
+    aggs.append(
+        F.count_distinct(F.when(F.col("is_must"), F.col("slot"))).alias("n_cov")
+    )
+    scored = allp.groupBy("query_id", "doc_id").agg(*aggs)
+    qmeta = spark.createDataFrame(
+        [(qid, sum(1 for _s, c in scoring[qid] if c.occur == MUST)) for qid in live],
+        "query_id int, n_must int",
+    )
+    scored = scored.join(F.broadcast(qmeta), "query_id").filter(
+        F.col("n_cov") == F.col("n_must")
+    )
+    cols = [F.col(f"_s{j}") for j in range(m_slots)]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    if combine == "dismax":
+        best = F.greatest(*cols) if m_slots > 1 else cols[0]
+        expr = best + F.lit(float(tie_breaker)) * (total - best)
+    else:
+        expr = total
+    scored = scored.withColumn(
+        "score", F.round(expr, SCORE_ROUND_DECIMALS)
+    ).select("query_id", "doc_id", "score")
+
+    # ---- MUST_NOT: term-ish sets via one pruned scan; + positional above;
+    # + negated predicates — ONE (query_id, doc_id) anti-join for all
+    nf: dict[str, list[int]] = {}
+    for qid, ts in not_terms.items():
+        if qid not in live_set:
+            continue
+        for t in ts:
+            if t in info:
+                nf.setdefault(t, []).append(qid)
+    if nf:
+        pids = sorted({info[t]["partition_id"] for t in nf})
+        nseg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+            F.col("partition_id").isin(pids) & F.col("term").isin(sorted(nf))
+        )
+        nf_arr = {t: np.asarray(v, np.int32) for t, v in nf.items()}
+
+        def excl_docs(pdf_iter):
+            for pdf in pdf_iter:
+                oq, od = [], []
+                for term, blob in zip(pdf["term"], pdf["blob"]):
+                    ids = decode_postings(bytes(blob))[0]
+                    if ids.size == 0:
+                        continue
+                    for qid in nf_arr[term]:
+                        oq.append(np.full(ids.size, qid, np.int32))
+                        od.append(ids)
+                if od:
+                    yield pd.DataFrame(
+                        {"query_id": np.concatenate(oq), "doc_id": np.concatenate(od)}
+                    )
+
+        excl.append(nseg.mapInPandas(excl_docs, schema="query_id int, doc_id long"))
+    meta_path = os.path.join(index_dir, "doc_meta")
+    for qid in live:
+        for c in nots[qid]:
+            if c.kind == "predicate":
+                excl.append(
+                    spark.read.parquet(meta_path)
+                    .filter(c.predicate)
+                    .select(F.lit(qid).cast("int").alias("query_id"), "doc_id")
+                )
+    if excl:
+        ex = excl[0]
+        for e in excl[1:]:
+            ex = ex.unionByName(e)
+        scored = scored.join(ex.distinct(), ["query_id", "doc_id"], "left_anti")
+
+    # ---- FILTER: ONE (query_id, doc_id) semi-join over all predicates
+    flt: list[DataFrame] = []
+    for qid in live:
+        for c in filters[qid]:
+            flt.append(
+                spark.read.parquet(meta_path)
+                .filter(c.predicate)
+                .select(F.lit(qid).cast("int").alias("query_id"), "doc_id")
+            )
+    if flt:
+        # a doc must satisfy EVERY filter of its query: count matches
+        fu = flt[0]
+        for f2 in flt[1:]:
+            fu = fu.unionByName(f2)
+        need = spark.createDataFrame(
+            [(qid, len(filters[qid])) for qid in live if filters[qid]],
+            "query_id int, n_flt int",
+        )
+        ok = (
+            fu.groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .join(F.broadcast(need), "query_id")
+            .filter(F.col("n_hit") == F.col("n_flt"))
+            .select("query_id", "doc_id")
+        )
+        has_flt = {qid for qid in live if filters[qid]}
+        no_flt = scored.filter(~F.col("query_id").isin(sorted(has_flt)))
+        scored = (
+            scored.filter(F.col("query_id").isin(sorted(has_flt)))
+            .join(ok, ["query_id", "doc_id"], "left_semi")
+            .unionByName(no_flt)
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

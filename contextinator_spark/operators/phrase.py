@@ -581,22 +581,21 @@ def near_topk(
     return _rank_matches(meta.filter(F.col("phrase_tf") > 0), stats, k, k1, b)
 
 
-def positional_topk_indexed_multi(
+def positional_matches_multi(
     spark: SparkSession,
     index_dir: str,
     queries: dict[int, tuple[list[str], int | None]],
-    k: int = DEFAULT_TOP_K,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> DataFrame:
-    """Batch positional executor: (query_id, rank, doc_id, score) for many
-    phrase/NEAR queries in ONE plan — the positional twin of
-    bm25_segments.topk_segments_multi (round-3 VERDICT item 8).
+) -> tuple[DataFrame, dict]:
+    """Shared batch positional matcher: (query_id, doc_id, phrase_tf,
+    doc_len) rows for many phrase/NEAR queries in ONE plan, plus the
+    store's stats dict. The matching core of positional_topk_indexed_multi,
+    factored out so boolean_topk_multi can feed positional clauses from
+    the same decode-each-term-once machinery (query_id is any caller key —
+    the Boolean batch packs (qid, clause) into it).
 
-    queries: qid -> (terms, window); window=None means exact consecutive
+    queries: key -> (terms, window); window=None means exact consecutive
     phrase, window=W means NEAR (all terms within ±W of an anchor terms[0]
-    occurrence). Results are per-query identical to phrase_topk_indexed /
-    near_topk_indexed (tested).
+    occurrence).
 
     Topology: ONE partition-pruned scan decodes each needed term ONCE
     (regardless of how many queries use it) into doc-range-bucketed array
@@ -609,11 +608,14 @@ def positional_topk_indexed_multi(
     broadcast-join + groupBy(qid, doc) Catalyst fold materialized one JVM
     row per (doc, slot, qid) — query-count-multiplied row explosion that
     the bucket layout eliminates."""
-    all_terms = sorted({t for ts, _w in queries.values() for t in ts})
-    if not all_terms or not queries:
-        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
+    all_terms = sorted({t for ts, _w in queries.values() for t in ts})
+    if not all_terms or not queries:
+        empty = spark.createDataFrame(
+            [], "query_id int, doc_id long, phrase_tf int, doc_len int"
+        )
+        return empty, stats
     if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
         raise ValueError(
             f"{index_dir} is not a positions index "
@@ -743,6 +745,27 @@ def positional_topk_indexed_multi(
     )
     if tomb_over is not None:  # per-doc predicate → post-match anti-join ok
         matched = matched.join(tomb_over, "doc_id", "left_anti")
+    return matched, stats
+
+
+def positional_topk_indexed_multi(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, tuple[list[str], int | None]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch positional executor: (query_id, rank, doc_id, score) for many
+    phrase/NEAR queries in ONE plan — the positional twin of
+    bm25_segments.topk_segments_multi (round-3 VERDICT item 8). Matching
+    is positional_matches_multi (see its docstring for the bucket-packed
+    topology); this adds per-query phrase-idf BM25 scoring + windows.
+    Results are per-query identical to phrase_topk_indexed /
+    near_topk_indexed (tested)."""
+    matched, stats = positional_matches_multi(spark, index_dir, queries)
+    if not queries:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
     dfp = matched.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("double").alias("df_phrase")
     )

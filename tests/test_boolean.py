@@ -434,3 +434,58 @@ def test_parse_rejects_malformed_suffixes():
     for bad in ("term~3", "term^", "a^b", "x~9", "hash~12"):
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+# ---------------------------------------------------------------------------
+# batch executor: per-query identity with boolean_topk
+# ---------------------------------------------------------------------------
+
+BATCH_QUERIES = {
+    0: "+hash spark",                      # MUST + SHOULD terms
+    1: 'hash -join "table hash"',          # MUST_NOT + phrase clause
+    2: '+"hash join" merge',               # MUST phrase + SHOULD term
+    3: '"big join"~3 spark^2',             # NEAR + boosted term
+    4: "mer* s*k",                         # prefix + wildcard expansion
+    5: "grup~2 table",                     # fuzzy (no dictionary hit) + term
+    6: "hash lang:en",                     # FILTER predicate
+    7: "-lang:de table",                   # negated predicate
+    8: "zzzz qqqq",                        # nothing indexed → empty
+}
+
+
+def test_boolean_batch_matches_single(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    out = boolean_topk_multi(spark, idx, BATCH_QUERIES, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in BATCH_QUERIES.items():
+        want = _rows(boolean_topk_query(spark, idx, q, k=10))
+        assert sorted(got.get(qid, [])) == sorted(want), f"qid={qid} {q!r}"
+    assert 8 not in got  # all-unindexed query yields no rows, no error
+
+
+def test_boolean_batch_dismax_matches_single(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    qs = {0: "hash spark", 1: 'merge "table hash"', 2: "join^2 table"}
+    out = boolean_topk_multi(spark, idx, qs, k=10, combine="dismax", tie_breaker=0.3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in qs.items():
+        want = _rows(
+            boolean_topk_query(spark, idx, q, k=10, combine="dismax", tie_breaker=0.3)
+        )
+        assert sorted(got.get(qid, [])) == sorted(want), f"qid={qid} {q!r}"
+
+
+def test_boolean_batch_validations(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    assert boolean_topk_multi(spark, idx, {}).count() == 0
+    with pytest.raises(ValueError):
+        boolean_topk_multi(spark, idx, {0: "-join"})  # no scoring clause
+    with pytest.raises(ValueError):
+        boolean_topk_multi(spark, idx, {0: "hash"}, combine="best")
