@@ -387,7 +387,17 @@ def cmd_compact(args, spark) -> None:
     (the `delete` verb's live-docs), and rewrite segments/ + every derived
     artifact in place — see segments.compact_index. Without deletes,
     results are query-identical before/after (tested); with deletes, the
-    compacted store answers like a fresh build on the live corpus."""
+    compacted store answers like a fresh build on the live corpus.
+    With --tiered: size-tiered merging of small delta units only
+    (segments.tiered_compact) — bounded bytes rewritten per cycle, no
+    purge, the per-epoch maintenance policy between full compactions."""
+    if getattr(args, "tiered", False):
+        from .operators.segments import tiered_compact
+
+        print(json.dumps(tiered_compact(
+            spark, args.index, tier_fanout=args.tier_fanout
+        )))
+        return
     from .operators.segments import compact_index
 
     print(json.dumps(compact_index(spark, args.index)))
@@ -566,6 +576,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     cp = sub.add_parser("compact", help="fold slices per term, purge deletes, rewrite segments/")
     cp.add_argument("--index", required=True)
+    cp.add_argument(
+        "--tiered", action="store_true",
+        help="size-tiered merge of small delta units only (bounded bytes "
+             "rewritten; no purge) instead of the full store rewrite",
+    )
+    cp.add_argument(
+        "--tier-fanout", type=int, default=4,
+        help="merge a size tier once it holds this many units (with --tiered)",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser("delete", help="tombstone doc_ids (live-docs; reclaim via compact)")

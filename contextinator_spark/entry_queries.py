@@ -1560,6 +1560,39 @@ FROM documents
 """
 
 
+def q_chunks_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level chunker contract (round-4 VERDICT item 7, upgrading
+    the line-number invariants to BYTE EQUALITY): the depth-1 chunks of a
+    file — top-level nodes plus the line-partitioned splits they decompose
+    into, ordered by (start_line, split_index) — concatenated with
+    newlines must reproduce the raw text exactly. Children (depth ≥ 2) are
+    contained in their parents' content, so the depth-1 layer alone must
+    tile the file with no gaps and no overlaps; any splitter or boundary
+    drift breaks the hash."""
+    from .operators.chunker import chunk_corpus
+    from .sources.corpus import documents_as_corpus
+
+    ch = chunk_corpus(documents_as_corpus(spark, sf_dir).drop("doc_id"))
+    ordered = F.sort_array(
+        F.collect_list(F.struct("start_line", "split_index", "content"))
+    )
+    return (
+        ch.filter(F.col("depth") == 1)
+        .groupBy("repo", "path")
+        .agg(
+            F.array_join(ordered.getField("content"), "\n").alias("content")
+        )
+    )
+
+
+SQL_CHUNKS_CONTENT = """
+SELECT source AS repo,
+       'docs/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       text AS content
+FROM documents
+"""
+
+
 def q_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """chunk → reconstruct round trip; oracle = the original table."""
     from .operators.chunker import chunk_corpus, reconstruct_files
@@ -1882,6 +1915,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_page2": (q_bm25_page2, sql_bm25_page2()),
         "chunks": (q_chunks, None),  # rows-only (chunker not SQL-expressible)
         "chunks_invariants": (q_chunks_invariants, SQL_CHUNKS_INVARIANTS),
+        "chunks_content": (q_chunks_content, SQL_CHUNKS_CONTENT),
         "reconstruct": (
             q_reconstruct,
             "SELECT source AS repo, "

@@ -23,6 +23,17 @@ source code and ~4-5 on English prose (pinned by test within tolerance).
 It is an APPROXIMATION: split boundaries near the 512 budget may differ
 from real tiktoken by a few lines — the documented fidelity ceiling
 without the vocabulary file.
+
+Exact-BPE probe (round-5 VERDICT item 8, closing as container-infeasible):
+no network access, and the container holds neither a BPE package
+(`import tiktoken|tokenizers|transformers` all fail; pip list shows none)
+nor any vendorable vocabulary file (filesystem scans for `*cl100k*`,
+`*.tiktoken`, BPE/vocab json under /usr, /opt, site-packages come up
+empty). Real cl100k requires its ~1.7 MB mergeable-ranks file — not
+reconstructible from rules. SUBSTITUTION POINT: drop a real encoder in by
+replacing `approx_bpe_len` below with `len(enc.encode(text))`; callers
+flow through this one function and pin the interface, with value tests
+holding only the chars/token ballpark.
 """
 
 from __future__ import annotations

@@ -775,7 +775,9 @@ def _clean_uncommitted(index_dir: str, done: set[int]) -> list[str]:
             pdir = os.path.join(base, entry)
             kept = 0
             for fn in os.listdir(pdir):
-                if fn.startswith("ingest-b"):
+                # ingest deltas commit via stats.json, tiered-merge units
+                # via the tiered.inprogress protocol — not the catalog
+                if fn.startswith(("ingest-b", "tiered-t")):
                     kept += 1
                 else:
                     os.remove(os.path.join(pdir, fn))
@@ -1421,4 +1423,230 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "compacted": True,
         "purged_docs": n_purged,
         **{k: int(v) for k, v in counters.asDict().items()},
+    }
+
+
+# ---------------------------------------------------------------------------
+# size-tiered slice merging (bounded-write-amplification maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _segment_units(index_dir: str) -> dict[str, list[str]]:
+    """Group segments/ data files into merge UNITS (the Lucene-segment
+    analog): 'base' = the batch build's catalog-committed files,
+    'b{N}' = one streaming-ingest epoch, 't{G}' = one prior tiered-merge
+    output. Paths are relative to segments/ (partition dirs preserved)."""
+    import re as _re
+
+    units: dict[str, list[str]] = {}
+    seg = os.path.join(index_dir, "segments")
+    for root, _dirs, files in os.walk(seg):
+        rel = os.path.relpath(root, seg)
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            m = _re.match(r"ingest-b(\d+)-", fn)
+            t = _re.match(r"tiered-t(\d+)-", fn)
+            key = f"b{m.group(1)}" if m else (f"t{t.group(1)}" if t else "base")
+            units.setdefault(key, []).append(
+                fn if rel == "." else os.path.join(rel, fn)
+            )
+    return units
+
+
+def tiered_compact(
+    spark: SparkSession,
+    index_dir: str,
+    tier_fanout: int = 4,
+    min_unit_bytes: int = 1 << 20,
+) -> dict:
+    """Size-tiered slice merging — the bounded-write-amplification
+    maintenance op between full compactions (Lucene TieredMergePolicy /
+    LSM size-tiered compaction, at the granularity this store actually
+    accumulates garbage: one delta UNIT per streaming-ingest epoch).
+
+    compact_index rewrites the WHOLE store (O(store) bytes per cycle) —
+    correct as the deep-maintenance/purge op, but ruinous as the per-epoch
+    policy when ingest runs continuously. This op instead:
+
+      * groups segments/ files into units (base build / ingest epoch /
+        prior tiered output — _segment_units) and assigns each unit a size
+        tier = floor(log2(bytes / min_unit_bytes));
+      * merges ONLY tiers holding ≥ tier_fanout non-base units: their
+        same-term slices decode-concat-encode into one slice (doc-order
+        re-sort handles interleaved delta ranges; positions sections ride
+        along in a posting_format=2 store), written as a new `tiered-t{G}`
+        unit; the merged slice keeps the smallest constituent slice_id, so
+        (term, slice_id) stays unique;
+      * never touches the base unit, terms/terms_delta (df/cf totals are
+        invariant under slice merging), the catalog (base-only by
+        contract), doc_meta, or stats.json.
+
+    Bounds: each posting is rewritten at most O(log(store/min_unit_bytes))
+    times over its lifetime, a cycle rewrites only the merged tiers'
+    bytes, and steady-state unit count is O(tier_fanout · #tiers). Query
+    results are bit-identical before/after (readers union slice rows per
+    term; tested under a repeated ingest→compact loop).
+
+    Purge is intentionally NOT done here: a partial purge would desync
+    df/cf/stats from the surviving postings — tombstone masking stays
+    active at query time and compact_index remains the purge op.
+
+    Crash safety: merged files stage under .tiered_staging, then a
+    `tiered.inprogress` marker records the new unit's expected file names
+    and the old files to delete; recovery (run at next call) rolls FORWARD
+    when every new file landed (finish the deletes) and BACK otherwise
+    (scrub the new unit) — either way the store is never double-counted.
+
+    Impact metadata: merged slices carry kth_tfnorm=NULL (a delta-bearing
+    store's impact stamp is already invalidated by the ingest avgdl drift;
+    the executor's θ-job fallback covers it, and the next full
+    compact_index re-stamps everything)."""
+    import re as _re
+
+    seg_dir = os.path.join(index_dir, "segments")
+    marker = os.path.join(index_dir, "tiered.inprogress")
+    # ---- recovery from a prior crash (roll forward or back; see docstring)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            st = json.load(f)
+        new_done = all(
+            os.path.exists(os.path.join(seg_dir, p)) for p in st["new_files"]
+        )
+        for p in (st["old_files"] if new_done else st["new_files"]):
+            fp = os.path.join(seg_dir, p)
+            if os.path.exists(fp):
+                os.remove(fp)
+        os.remove(marker)
+        spark.catalog.refreshByPath(seg_dir)
+
+    units = _segment_units(index_dir)
+    sizes = {
+        u: sum(os.path.getsize(os.path.join(seg_dir, p)) for p in ps)
+        for u, ps in units.items()
+    }
+    tiers: dict[int, list[str]] = {}
+    for u, sz in sizes.items():
+        if u == "base":
+            continue  # the giant segment; full compact_index folds it
+        tier = max(0, int(np.log2(max(sz, 1) / min_unit_bytes))) if sz >= min_unit_bytes else 0
+        tiers.setdefault(tier, []).append(u)
+    merge_units = sorted(
+        u for t, us in tiers.items() if len(us) >= tier_fanout for u in us
+    )
+    if not merge_units:
+        return {"merged_units": [], "bytes_rewritten": 0,
+                "n_units_before": len(units), "n_units_after": len(units)}
+
+    gens = [
+        int(m.group(1))
+        for u in units
+        for m in [_re.fullmatch(r"t(\d+)", u)]
+        if m
+    ]
+    gen = (max(gens) + 1) if gens else 0
+    old_files = sorted(p for u in merge_units for p in units[u])
+    bytes_rewritten = sum(sizes[u] for u in merge_units)
+
+    # ---- merge the selected units' slices per term (decode-once kernel)
+    src = spark.read.option("basePath", seg_dir).parquet(
+        *[os.path.join(seg_dir, p) for p in old_files]
+    )
+    has_impact = "kth_tfnorm" in src.columns
+    positions = False
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        positions = int(json.load(f).get("posting_format", 1)) == 2
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .compress import decode_postings as _dec
+        from .positions import (
+            decode_postings_with_positions_flat,
+            encode_postings_with_positions_flat,
+        )
+
+        grp = pdf.sort_values("slice_id")
+        if len(grp) == 1:  # nothing to fold for this term in these units
+            return grp
+        ds, ts, ls, ps = [], [], [], []
+        for blob in grp["blob"]:
+            if positions:
+                d, t, l, p = decode_postings_with_positions_flat(bytes(blob))
+                ps.append(p)
+            else:
+                d, t, l = _dec(bytes(blob))
+            ds.append(d), ts.append(t), ls.append(l)
+        d = np.concatenate(ds)
+        t = np.concatenate(ts).astype(np.int64)
+        l = np.concatenate(ls)
+        p = np.concatenate(ps) if positions else None
+        if d.size > 1 and not (np.diff(d) > 0).all():
+            order = np.argsort(d, kind="stable")
+            if positions:
+                old_starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                seg_lens = t[order]
+                new_off = np.concatenate(([0], np.cumsum(seg_lens)))
+                idx = np.repeat(
+                    old_starts[order] - new_off[:-1], seg_lens
+                ) + np.arange(p.size, dtype=np.int64)
+                p = p[idx]
+            d, t, l = d[order], t[order], l[order]
+        row = {
+            "term": [grp["term"].iloc[0]],
+            "slice_id": [int(grp["slice_id"].iloc[0])],  # min id survives
+            "df_slice": [int(d.size)],
+            "cf_slice": [int(t.sum())],
+            "blob": [
+                encode_postings_with_positions_flat(d, t, l, p)
+                if positions
+                else encode_postings(d, t, l)
+            ],
+            "block_max": [block_max(d, t, l)],
+            "partition_id": [int(grp["partition_id"].iloc[0])],
+        }
+        if has_impact:
+            row["kth_tfnorm"] = [None]
+        return pd.DataFrame(row)[list(pdf.columns)]
+
+    import shutil
+
+    staging = os.path.join(index_dir, ".tiered_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    src.groupBy("term").applyInPandas(merge, schema=src.schema).write.mode(
+        "overwrite"
+    ).partitionBy("partition_id").parquet(staging)
+
+    # ---- publish: move staged files in under the new unit's names, with a
+    # marker-guarded delete of the merged inputs
+    new_files: list[str] = []
+    moves: list[tuple[str, str]] = []
+    i = 0
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            dest_rel = (
+                f"tiered-t{gen}-{i}.parquet"
+                if rel == "."
+                else os.path.join(rel, f"tiered-t{gen}-{i}.parquet")
+            )
+            new_files.append(dest_rel)
+            moves.append((os.path.join(root, fn), os.path.join(seg_dir, dest_rel)))
+            i += 1
+    with open(marker, "w") as f:
+        json.dump({"gen": gen, "new_files": new_files, "old_files": old_files}, f)
+    for src_p, dst_p in moves:
+        os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+        os.rename(src_p, dst_p)
+    for p in old_files:
+        os.remove(os.path.join(seg_dir, p))
+    os.remove(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(seg_dir)
+    return {
+        "merged_units": merge_units,
+        "new_unit": f"t{gen}",
+        "bytes_rewritten": int(bytes_rewritten),
+        "n_units_before": len(units),
+        "n_units_after": len(units) - len(merge_units) + 1,
     }

@@ -115,7 +115,8 @@ def start_incremental_ingest(
         for entry in os.listdir(seg_base):
             m = re.fullmatch(r"partition_id=(\d+)", entry)
             if m and any(
-                not fn.startswith("ingest-b") and fn.endswith(".parquet")
+                not fn.startswith(("ingest-b", "tiered-t"))
+                and fn.endswith(".parquet")
                 for fn in os.listdir(os.path.join(seg_base, entry))
             ):
                 on_disk.add(int(m.group(1)))

@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import json
+import os
 import shutil
 
 import pytest
@@ -224,3 +225,74 @@ def test_incremental_ingest_positions_matches_batch(spark, corpus, tmp_path_fact
     shutil.rmtree(fresh_dir, ignore_errors=True)
     shutil.rmtree(drop_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_tiered_compact_loop(spark, corpus, tmp_path_factory):
+    """Repeated ingest → tiered-compact cycles on a positions store:
+    bounded unit counts, bounded bytes rewritten per cycle (base never
+    touched), and bit-identical query results — before/after each merge
+    AND vs a fresh full-corpus build at the end."""
+    from contextinator_spark.operators.phrase import (
+        near_topk_indexed,
+        phrase_topk_indexed,
+    )
+    from contextinator_spark.operators.segments import (
+        _segment_units,
+        tiered_compact,
+    )
+    from contextinator_spark.streaming.ingest import apply_ingest_batch
+
+    base_dir = str(tmp_path_factory.mktemp("tier_idx"))
+    fresh_dir = str(tmp_path_factory.mktemp("tier_fresh"))
+
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    parts = [c.filter(F.col("doc_id") % 7 == i) for i in range(7)]
+    S.write_index(spark, parts[0], base_dir, positions=True)
+    base_bytes = sum(
+        os.path.getsize(os.path.join(base_dir, "segments", p))
+        for p in _segment_units(base_dir)["base"]
+    )
+
+    merged_cycles, noop_cycles = 0, 0
+    for i, part in enumerate(parts[1:], start=1):
+        apply_ingest_batch(part, i, base_dir)
+        before = _topk(spark, base_dir, ["def", "import"])
+        out = tiered_compact(
+            spark, base_dir, tier_fanout=3, min_unit_bytes=1 << 30
+        )
+        # bit-identical across the merge, every cycle
+        assert _topk(spark, base_dir, ["def", "import"]) == before
+        if out["merged_units"]:
+            merged_cycles += 1
+            assert "base" not in out["merged_units"]
+            # bounded rewrite: only delta bytes, never the base store
+            assert out["bytes_rewritten"] < base_bytes * 6
+            assert out["n_units_after"] < out["n_units_before"]
+        else:
+            noop_cycles += 1
+    assert merged_cycles >= 1 and noop_cycles >= 1
+
+    # steady-state unit bound: ≤ tier_fanout non-base units survive
+    units = _segment_units(base_dir)
+    assert len([u for u in units if u != "base"]) <= 3
+
+    # final store answers EVERY query form identically to a fresh build
+    S.write_index(spark, c, fresh_dir, positions=True)
+    for terms in (["def"], ["def", "import", "class"]):
+        for prune in (True, False):
+            assert _topk(spark, base_dir, terms, prune=prune) == _topk(
+                spark, fresh_dir, terms, prune=prune
+            ), terms
+
+    def rows(df):
+        return [(r["rank"], r["doc_id"], r["score"]) for r in df.collect()]
+
+    assert rows(phrase_topk_indexed(spark, base_dir, ["def"], k=10)) == rows(
+        phrase_topk_indexed(spark, fresh_dir, ["def"], k=10)
+    )
+    assert rows(
+        near_topk_indexed(spark, base_dir, ["def", "return"], 8, k=10)
+    ) == rows(near_topk_indexed(spark, fresh_dir, ["def", "return"], 8, k=10))
+
+    shutil.rmtree(base_dir, ignore_errors=True)
+    shutil.rmtree(fresh_dir, ignore_errors=True)
