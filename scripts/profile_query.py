@@ -96,5 +96,73 @@ def query() -> None:
     spark.stop()
 
 
+def posbuild() -> None:
+    """Amplified POSITIONS index (posting_format=2) for positional-scaling
+    pairs — same corpus amplification as `build`, positions=True."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from contextinator_spark.entry_queries import _docs
+    from contextinator_spark.operators import segments as S
+
+    spark = get_spark("profile-posbuild")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    shutil.rmtree(IDX, ignore_errors=True)
+    base = _docs(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    corpus = (
+        base.repartition(4 * cpus)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+        .withColumn("doc_id", F.col("doc_id") * AMPLIFY + F.col("rep"))
+        .drop("rep")
+    )
+    n = corpus.count()
+    hints = S.sampled_heavy_fanout(
+        base.repartition(cpus), "doc_id", n_docs=n, df_multiplier=AMPLIFY
+    )
+    t0 = time.perf_counter()
+    res = S.write_index(
+        spark, corpus, IDX, id_col="doc_id", heavy_fanout=hints, positions=True
+    )
+    print(json.dumps({"n": n, "build_sec": round(time.perf_counter() - t0, 2),
+                      "phases": res.get("phases")}))
+    spark.stop()
+
+
+def posquery() -> None:
+    """Positional batch executor at SPARK_GRAFT_NQUERIES (default 100)
+    mixed phrase/NEAR queries over the shared positions index — the
+    positional twin of `query` for the pair protocol."""
+    from contextinator_spark.operators.phrase import positional_topk_indexed_multi
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from phrase_batch_bench import _phrase_queries
+
+    nq = int(os.environ.get("SPARK_GRAFT_NQUERIES", "100"))
+    queries = _phrase_queries(nq)
+    spark = get_spark("profile-posquery")
+    spark.sparkContext.setLogLevel("ERROR")
+    positional_topk_indexed_multi(spark, IDX, {0: (["warmup"], None)}).collect()
+
+    for rep in range(int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))):
+        t0 = time.perf_counter()
+        df = positional_topk_indexed_multi(spark, IDX, queries, k=10)
+        t_plan = time.perf_counter()
+        rows = df.collect()
+        t_exec = time.perf_counter()
+        print(json.dumps({
+            "rep": rep,
+            "plan_sec": round(t_plan - t0, 3),
+            "exec_sec": round(t_exec - t_plan, 3),
+            "total_sec": round(t_exec - t0, 3),
+            "rows": len(rows),
+            "n_queries": nq,
+        }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    {"build": build, "query": query}[sys.argv[1]]()
+    {"build": build, "query": query, "posbuild": posbuild, "posquery": posquery}[
+        sys.argv[1]
+    ]()

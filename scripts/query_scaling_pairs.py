@@ -44,6 +44,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PAIRS = int(os.environ.get("SPARK_GRAFT_PAIRS", "5"))
 CALM_STEAL = float(os.environ.get("SPARK_GRAFT_CALM_STEAL", "1.0"))
+# "query" = BM25 batch (profile_query.py query over ctx_profile_idx);
+# "posquery" = positional batch (posquery over a posbuild positions index,
+# SPARK_GRAFT_IDX/SPARK_GRAFT_NQUERIES respected) — same pair discipline
+MODE = os.environ.get("SPARK_GRAFT_PAIR_MODE", "query")
 
 
 def _steal() -> tuple[int, int]:
@@ -69,7 +73,7 @@ def _spinners(cores: list[int]) -> list[subprocess.Popen]:
 
 def run_level(cpus: int, hi: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_REPEATS="1")
-    cmd = [sys.executable, os.path.join(REPO, "scripts", "profile_query.py"), "query"]
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "profile_query.py"), MODE]
     pin = os.environ.get("SPARK_GRAFT_PIN", "1") != "0" and shutil.which("taskset")
     if pin:
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
@@ -112,8 +116,12 @@ def main() -> None:
     lo = int(os.environ.get("SPARK_GRAFT_LO", "2"))
     hi = int(os.environ.get("SPARK_GRAFT_HI", "8"))
     ratio = hi / lo
-    if not os.path.exists("/dev/shm/ctx_profile_idx/stats.json"):
-        raise SystemExit("build the shared index first: profile_query.py build")
+    idx = os.environ.get("SPARK_GRAFT_IDX", "/dev/shm/ctx_profile_idx")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        raise SystemExit(
+            "build the shared index first: profile_query.py "
+            + ("posbuild" if MODE == "posquery" else "build")
+        )
     pairs = []
     for i in range(PAIRS):
         order = ["lo", "hi"] if i % 2 == 0 else ["hi", "lo"]
@@ -143,9 +151,19 @@ def main() -> None:
     med, best = statistics.median(effs), max(effs)
     calm_med = statistics.median(calm_effs) if calm_effs else None
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        label = (
+            "positional batch scaling"
+            if MODE == "posquery"
+            else "query scaling"
+        )
+        extra = (
+            f", {os.environ.get('SPARK_GRAFT_NQUERIES', '100')} queries"
+            if MODE == "posquery"
+            else ""
+        )
         f.write(
             f"""
-## Interleaved paired query scaling — shared index, local[{lo}] vs local[{hi}], {PAIRS} pairs, clock-equalized
+## Interleaved paired {label} — shared index, local[{lo}] vs local[{hi}], {PAIRS} pairs, clock-equalized{extra}
 
 | pair | order | lo_sec | hi_sec | lo_steal% | hi_steal% | calm | efficiency |
 |---|---|---|---|---|---|---|---|
