@@ -338,8 +338,15 @@ def _bucketed_matches(
         .select("partition_id", "term", "blob")
         .filter(F.col("partition_id").isin(parts) & F.col("term").isin(uniq))
     )
-    from .bm25_segments import _tombstones
+    from .bm25_segments import _spread_slices, _tombstones, probe_dictionary
     from .deletes import live_mask
+
+    # decode parallelism = pruned FILE count without this (see
+    # positional_matches_multi) — heavy terms spread across the cluster
+    info = probe_dictionary(spark, index_dir, uniq, n_partitions)
+    probe = _spread_slices(
+        probe, spark, sum(int(v["df"]) for v in info.values())
+    )
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     shift = _bucket_shift(spark, stats)
@@ -585,6 +592,7 @@ def positional_matches_multi(
     spark: SparkSession,
     index_dir: str,
     queries: dict[int, tuple[list[str], int | None]],
+    local_cut: dict[int, tuple[int, float]] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Shared batch positional matcher: (query_id, doc_id, phrase_tf,
     doc_len) rows for many phrase/NEAR queries in ONE plan, plus the
@@ -596,6 +604,21 @@ def positional_matches_multi(
     queries: key -> (terms, window); window=None means exact consecutive
     phrase, window=W means NEAR (all terms within ±W of an anchor terms[0]
     occurrence).
+
+    local_cut: optional {key: (k, tfnorm_margin)} — per-bucket EXACT
+    top-k pruning for rank-only consumers (positional_topk_indexed_multi).
+    When set, each (query, bucket) additionally emits ONE count sentinel
+    row (doc_id = -1, phrase_tf = number matched in the bucket — sum
+    these for the query's exact df) and its candidate rows are cut to the
+    bucket-local top-k by (tf_norm desc, doc_id asc) widened by
+    `tfnorm_margin`: every doc with tf_norm ≥ kth_local − margin is kept.
+    With margin = 10^-SCORE_ROUND_DECIMALS / idf_lb (idf_lb from the
+    query's min term df, an upper bound on phrase df since matches ⊆ any
+    term's postings) a dropped doc's final ROUNDED score is strictly below
+    k kept docs' — the same rounding-quantum discipline as the θ prune
+    (_theta_from_best_term) — so the global top-k is exactly preserved.
+    Disabled automatically by the caller under over-cap tombstones (the
+    anti-join lands after the kernel, which would skew sentinel counts).
 
     Topology: ONE partition-pruned scan decodes each needed term ONCE
     (regardless of how many queries use it) into doc-range-bucketed array
@@ -630,8 +653,17 @@ def positional_matches_multi(
         F.col("partition_id").isin(parts) & F.col("term").isin(all_terms)
     )
 
-    from .bm25_segments import _tombstones
+    from .bm25_segments import _spread_slices, _tombstones, probe_dictionary
     from .deletes import live_mask
+
+    # scan-stage parallelism = number of pruned parquet FILES otherwise —
+    # a big batch over a compact store decoded on ~a dozen tasks no matter
+    # the core count (measured: the 8→32-core 400-query pair sat at 0.35
+    # efficiency from this alone). Same gate/shuffle as the BM25 executor.
+    info = probe_dictionary(spark, index_dir, all_terms, n_partitions)
+    probe = _spread_slices(
+        probe, spark, sum(int(v["df"]) for v in info.values())
+    )
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     shift = _bucket_shift(spark, stats)
@@ -675,6 +707,7 @@ def positional_matches_multi(
         for qid, (ts, w) in queries.items()
     }
     pos_mask = (1 << _POS_BITS) - 1
+    cut_avgdl = float(stats["avgdl"])  # local-cut tf_norm uses store stats
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
         base = int(pdf["bucket"].iloc[0]) << shift
@@ -720,6 +753,28 @@ def positional_matches_multi(
                 ids, counts = np.unique(aloc[ok], return_counts=True)
             d0, dl0 = per[ts[0]][1], per[ts[0]][2]
             dls = dl0[np.searchsorted(d0, ids + base)]
+            cut = local_cut.get(qid) if local_cut else None
+            if cut is not None:
+                # count sentinel (exact per-bucket df contribution), then
+                # the margin-widened local top-k (see docstring)
+                oq.append(np.full(1, qid, np.int32))
+                od.append(np.full(1, -1, np.int64))
+                otf.append(np.full(1, ids.size, np.int32))
+                odl.append(np.zeros(1, np.int32))
+                kcut, margin = cut
+                if ids.size > kcut:
+                    tf64 = counts.astype(np.float64)
+                    tfn = (tf64 * (BM25_K1 + 1.0)) / (
+                        tf64
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / cut_avgdl)
+                    )
+                    # kth by (tfn desc, doc_id asc): ids are ascending, so
+                    # a stable sort on -tfn realizes the doc_id tiebreak
+                    order = np.argsort(-tfn, kind="stable")
+                    kth = tfn[order[kcut - 1]]
+                    keep = tfn >= kth - margin
+                    ids, counts, dls = ids[keep], counts[keep], dls[keep]
             oq.append(np.full(ids.size, qid, np.int32))
             od.append(ids + base)
             otf.append(counts.astype(np.int32))
@@ -763,16 +818,88 @@ def positional_topk_indexed_multi(
     topology); this adds per-query phrase-idf BM25 scoring + windows.
     Results are per-query identical to phrase_topk_indexed /
     near_topk_indexed (tested)."""
-    matched, stats = positional_matches_multi(spark, index_dir, queries)
+    from .bm25_segments import _idf, _tombstones, probe_dictionary
+
+    # per-bucket EXACT local top-k (see positional_matches_multi): rank
+    # only needs each bucket's best k rows plus an exact df, so the match
+    # kernel emits count sentinels + margin-widened local top-ks instead
+    # of every matched doc — the 400-query/8M-doc batch previously pushed
+    # 126M (query, doc) rows through the df/rank exchange (measured: 37 s
+    # → the exchange, not the kernel, dominated and capped 8→32-core
+    # scaling at 0.40). margin = rounding quantum / idf lower bound from
+    # the query's rarest term df (phrase df ≤ any term df). Disabled
+    # under over-cap tombstones (anti-join lands after the kernel).
+    local_cut: dict[int, tuple[int, float]] | None = None
+    _tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    if tomb_over is None and queries:
+        stats0 = json.load(open(os.path.join(index_dir, "stats.json")))
+        n0 = float(stats0["n_docs"])
+        all_terms = sorted({t for ts, _w in queries.values() for t in ts})
+        info = probe_dictionary(spark, index_dir, all_terms)
+        quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
+        local_cut = {}
+        for qid, (ts, _w) in queries.items():
+            if all(t in info for t in ts):
+                df_ub = min(int(info[t]["df"]) for t in ts)
+                idf_lb = _idf(float(df_ub), n0)
+                # degenerate idf (term in ~every doc) → infinite margin:
+                # the cut keeps everything but the sentinel still carries
+                # the exact count, so the split stays total per query
+                margin = quantum / idf_lb if idf_lb > 0 else float("inf")
+                local_cut[int(qid)] = (int(k), float(margin))
+
+    matched, stats = positional_matches_multi(
+        spark, index_dir, queries, local_cut=local_cut
+    )
     if not queries:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
-    dfp = matched.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("double").alias("df_phrase")
-    )
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    if local_cut:
+        # sentinel rows (doc_id = -1) carry per-bucket match counts; their
+        # per-query sum is the EXACT phrase df. Queries outside local_cut
+        # (absent terms) match nothing, so the split is total.
+        w_df = Window.partitionBy("query_id")
+        matched = (
+            matched.withColumn(
+                "df_phrase",
+                F.sum(
+                    F.when(F.col("doc_id") == -1, F.col("phrase_tf")).otherwise(0)
+                ).over(w_df).cast("double"),
+            )
+            .filter(F.col("doc_id") >= 0)
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            matched.withColumn(
+                "score",
+                F.round(
+                    idf_expr(F.col("df_phrase"), F.lit(n_docs))
+                    * tf_norm_expr(
+                        F.col("phrase_tf").cast("double"),
+                        F.col("doc_len").cast("double"),
+                        F.lit(avgdl),
+                        k1,
+                        b,
+                    ),
+                    SCORE_ROUND_DECIMALS,
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+    # fallback (over-cap tombstones): full matched stream
+    # per-query df as a COUNT WINDOW over the matched stream, not a
+    # groupBy-then-join: the join form evaluates the whole pack+match
+    # pipeline TWICE (once per subtree — measured 65 s vs 33 s for a
+    # 400-query batch at 8M docs); both windows partition by query_id so
+    # they share one exchange of the (small) matched rows
+    w_df = Window.partitionBy("query_id")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        matched.join(F.broadcast(dfp), "query_id")
+        matched.withColumn(
+            "df_phrase", F.count(F.lit(1)).over(w_df).cast("double")
+        )
         .withColumn(
             "score",
             F.round(
