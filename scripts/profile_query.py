@@ -141,7 +141,12 @@ def posquery() -> None:
 
     nq = int(os.environ.get("SPARK_GRAFT_NQUERIES", "100"))
     queries = _phrase_queries(nq)
-    spark = get_spark("profile-posquery")
+    extra = (
+        {"spark.ui.enabled": "true"}
+        if os.environ.get("SPARK_GRAFT_STAGE_METRICS") == "1"
+        else None
+    )
+    spark = get_spark("profile-posquery", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     positional_topk_indexed_multi(spark, IDX, {0: (["warmup"], None)}).collect()
 
@@ -159,6 +164,30 @@ def posquery() -> None:
             "rows": len(rows),
             "n_queries": nq,
         }))
+    if os.environ.get("SPARK_GRAFT_STAGE_METRICS") == "1":
+        # stage-level accounting via the local UI REST API: per-stage cpu
+        # vs wall lets an 8-vs-32-core pair attribute efficiency loss to
+        # per-core cpu-time inflation (DRAM contention) vs skew/serialism
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
+            app = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            stages = json.load(r)
+        big = sorted(stages, key=lambda s: -s.get("executorRunTime", 0))[:6]
+        for s in big:
+            print(json.dumps({
+                "stage": s["stageId"],
+                "name": s.get("name", "")[:60],
+                "tasks": s.get("numCompleteTasks"),
+                "run_ms": s.get("executorRunTime"),
+                "cpu_ms": int(s.get("executorCpuTime", 0) / 1e6),
+                "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+            }))
     spark.stop()
 
 
