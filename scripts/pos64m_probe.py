@@ -4,12 +4,19 @@ round-4 64M BM25 evidence for posting_format=2: one amplify=12800 build
 timings and peak memory sampling, then phrase / NEAR / Boolean batch
 queries over the built store.
 
-The store writes to DISK (default /root/pos64m_idx), not /dev/shm — a
-positions store carries the extra per-occurrence section, and the probe
-must not compete with the build's shuffle for tmpfs-backed RAM.
+The store itself is tiny (replica-heavy synthetic corpus + zstd: 0.08 GB
+measured at 64M docs) so /dev/shm holds it fine; the memory risk is the
+BUILD's collect_list agg state and the Boolean fold's partial stream —
+run with SPARK_GRAFT_DRIVER_MEM=64g (the documented heap for the 64M
+shape; the default 8g heap GCLocker-thrashes in the slice merge).
 
 Env: SPARK_GRAFT_AMPLIFY (default 12800), SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_IDX (default /root/pos64m_idx),
+     SPARK_GRAFT_IDX (default /dev/shm/pos64m_idx),
+     SPARK_GRAFT_BOOL_SIZES batch sizes for the Boolean leg (default
+     "10" — see BENCH/BASELINE.md round 5: the unpruned Boolean fold at
+     100 queries × 64M docs exceeds single-node RAM by design; θ is
+     unsound under occur constraints, so Boolean batches at this scale
+     split across nodes, which is exactly what a cluster does),
      SPARK_GRAFT_SKIP_BUILD=1 to reuse an existing store.
 
 Prints one JSON line per phase; deletes nothing (rerun queries cheaply).
@@ -28,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from contextinator_spark.session import get_spark  # noqa: E402
 
-IDX = os.environ.get("SPARK_GRAFT_IDX", "/root/pos64m_idx")
+IDX = os.environ.get("SPARK_GRAFT_IDX", "/dev/shm/pos64m_idx")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "12800"))
 
 
@@ -117,7 +124,10 @@ def main() -> None:
             "rows": len(rows), "peak_mem_gb": mem.peak_gb,
         }), flush=True)
 
-    for nq in (10, 100):
+    bool_sizes = [
+        int(x) for x in os.environ.get("SPARK_GRAFT_BOOL_SIZES", "10").split(",")
+    ]
+    for nq in bool_sizes:
         t0 = time.perf_counter()
         rows = boolean_topk_multi(spark, IDX, _boolean_queries(nq), k=10).collect()
         sec = time.perf_counter() - t0
