@@ -225,3 +225,48 @@ def test_positional_batch_matches_single_query_paths(spark, docs, phrase_idx):
                 for r in PH.near_topk_indexed(spark, phrase_idx, terms, w, k=10).collect()
             ]
         assert sorted(got.get(qid, [])) == sorted(want), (qid, terms, w)
+
+
+def test_positional_batch_local_cut_exact_under_ties(spark, tmp_path_factory):
+    """The batch executor's per-bucket local top-k must stay EXACT when
+    tf_norm values tie heavily (replicated docs — identical (tf, dl) ⇒
+    FP-identical tf_norm ⇒ the doc_id tiebreak decides): per-query results
+    must match the single-query indexed path bit-for-bit, including which
+    of the tied replicas rank."""
+    from contextinator_spark.operators.phrase import (
+        phrase_topk_indexed,
+        near_topk_indexed,
+        positional_topk_indexed_multi,
+    )
+    from contextinator_spark.operators.segments import write_index
+    from pyspark.sql import functions as F
+
+    base = [
+        (0, "alpha beta gamma alpha beta"),
+        (1, "alpha beta delta"),
+        (2, "gamma alpha beta alpha beta alpha beta"),
+        (3, "beta alpha nothing here"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, content string")
+    # 50 replicas per doc → every (tf, dl) class has 50 FP-identical
+    # tf_norms; k=10 forces the local cut to split tie classes
+    rep = docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(49)))).select(
+        (F.col("doc_id") * 50 + F.col("r")).alias("doc_id"), "content"
+    )
+    d = str(tmp_path_factory.mktemp("tie_idx"))
+    write_index(spark, rep, d, positions=True)
+
+    queries = {1: (["alpha", "beta"], None), 2: (["gamma", "beta"], 4)}
+    out = positional_topk_indexed_multi(spark, d, queries, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    want1 = [(r.rank, r.doc_id, r.score)
+             for r in phrase_topk_indexed(spark, d, ["alpha", "beta"], k=10).collect()]
+    want2 = [(r.rank, r.doc_id, r.score)
+             for r in near_topk_indexed(spark, d, ["gamma", "beta"], 4, k=10).collect()]
+    assert sorted(got[1]) == sorted(want1)
+    assert sorted(got[2]) == sorted(want2)
+    # the tie classes resolved by doc_id: rank 1..k are the smallest ids
+    # within the best (tf, dl) class
+    assert got[1][0][1] < got[1][-1][1]
