@@ -194,10 +194,12 @@ def cmd_build(args, spark) -> None:
 
 def cmd_query(args, spark) -> None:
     """BM25 top-k over the segment store (semantic_search.py:39-114 flow).
-    Query words containing `*` are wildcard terms: each expands to its
-    bounded highest-df dictionary matches (Lucene MultiTermQuery rewrite)
-    and joins the disjunction alongside the literal terms."""
+    Query words containing `*` are wildcard terms, `/re/` words are
+    whole-term regexps: each expands to its bounded highest-df dictionary
+    matches (Lucene MultiTermQuery rewrite) and joins the disjunction
+    alongside the literal terms."""
     from .operators.bm25_segments import (
+        expand_regexp,
         expand_wildcard,
         topk_segments,
         topk_segments_conjunctive,
@@ -206,7 +208,9 @@ def cmd_query(args, spark) -> None:
 
     terms: list[str] = []
     for word in args.query.split():
-        if "*" in word:
+        if len(word) > 2 and word.startswith("/") and word.endswith("/"):
+            terms.extend(expand_regexp(spark, args.index, word[1:-1].lower()))
+        elif "*" in word:
             terms.extend(expand_wildcard(spark, args.index, word.lower()))
         else:
             terms.extend(tokenize(word))

@@ -731,6 +731,56 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+REGEXP_QUERY = "s(c|t|o)[a-z]+"
+REGEXP_MAX_EXPANSIONS = 4
+
+
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp BM25 top-10 (Lucene RegexpQuery): whole-term regex over the
+    RAM-pinned dictionary → bounded highest-df expansion → the same pruned
+    disjunctive executor as prefix/wildcard/fuzzy. Fourth MultiTermQuery
+    family; new surface — the reference has no regexp search."""
+    from .operators.bm25_segments import regexp_topk
+
+    return regexp_topk(
+        spark,
+        _cached_index_dir(spark, sf_dir),
+        REGEXP_QUERY,
+        k=10,
+        max_expansions=REGEXP_MAX_EXPANSIONS,
+    )
+
+
+def sql_regexp_topk() -> str:
+    """Oracle reproduces the expansion (full-term regex via RE2's
+    regexp_full_match — the pattern sticks to the class/alternation/
+    quantifier subset java.util.regex and RE2 agree on) and the
+    disjunctive BM25 sum, mirroring sql_prefix_topk."""
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+dfs_all AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM post WHERE regexp_full_match(term, '{REGEXP_QUERY}') GROUP BY term),
+q AS (SELECT term, df FROM dfs_all ORDER BY df DESC, term LIMIT {REGEXP_MAX_EXPANSIONS}),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post p JOIN q ON p.term = q.term
+       JOIN meta m ON p.doc_id = m.doc_id
+       CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+
+
 PHRASE_TERMS = ["table", "hash"]
 
 
@@ -1894,6 +1944,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         ),
         "bm25_wand": (q_bm25_wand, sql_bm25_topk()),
         "prefix_topk": (q_prefix_topk, sql_prefix_topk()),
+        "regexp_topk": (q_regexp_topk, sql_regexp_topk()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
         "bm25_purged": (q_bm25_purged, sql_bm25_purged()),

@@ -1136,6 +1136,46 @@ def expand_wildcard(
     return _top_df_terms(base.filter(F.col("term").rlike(rx)), max_expansions)
 
 
+def expand_regexp(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dictionary terms whose ENTIRE text matches `pattern` (Lucene
+    RegexpQuery: anchoring is implicit — the regex must consume the whole
+    term), keeping the max_expansions highest-df expansions like the other
+    MultiTermQuery families. The longest literal head of the pattern (the
+    run of plain characters before the first metacharacter, excluding a
+    character whose occurrence the NEXT char quantifies) is applied as a
+    startswith pre-filter — the same common-prefix extraction Lucene pulls
+    from the compiled automaton — so the regex kernel runs only on the
+    narrowed dictionary slice.
+
+    Scale: identical to expand_prefix/expand_wildcard — one pass over the
+    RAM-pinned, Heaps'-law-sized vocabulary; postings are never read by
+    expansion. Patterns stick to the portable subset (classes, `.` `*`
+    `+` `?` `|`, grouping) shared by java.util.regex (executor side) and
+    RE2 (oracle side)."""
+    import re as _re
+
+    if not pattern:
+        raise ValueError("regexp pattern must be non-empty")
+    _re.compile(pattern)  # surface bad patterns at call time, not in tasks
+    meta = set(".[](){}|\\^$*+?")
+    head_chars: list[str] = []
+    for i, ch in enumerate(pattern):
+        nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+        if ch in meta or nxt in "*+?{|":
+            break
+        head_chars.append(ch)
+    base = _terms_df(spark, index_dir)
+    if head_chars:
+        base = base.filter(F.col("term").startswith("".join(head_chars)))
+    rx = "^(?:" + pattern + ")$"
+    return _top_df_terms(base.filter(F.col("term").rlike(rx)), max_expansions)
+
+
 def expand_fuzzy(
     spark: SparkSession,
     index_dir: str,
@@ -1243,6 +1283,25 @@ def wildcard_topk(
 ) -> DataFrame:
     """prefix_topk with `*`-wildcard expansion."""
     terms = expand_wildcard(spark, index_dir, pattern, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)
+
+
+def regexp_topk(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    **kw,
+) -> DataFrame:
+    """prefix_topk with full-term regexp expansion (Lucene RegexpQuery):
+    the fourth MultiTermQuery family through the same bounded rewrite →
+    pruned disjunctive executor contract."""
+    terms = expand_regexp(spark, index_dir, pattern, max_expansions)
     if not terms:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
     return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)

@@ -73,6 +73,7 @@ from .bm25_segments import (
     _tombstones,
     expand_fuzzy,
     expand_prefix,
+    expand_regexp,
     expand_wildcard,
     load_stats,
     probe_dictionary,
@@ -88,9 +89,10 @@ _RESULT_SCHEMA = "rank int, doc_id long, score double"
 
 @dataclass(frozen=True)
 class Clause:
-    """One Boolean clause. kind ∈ {term, prefix, wildcard, fuzzy, phrase,
-    near, predicate}; `terms` carries the token sequence (term/phrase/near)
-    or the single pattern (prefix/wildcard/fuzzy); `window` is the NEAR
+    """One Boolean clause. kind ∈ {term, prefix, wildcard, regexp, fuzzy,
+    phrase, near, predicate}; `terms` carries the token sequence
+    (term/phrase/near) or the single pattern (prefix/wildcard/regexp/
+    fuzzy); `window` is the NEAR
     radius — or, for a fuzzy clause, the max edit distance; `predicate` is
     a SQL expression over the store's doc_meta columns; `boost` multiplies
     the clause's score partial (Lucene `^w` — scoring clauses only, inert
@@ -140,7 +142,8 @@ def parse_query(q: str) -> list[Clause]:
 
     `+x` → MUST, `-x` → MUST_NOT, bare → SHOULD; `"a b"` phrase,
     `"a b"~N` NEAR with window N; a word containing `*` → wildcard
-    (trailing-only `*` → prefix); `word~`/`word~1`/`word~2` → fuzzy
+    (trailing-only `*` → prefix); `/re/` → regexp (Lucene RegexpQuery,
+    whole-term match); `word~`/`word~1`/`word~2` → fuzzy
     (Lucene FuzzyQuery; bare `~` = 2 edits); any scoring atom may carry a
     trailing `^w` boost (fuzzy-then-boost order, `grup~1^2.5`);
     `field:value` → FILTER predicate (field ∈ FILTER_FIELDS; `value` may
@@ -198,6 +201,14 @@ def parse_query(q: str) -> list[Clause]:
             bm = _BOOST_RX.search(word)
             if bm:
                 boost, word = float(bm.group("boost")), word[: bm.start()]
+            # /pattern/ → RegexpQuery (Lucene syntax; whole-term match,
+            # lowercased to the index's token normalization). Peeled
+            # before the fuzzy suffix so `/a~b/` stays a regex literal.
+            if len(word) > 2 and word.startswith("/") and word.endswith("/"):
+                clauses.append(
+                    Clause(occur, "regexp", (word[1:-1].lower(),), boost=boost)
+                )
+                continue
             fm = _FUZZ_RX.search(word)
             if fm:
                 edits, word = int(fm.group("edits") or 2), word[: fm.start()]
@@ -257,6 +268,8 @@ def _clause_terms(
         return expand_prefix(spark, index_dir, c.terms[0], max_expansions)
     if c.kind == "wildcard":
         return expand_wildcard(spark, index_dir, c.terms[0], max_expansions)
+    if c.kind == "regexp":
+        return expand_regexp(spark, index_dir, c.terms[0], max_expansions)
     if c.kind == "fuzzy":
         return expand_fuzzy(
             spark, index_dir, c.terms[0],
@@ -311,7 +324,7 @@ def boolean_topk(
     termish = [
         (cid, c) for cid, c in enumerate(clauses)
         if c.occur in (MUST, SHOULD)
-        and c.kind in ("term", "prefix", "wildcard", "fuzzy")
+        and c.kind in ("term", "prefix", "wildcard", "fuzzy", "regexp")
     ]
     positional = [
         (cid, c) for cid, c in enumerate(clauses)
@@ -559,7 +572,7 @@ def _excluded_docs(
     outs: list[DataFrame] = []
     terms: set[str] = set()
     for c in nots:
-        if c.kind in ("term", "prefix", "wildcard", "fuzzy"):
+        if c.kind in ("term", "prefix", "wildcard", "fuzzy", "regexp"):
             terms.update(_clause_terms(spark, index_dir, c, max_expansions))
         elif c.kind in ("phrase", "near"):
             matched, _ = positional_matches(
@@ -695,13 +708,13 @@ def boolean_topk_multi(
     cl_terms: dict[tuple[int, int], list[str]] = {}
     for qid, slots in scoring.items():
         for slot, c in slots:
-            if c.kind in ("term", "prefix", "wildcard", "fuzzy"):
+            if c.kind in ("term", "prefix", "wildcard", "fuzzy", "regexp"):
                 cl_terms[(qid, slot)] = _clause_terms(spark, index_dir, c, max_expansions)
     not_terms: dict[int, list[str]] = {}
     for qid, cs in nots.items():
         ts: list[str] = []
         for c in cs:
-            if c.kind in ("term", "prefix", "wildcard", "fuzzy"):
+            if c.kind in ("term", "prefix", "wildcard", "fuzzy", "regexp"):
                 ts.extend(_clause_terms(spark, index_dir, c, max_expansions))
         if ts:
             not_terms[qid] = sorted(set(ts))
@@ -718,7 +731,7 @@ def boolean_topk_multi(
         for qid, slots in scoring.items()
         for slot, c in slots
         if c.occur == MUST
-        and c.kind in ("term", "prefix", "wildcard", "fuzzy")
+        and c.kind in ("term", "prefix", "wildcard", "fuzzy", "regexp")
         and not any(t in info for t in cl_terms[(qid, slot)])
     }
     live = sorted(set(scoring) - dead)

@@ -316,6 +316,47 @@ def test_boolean_fuzzy_must_not(spark, idx):
     assert {d for _, d, _ in _rows(got)} == {3, 4}
 
 
+def test_parse_regexp_clause():
+    cs = parse_query('+/ha.h/ -/m[ea]rge/ /(spark|table)/^2.5')
+    assert cs == [
+        Clause(MUST, "regexp", ("ha.h",)),
+        Clause(MUST_NOT, "regexp", ("m[ea]rge",)),
+        Clause(SHOULD, "regexp", ("(spark|table)",), boost=2.5),
+    ]
+    # a path-ish word with slashes but no /…/ bracket is still tokenized
+    assert parse_query("a/b")[0] == Clause(SHOULD, "phrase", ("a", "b"))
+
+
+def test_boolean_regexp_clause_equals_regexp_topk(spark, idx):
+    from contextinator_spark.operators.bm25_segments import regexp_topk
+
+    got = boolean_topk_query(spark, idx, "/(hash|merge)/")
+    want = regexp_topk(spark, idx, "(hash|merge)")
+    assert _rows(got) == _rows(want)
+
+
+def test_boolean_regexp_must_not(spark, idx):
+    # -/jo.n/ matches join: excludes docs 0,1,2,6
+    got = boolean_topk_query(spark, idx, "hash -/jo.n/")
+    assert {d for _, d, _ in _rows(got)} == {3, 4}
+
+
+def test_boolean_batch_regexp_matches_single(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    qs = {1: "/(hash|merge)/ table", 2: "+/sp.rk/ -/m[ea]rge/"}
+    batch = boolean_topk_multi(spark, idx, qs)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, q in qs.items():
+        want = _rows(boolean_topk_query(spark, idx, q))
+        assert sorted(by_q.get(qid, [])) == sorted(want), qid
+
+
 def test_term_boost_scales_partials(spark, idx):
     base_h = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "hash"))}
     base_s = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "spark"))}

@@ -483,6 +483,41 @@ def test_prefix_topk_empty_expansion(spark, index_dir):
     assert [f.name for f in out.schema.fields] == ["rank", "doc_id", "score"]
 
 
+def test_expand_regexp_whole_term_and_bounded(spark, index_dir):
+    import re
+
+    d = _dict_df(spark, index_dir)
+    # whole-term anchoring: pa.* must behave like the prefix family, not
+    # substring-match terms merely containing "pa"
+    assert bm25_segments.expand_regexp(
+        spark, index_dir, "pa.*", max_expansions=8
+    ) == bm25_segments.expand_prefix(spark, index_dir, "pa", max_expansions=8)
+    rx = re.compile(r"^(?:[a-z]*urn)$")
+    matching = sorted((t for t in d if rx.match(t)), key=lambda t: (-d[t], t))
+    assert "return" in matching
+    got = bm25_segments.expand_regexp(spark, index_dir, "[a-z]*urn")
+    assert got == sorted(matching[: len(got)])
+    # the literal-head prefilter must not break patterns with no head
+    assert "return" in bm25_segments.expand_regexp(spark, index_dir, "(ret|xyz)urn")
+    with pytest.raises(ValueError):
+        bm25_segments.expand_regexp(spark, index_dir, "")
+    with pytest.raises(Exception):
+        bm25_segments.expand_regexp(spark, index_dir, "[unclosed")
+
+
+def test_regexp_topk_matches_manual_disjunction(spark, index_dir):
+    terms = bm25_segments.expand_regexp(spark, index_dir, "pa.*", max_expansions=3)
+    assert terms
+    manual = bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
+    via = bm25_segments.regexp_topk(
+        spark, index_dir, "pa.*", k=10, max_expansions=3
+    ).collect()
+    assert [tuple(r) for r in via] == [tuple(r) for r in manual]
+    empty = bm25_segments.regexp_topk(spark, index_dir, "zzz[0-9]+qqq")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["rank", "doc_id", "score"]
+
+
 # ---------------------------------------------------------------------------
 # conjunctive (MUST / AND) executor (round 4)
 # ---------------------------------------------------------------------------
