@@ -639,6 +639,7 @@ def boolean_topk_multi(
     max_expansions: int = MAX_EXPANSIONS,
     combine: str = "sum",
     tie_breaker: float = 0.0,
+    max_partial_rows: int | None = None,
 ) -> DataFrame:
     """Batch Boolean executor: (query_id, rank, doc_id, score) for many
     Boolean queries in ONE plan — the Boolean twin of
@@ -672,7 +673,19 @@ def boolean_topk_multi(
     broadcast (per-query driver state that doesn't compose across a
     batch; MUST coverage still guarantees correctness, it's purely a
     pruning loss) and θ/block-max pruning (unsound under MUST coverage,
-    same as boolean_topk)."""
+    same as boolean_topk).
+
+    `max_partial_rows` bounds the (query, slot, doc) partial stream a
+    single plan may carry: per-query stream sizes are estimated from the
+    dictionary's df column (zero posting reads — Σ df over each term
+    clause's expansion, min df over a positional clause's terms), and
+    when the batch total exceeds the bound it is greedily packed into
+    sub-batches that each fit, run independently, and unioned — exact,
+    because per-query results never interact. This is the single-node
+    safety valve for the fold documented in BENCH/BASELINE.md's 64M-doc
+    probe (unpruned MUST coverage × heavy terms × 100 queries exceeded
+    RAM): on a cluster the fold exchange distributes and the bound can
+    stay None."""
     if combine not in ("sum", "dismax"):
         raise ValueError(f"combine must be sum|dismax, got {combine!r}")
     parsed: dict[int, list[Clause]] = {
@@ -738,6 +751,67 @@ def boolean_topk_multi(
     if not live:
         return spark.createDataFrame([], _BATCH_SCHEMA)
     live_set = set(live)
+
+    # ---- optional stream bound: estimate per-query partial rows from the
+    # dictionary (metadata only) and sub-batch greedily when over
+    if max_partial_rows is not None and len(live) > 1:
+        pos_terms = sorted(
+            {
+                t
+                for qid in live
+                for _slot, c in scoring[qid]
+                if c.kind in ("phrase", "near")
+                for t in c.terms
+            }
+        )
+        pos_info = (
+            probe_dictionary(spark, index_dir, pos_terms, n_partitions)
+            if pos_terms
+            else {}
+        )
+        est: dict[int, int] = {}
+        for qid in live:
+            rows = 0
+            for slot, c in scoring[qid]:
+                if c.kind in ("phrase", "near"):
+                    dfs = [
+                        int(pos_info[t]["df"]) for t in c.terms if t in pos_info
+                    ]
+                    rows += min(dfs) if dfs else 0
+                else:
+                    rows += sum(
+                        int(info[t]["df"])
+                        for t in cl_terms.get((qid, slot), ())
+                        if t in info
+                    )
+            est[qid] = rows
+        if sum(est.values()) > max_partial_rows:
+            groups: list[list[int]] = []
+            cur: list[int] = []
+            cur_rows = 0
+            for qid in live:
+                if cur and cur_rows + est[qid] > max_partial_rows:
+                    groups.append(cur)
+                    cur, cur_rows = [], 0
+                cur.append(qid)
+                cur_rows += est[qid]
+            if cur:
+                groups.append(cur)
+            out = None
+            for g in groups:
+                part = boolean_topk_multi(
+                    spark,
+                    index_dir,
+                    {qid: parsed[qid] for qid in g},
+                    k=k,
+                    k1=k1,
+                    b=b,
+                    max_expansions=max_expansions,
+                    combine=combine,
+                    tie_breaker=tie_breaker,
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     parts: list[DataFrame] = []

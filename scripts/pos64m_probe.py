@@ -127,14 +127,21 @@ def main() -> None:
     bool_sizes = [
         int(x) for x in os.environ.get("SPARK_GRAFT_BOOL_SIZES", "10").split(",")
     ]
+    # stream bound (rows): with it set, boolean_topk_multi sub-batches so
+    # the unpruned fold never exceeds single-node RAM — the safety valve
+    # for the 100-query OOM recorded in BENCH/BASELINE.md round 5. 0 = off.
+    bound = int(os.environ.get("SPARK_GRAFT_BOOL_MAX_ROWS", "0")) or None
     for nq in bool_sizes:
         t0 = time.perf_counter()
-        rows = boolean_topk_multi(spark, IDX, _boolean_queries(nq), k=10).collect()
+        rows = boolean_topk_multi(
+            spark, IDX, _boolean_queries(nq), k=10, max_partial_rows=bound
+        ).collect()
         sec = time.perf_counter() - t0
         print(json.dumps({
             "phase": "boolean_batch", "n_queries": nq,
             "sec": round(sec, 2), "queries_per_sec": round(nq / sec, 2),
-            "rows": len(rows), "peak_mem_gb": mem.peak_gb,
+            "rows": len(rows), "max_partial_rows": bound,
+            "peak_mem_gb": mem.peak_gb,
         }), flush=True)
 
     print(json.dumps({"phase": "done", "peak_mem_gb": mem.stop()}), flush=True)

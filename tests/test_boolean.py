@@ -357,6 +357,28 @@ def test_boolean_batch_regexp_matches_single(spark, idx):
         assert sorted(by_q.get(qid, [])) == sorted(want), qid
 
 
+def test_boolean_batch_stream_bound_is_exact(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    qs = {
+        1: "hash table",
+        2: '+spark -merge "hash table"',
+        3: '"hash join"~2 sort^2',
+        4: "mer* jion~1",
+    }
+    free = boolean_topk_multi(spark, idx, qs)
+    # a 1-row bound forces one query per sub-batch; results must be
+    # identical because per-query streams never interact
+    bounded = boolean_topk_multi(spark, idx, qs, max_partial_rows=1)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, bounded.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, free.collect()), key=lambda t: (t[0], t[1])
+    )
+    # a bound the whole batch fits under must not split (same single plan)
+    roomy = boolean_topk_multi(spark, idx, qs, max_partial_rows=10**9)
+    assert sorted(map(tuple, roomy.collect())) == sorted(map(tuple, free.collect()))
+
+
 def test_term_boost_scales_partials(spark, idx):
     base_h = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "hash"))}
     base_s = {d: s for _, d, s in _rows(boolean_topk_query(spark, idx, "spark"))}
