@@ -781,6 +781,49 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+SYNONYM_TERMS = ["sort", "order"]
+
+
+def q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SynonymQuery BM25 top-10 (Lucene blended statistics): the synonym
+    set scores as ONE term — per-doc tf = Σ tf over synonyms, blended
+    df = max df — so it is NOT a disjunction (tf-normalization is
+    nonlinear) and needs its own tf-fold executor. New surface."""
+    from .operators.bm25_segments import synonym_topk
+
+    return synonym_topk(
+        spark, _cached_index_dir(spark, sf_dir), SYNONYM_TERMS, k=10
+    )
+
+
+def sql_synonym_topk() -> str:
+    """Oracle: sum tfs per doc across the synonym set, blend df as the
+    max per-term df, apply BM25 once."""
+    k1, b = BM25_K1, BM25_B
+    in_list = ", ".join(f"'{t}'" for t in SYNONYM_TERMS)
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+blend AS (SELECT CAST(max(df) AS DOUBLE) AS df FROM (
+    SELECT term, count(*) AS df FROM post WHERE term IN ({in_list}) GROUP BY term)),
+syn AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS tf
+        FROM post WHERE term IN ({in_list}) GROUP BY doc_id),
+scored AS (
+  SELECT y.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - bl.df + 0.5) / (bl.df + 0.5))
+           * (y.tf * ({k1} + 1.0))
+           / (y.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         , {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM syn y JOIN meta m ON y.doc_id = m.doc_id
+       CROSS JOIN stats s CROSS JOIN blend bl)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+
+
 PHRASE_TERMS = ["table", "hash"]
 
 
@@ -1945,6 +1988,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_wand": (q_bm25_wand, sql_bm25_topk()),
         "prefix_topk": (q_prefix_topk, sql_prefix_topk()),
         "regexp_topk": (q_regexp_topk, sql_regexp_topk()),
+        "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
         "bm25_purged": (q_bm25_purged, sql_bm25_purged()),

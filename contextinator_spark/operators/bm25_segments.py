@@ -1307,6 +1307,102 @@ def regexp_topk(
     return topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b, **kw)
 
 
+def synonym_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene SynonymQuery: score a synonym set as if it were ONE term —
+    per-doc tf is the SUM of the synonyms' tfs and the blended document
+    frequency is the MAX of their dfs (Lucene SynonymQuery/SynonymScorer's
+    blended statistics), then BM25 is applied ONCE. This is NOT the
+    disjunction the MultiTermQuery families rewrite to: tf-normalization
+    is nonlinear, so Σ score(tf_i) ≠ score(Σ tf_i) — a synonym set must
+    fold tfs before scoring, which no per-term-partial executor expresses.
+
+    Plan: dictionary probe (metadata) → ONE partition+predicate-pruned
+    segment scan emitting (doc_id, tf, doc_len) per live posting → ONE
+    groupBy(doc_id) exchange summing tfs → constant-idf scoring →
+    TakeOrderedAndProject. Tombstones mask kernel-side (broadcast) or via
+    anti-join (over-cap), like every other executor."""
+    from .bm25 import idf_expr, tf_norm_expr
+    from .compress import decode_postings
+
+    stats = load_stats(index_dir)
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    qterms = sorted({t.lower() for t in terms})
+    if not qterms:
+        raise ValueError("synonym set must be non-empty")
+    info = probe_dictionary(spark, index_dir, qterms, int(stats["n_partitions"]))
+    present = sorted(t for t in qterms if t in info)
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    if not present:
+        return empty
+    df_blend = max(float(info[t]["df"]) for t in present)
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+
+    pids = sorted({info[t]["partition_id"] for t in present})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(present)
+    )
+    seg = _spread_slices(seg, spark, sum(int(info[t]["df"]) for t in present))
+
+    def emit(pdf_iter):
+        for pdf in pdf_iter:
+            od, ot, ol = [], [], []
+            for blob in pdf["blob"]:
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    mliv = live_mask(doc_ids, tomb_bc.value)
+                    if not mliv.all():
+                        doc_ids, tfs, dls = doc_ids[mliv], tfs[mliv], dls[mliv]
+                if doc_ids.size == 0:
+                    continue
+                od.append(doc_ids)
+                ot.append(tfs.astype(np.int64))
+                ol.append(dls.astype(np.int64))
+            if od:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(od),
+                        "tf": np.concatenate(ot),
+                        "doc_len": np.concatenate(ol),
+                    }
+                )
+
+    stream = seg.mapInPandas(emit, schema="doc_id long, tf long, doc_len long")
+    if tomb_over is not None:
+        stream = stream.join(tomb_over, "doc_id", "left_anti")
+    scored = (
+        stream.groupBy("doc_id")
+        .agg(F.sum("tf").alias("tf_syn"), F.max("doc_len").alias("doc_len"))
+        .select(
+            "doc_id",
+            F.round(
+                idf_expr(F.lit(df_blend), F.lit(n_docs))
+                * tf_norm_expr(
+                    F.col("tf_syn").cast("double"),
+                    F.col("doc_len").cast("double"),
+                    F.lit(avgdl),
+                    k1,
+                    b,
+                ),
+                SCORE_ROUND_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )
+
+
 def scoped_topk_segments(
     spark: SparkSession,
     index_dir: str,

@@ -505,6 +505,78 @@ def test_expand_regexp_whole_term_and_bounded(spark, index_dir):
         bm25_segments.expand_regexp(spark, index_dir, "[unclosed")
 
 
+def test_synonym_topk_single_term_equals_term_query(spark, index_dir):
+    # with one synonym the blended stats collapse to the plain term query
+    got = bm25_segments.synonym_topk(spark, index_dir, ["pass"], k=10).collect()
+    want = bm25_segments.topk_segments(spark, index_dir, ["pass"], k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # absent set → empty with the executor schema
+    empty = bm25_segments.synonym_topk(spark, index_dir, ["zzzzqq"])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["rank", "doc_id", "score"]
+
+
+def test_synonym_topk_blended_stats(spark, index_dir):
+    import math
+
+    from contextinator_spark.config import BM25_B, BM25_K1, SCORE_ROUND_DECIMALS
+
+    syn = ["pass", "return"]
+    # ground truth comes from the store's own artifacts: doc_meta for
+    # doc_len, the dictionary for per-term df, decoded blobs for tfs
+    meta = {
+        r["doc_id"]: r["doc_len"]
+        for r in spark.read.parquet(f"{index_dir}/doc_meta").collect()
+    }
+    post = (
+        spark.read.parquet(f"{index_dir}/terms")
+        .filter(F.col("term").isin(syn))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    dfs = {r["term"]: float(r["df"]) for r in post}
+    assert len(dfs) == 2, "both synonyms must exist in the fixture corpus"
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_segments.synonym_topk(spark, index_dir, syn, k=10).collect()
+    }
+    assert got, "synonym query should match documents"
+    # the blended idf uses max df — verify one scored doc end-to-end via
+    # the per-term executors' tf streams (sum of tfs, one BM25 application)
+    n_docs = float(len(meta))
+    avgdl = sum(meta.values()) / n_docs
+    df_blend = max(dfs.values())
+    idf = math.log(1.0 + (n_docs - df_blend + 0.5) / (df_blend + 0.5))
+    # recover per-doc tf sums from the compressed store directly
+    from contextinator_spark.operators.compress import decode_postings
+
+    tf_sum: dict[int, int] = {}
+    seg = (
+        spark.read.parquet(f"{index_dir}/segments")
+        .filter(F.col("term").isin(syn))
+        .collect()
+    )
+    for r in seg:
+        ids, tfs, _dls = decode_postings(bytes(r["blob"]))
+        for d, tf in zip(ids.tolist(), tfs.tolist()):
+            tf_sum[d] = tf_sum.get(d, 0) + int(tf)
+    for did, score in got.items():
+        tf = float(tf_sum[did])
+        dl = float(meta[did])
+        want = idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+        assert abs(score - round(want, SCORE_ROUND_DECIMALS)) < 1e-9
+    # and the fold is NOT the disjunction: scores must differ from Σ BM25_t
+    disj = {
+        r["doc_id"]: r["score"]
+        for r in bm25_segments.topk_segments(spark, index_dir, syn, k=10).collect()
+    }
+    overlap = set(got) & set(disj)
+    assert overlap and any(abs(got[d] - disj[d]) > 1e-9 for d in overlap)
+
+
 def test_regexp_topk_matches_manual_disjunction(spark, index_dir):
     terms = bm25_segments.expand_regexp(spark, index_dir, "pa.*", max_expansions=3)
     assert terms
