@@ -335,6 +335,24 @@ def cmd_bool(args, spark) -> None:
     )
 
 
+def cmd_synonym(args, spark) -> None:
+    """SynonymQuery: the comma-separated synonym set scores as ONE term
+    (per-doc tf summed, df blended as the max — Lucene SynonymQuery),
+    which a plain disjunction cannot express (tf-norm is nonlinear)."""
+    from .operators.bm25_segments import synonym_topk
+
+    terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+    if not terms:
+        raise SystemExit("--terms needs at least one synonym")
+    out = synonym_topk(spark, args.index, terms, k=args.k)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_mlt(args, spark) -> None:
     """More-Like-This: top-k docs most similar to --doc-id by lexical
     overlap (operators/mlt.py) — interesting terms from the source doc
@@ -559,6 +577,16 @@ def build_parser() -> argparse.ArgumentParser:
     ml.add_argument("--min-tf", type=int, default=2)
     ml.add_argument("--min-df", type=int, default=2)
     ml.set_defaults(fn=cmd_mlt)
+
+    sn = sub.add_parser(
+        "synonym", help="synonym set scored as one term (blended stats)"
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument(
+        "--terms", required=True, help="comma-separated synonym set"
+    )
+    sn.add_argument("--k", type=int, default=10)
+    sn.set_defaults(fn=cmd_synonym)
 
     hy = sub.add_parser("hybrid", help="BM25 + vector ANN fused by RRF")
     hy.add_argument("--index", required=True)

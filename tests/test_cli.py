@@ -228,6 +228,41 @@ def test_cli_query_wildcard_matches_expanded(capsys, spark, index_dir):
     assert wild == lit and len(wild) >= 1
 
 
+def test_cli_query_regexp_matches_expanded(capsys, spark, index_dir):
+    """`/re/` words expand via the dictionary (whole-term match) and score
+    identically to spelling out the expansion as literal terms."""
+    from contextinator_spark.operators.bm25_segments import expand_regexp
+
+    terms = expand_regexp(spark, index_dir, "sp.rk")
+    assert "spark" in terms
+    rex = run_cli(
+        capsys, spark, "query", "--index", index_dir,
+        "--query", "/sp.rk/ hash", "--k", "5",
+    )
+    lit = run_cli(
+        capsys, spark, "query", "--index", index_dir,
+        "--query", " ".join(terms) + " hash", "--k", "5",
+    )
+    assert rex == lit and len(rex) >= 1
+
+
+def test_cli_synonym_verb(capsys, spark, index_dir):
+    """synonym --terms with one term equals the plain term query; with two
+    it runs the blended-stats fold (rows come back ranked)."""
+    one = run_cli(
+        capsys, spark, "synonym", "--index", index_dir, "--terms", "spark", "--k", "5"
+    )
+    plain = run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "spark", "--k", "5"
+    )
+    assert one == plain and len(one) >= 1
+    two = run_cli(
+        capsys, spark, "synonym", "--index", index_dir,
+        "--terms", "spark,hash", "--k", "5",
+    )
+    assert len(two) >= 1
+
+
 def test_cli_query_mode_all_requires_every_term(capsys, spark, index_dir):
     """--mode all returns only docs containing every query term; a term
     absent from the corpus empties the result."""
