@@ -353,6 +353,44 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_explain(args, spark) -> None:
+    """Score decomposition for the top-k hits (Lucene
+    IndexSearcher.explain analog): one row per (hit, matched term) with
+    tf, doc_len, df, idf and the term's partial contribution — partials
+    sum to the hit's score."""
+    from .operators.bm25_segments import explain_topk
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    out = explain_topk(spark, args.index, terms, k=args.k)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: (
+            f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:>10.6f}  "
+            f"{d['term']:<16} tf={d['tf']:<5} dl={d['doc_len']:<6} "
+            f"df={d['df']:<7} idf={d['idf']:.6f}  partial={d['partial']:.6f}"
+        ),
+        getattr(args, "toon_fold", False),
+    )
+
+
+def cmd_facets(args, spark) -> None:
+    """Hit counts per doc_meta value over the FULL match set of the
+    disjunction (Lucene faceting analog) — not just the top-k."""
+    from .operators.bm25_segments import facet_counts
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    out = facet_counts(spark, args.index, terms, facet_col=args.by)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d[args.by] or '':<24}  {d['n_docs']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_mlt(args, spark) -> None:
     """More-Like-This: top-k docs most similar to --doc-id by lexical
     overlap (operators/mlt.py) — interesting terms from the source doc
@@ -577,6 +615,22 @@ def build_parser() -> argparse.ArgumentParser:
     ml.add_argument("--min-tf", type=int, default=2)
     ml.add_argument("--min-df", type=int, default=2)
     ml.set_defaults(fn=cmd_mlt)
+
+    ex = sub.add_parser(
+        "explain", help="BM25 score decomposition of the top-k (Lucene explain)"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--k", type=int, default=10)
+    ex.set_defaults(fn=cmd_explain)
+
+    fc = sub.add_parser(
+        "facets", help="hit counts per metadata value over the full match set"
+    )
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--query", required=True)
+    fc.add_argument("--by", default="lang", help="doc_meta column to facet by")
+    fc.set_defaults(fn=cmd_facets)
 
     sn = sub.add_parser(
         "synonym", help="synonym set scored as one term (blended stats)"

@@ -824,6 +824,77 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+def q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IndexSearcher.explain() analog: per-(hit, term) BM25 score
+    decomposition of the flagship top-10 — tf, doc_len, df, idf and the
+    term's partial, joined to the hit's rank and total score. Partials
+    sum (pre-rounding) to the score, so this is an auditable proof of
+    every ranking position. New surface — the reference has no explain."""
+    from .operators.bm25_segments import explain_topk
+
+    return explain_topk(spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10)
+
+
+def sql_bm25_explain() -> str:
+    """Oracle reproduces the whole chain — ranking AND decomposition —
+    with the partial in the exact kernel op order."""
+    k1, b = BM25_K1, BM25_B
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+q(term) AS (VALUES {values}),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+parts AS (
+  SELECT p.term, p.doc_id, p.tf, m.doc_len, d.df,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf_raw,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl)) AS partial_raw
+  FROM post p JOIN q ON p.term = q.term
+       JOIN dfs d ON p.term = d.term
+       JOIN meta m ON p.doc_id = m.doc_id
+       CROSS JOIN stats s),
+scored AS (SELECT doc_id,
+                  CAST(round(sum(partial_raw), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+           FROM parts GROUP BY doc_id),
+top AS (SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+          FROM scored) WHERE rank <= 10)
+SELECT t.rank, t.doc_id, t.score, p.term,
+       CAST(p.df AS BIGINT) AS df,
+       CAST(round(p.idf_raw, {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS idf,
+       CAST(p.tf AS INT) AS tf, CAST(p.doc_len AS INT) AS doc_len,
+       CAST(round(p.partial_raw, {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS partial
+FROM parts p JOIN top t ON p.doc_id = t.doc_id
+ORDER BY t.rank, p.term
+"""
+
+
+def q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene faceting analog (A6 over the index): hit counts per lang
+    over the FULL match set of the flagship disjunction — every doc
+    containing any query term counts once, grouped by the store-resident
+    doc_meta lang column."""
+    from .operators.bm25_segments import facet_counts
+
+    return facet_counts(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, facet_col="lang"
+    )
+
+
+def sql_bm25_facets() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}), q(term) AS (VALUES {values})
+SELECT d.lang AS lang, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs
+FROM post p JOIN q ON p.term = q.term JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY lang
+"""
+
+
 PHRASE_TERMS = ["table", "hash"]
 
 
@@ -1989,6 +2060,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "prefix_topk": (q_prefix_topk, sql_prefix_topk()),
         "regexp_topk": (q_regexp_topk, sql_regexp_topk()),
         "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
+        "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
+        "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
         "bm25_purged": (q_bm25_purged, sql_bm25_purged()),

@@ -1565,3 +1565,163 @@ def topk_segments_conjunctive(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "score")
     )
+
+
+def explain_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene `IndexSearcher.explain()` analog: the BM25 score
+    DECOMPOSITION of the top-k hits — one row per (hit, matched term)
+    with the term frequency, document length, document frequency, idf
+    and the term's partial contribution, alongside the hit's rank and
+    total score. Partials sum (pre-rounding) to the hit's score, so the
+    output is an auditable proof of each ranking position.
+
+    Plan shape: the ranking comes from topk_segments unchanged (any
+    pruning path — explain never alters ranks, tested); the decomposition
+    re-reads only the matched terms' slices through the same
+    partition-pruned scan with a k-doc broadcast member mask, emitting
+    O(k · n_terms) rows. The (term, df, idf) frame is vocabulary-probe
+    sized and the ranking is k rows — both join as broadcasts, so the
+    second pass adds one pruned scan and zero exchanges at any corpus
+    size."""
+    stats = load_stats(index_dir)
+    n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    n = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    schema = (
+        "rank int, doc_id long, score double, term string, df long, "
+        "idf double, tf int, doc_len int, partial double"
+    )
+    top_rows = topk_segments(spark, index_dir, terms, k=k, k1=k1, b=b).collect()
+    if not top_rows:
+        return spark.createDataFrame([], schema)
+    info = probe_dictionary(spark, index_dir, sorted(set(terms)), n_partitions)
+    matched = sorted(info)
+    idf = {t: _idf(float(info[t]["df"]), n) for t in matched}
+    doc_arr = np.sort(np.asarray([r["doc_id"] for r in top_rows], dtype=np.int64))
+    docs_bc = spark.sparkContext.broadcast(doc_arr)
+
+    pids = sorted({info[t]["partition_id"] for t in matched})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+    )
+
+    def explain_slices(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            t_out, d_out, tf_out, dl_out = [], [], [], []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                mask = member_mask(doc_ids, docs_bc.value)
+                if not mask.any():
+                    continue
+                t_out.append(np.full(int(mask.sum()), term, dtype=object))
+                d_out.append(doc_ids[mask])
+                tf_out.append(tfs[mask])
+                dl_out.append(dls[mask])
+            if d_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(t_out),
+                        "doc_id": np.concatenate(d_out),
+                        "tf": np.concatenate(tf_out).astype(np.int32),
+                        "doc_len": np.concatenate(dl_out).astype(np.int32),
+                    }
+                )
+
+    comp = seg.mapInPandas(
+        explain_slices, schema="term string, doc_id long, tf int, doc_len int"
+    )
+    tdf = spark.createDataFrame(
+        [(t, int(info[t]["df"]), float(idf[t])) for t in matched],
+        "term string, df long, idf_raw double",
+    )
+    topdf = spark.createDataFrame(
+        [(int(r["rank"]), int(r["doc_id"]), float(r["score"])) for r in top_rows],
+        "rank int, doc_id long, score double",
+    )
+    # partial reproduces the kernel arithmetic: the SAME float64 idf times
+    # the scalar-op-order tf_norm of _tf_norm
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avgdl))
+    )
+    return (
+        comp.join(F.broadcast(topdf), "doc_id")
+        .join(F.broadcast(tdf), "term")
+        .withColumn("partial", F.round(F.col("idf_raw") * tfn, SCORE_ROUND_DECIMALS))
+        .withColumn("idf", F.round(F.col("idf_raw"), SCORE_ROUND_DECIMALS))
+        .select(
+            "rank", "doc_id", "score", "term", "df", "idf", "tf", "doc_len", "partial"
+        )
+        .orderBy("rank", "term")
+    )
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    facet_col: str = "lang",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Lucene faceting analog: hit counts per metadata value over the FULL
+    match set of the disjunctive query (every doc containing ANY query
+    term — not just the top-k), grouped by a doc_meta column.
+
+    Plan shape: the same partition-pruned segments scan as topk_segments
+    (no scoring — the kernel emits matched doc_ids only, tombstone-masked),
+    one distinct on doc_id (a doc matching several terms counts once), a
+    doc_id equi-join against the store-resident doc_meta, and a tiny
+    groupBy(facet). The distinct + join shuffle on doc_id — the same keys
+    the store's doc_meta is already organized by — and the facet agg is
+    map-side combined, so at cluster scale this is one pruned scan plus
+    one bounded exchange; nothing driver-side grows with the corpus."""
+    stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    info = probe_dictionary(spark, index_dir, sorted(set(terms)), n_partitions)
+    matched = sorted(info)
+    schema = f"{facet_col} string, n_docs long"
+    if not matched:
+        return spark.createDataFrame([], schema)
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+
+    pids = sorted({info[t]["partition_id"] for t in matched})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+    )
+    seg = _spread_slices(seg, spark, sum(int(info[t]["df"]) for t in matched))
+
+    def match_slices(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            out = []
+            for blob in pdf["blob"]:
+                doc_ids, _tfs, _dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    doc_ids = doc_ids[live_mask(doc_ids, tomb_bc.value)]
+                if doc_ids.size:
+                    out.append(doc_ids)
+            if out:
+                yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+    docs = seg.mapInPandas(match_slices, schema="doc_id long").distinct()
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        docs = docs.join(tomb_over, "doc_id", "left_anti")
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", facet_col
+    )
+    return (
+        docs.join(meta, "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(facet_col)
+    )

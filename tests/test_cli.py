@@ -404,3 +404,47 @@ def test_cli_query_after_pagination(capsys, spark, index_dir):
     )]
     got = [(r["doc_id"], r["score"]) for r in p1 + p2]
     assert got == [(r["doc_id"], r["score"]) for r in full]
+
+
+def test_cli_explain_partials_sum_to_score(capsys, spark, index_dir):
+    """explain rows carry the decomposition; per-doc partials sum to the
+    hit's score within the rounding quantum, and the (rank, doc_id, score)
+    triples match the plain query verb."""
+    import collections
+
+    rows = [
+        json.loads(line)
+        for line in run_cli(
+            capsys, spark, "--format", "json", "explain",
+            "--index", index_dir, "--query", "spark hash", "--k", "5",
+        )
+    ]
+    assert rows and {"rank", "doc_id", "score", "term", "tf", "doc_len",
+                     "df", "idf", "partial"} <= set(rows[0])
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for parts in by_doc.values():
+        assert abs(sum(p["partial"] for p in parts) - parts[0]["score"]) <= len(parts) * 5e-7
+    plain = run_cli(
+        capsys, spark, "--format", "json", "query",
+        "--index", index_dir, "--query", "spark hash", "--k", "5",
+    )
+    assert {(r["rank"], r["doc_id"], r["score"]) for r in rows} == {
+        (d["rank"], d["doc_id"], d["score"])
+        for d in (json.loads(x) for x in plain)
+    }
+
+
+def test_cli_facets_verb(capsys, spark, index_dir):
+    """facets counts every matching doc once per lang; the total equals
+    the distinct match count, independent of k."""
+    rows = [
+        json.loads(line)
+        for line in run_cli(
+            capsys, spark, "--format", "json", "facets",
+            "--index", index_dir, "--query", "spark", "--by", "lang",
+        )
+    ]
+    assert rows and all(r["n_docs"] >= 1 for r in rows)
+    assert [r["lang"] for r in rows] == sorted(r["lang"] for r in rows)

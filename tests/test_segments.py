@@ -742,3 +742,59 @@ def test_search_after_past_the_end_is_empty(spark, index_dir):
         spark, index_dir, ["import"], k=5, after=(-1.0, 0)
     ).collect()
     assert rows == []
+
+
+def test_explain_partials_sum_to_score_and_match_ranking(spark, index_dir):
+    """explain_topk rows: (a) the (rank, doc_id, score) triples equal
+    topk_segments' exactly, (b) per-doc Σ partial reproduces the score
+    within the rounding quantum, (c) df/idf/tf are per-(doc,term) facts
+    — tf ≥ 1 and df ≥ tf's doc count."""
+    terms = ["auth", "token", "def"]
+    top = bm25_segments.topk_segments(spark, index_dir, terms, k=10).collect()
+    rows = bm25_segments.explain_topk(spark, index_dir, terms, k=10).collect()
+    assert {(r["rank"], r["doc_id"], r["score"]) for r in rows} == {
+        (r["rank"], r["doc_id"], r["score"]) for r in top
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for t in top:
+        parts = by_doc[t["doc_id"]]
+        # rounded partials sum to the rounded sum within n·½ulp(1e-6)
+        assert abs(sum(p["partial"] for p in parts) - t["score"]) <= len(parts) * 5e-7
+        assert all(p["tf"] >= 1 and p["doc_len"] >= p["tf"] for p in parts)
+        assert all(p["df"] >= 1 and p["idf"] > 0 for p in parts)
+    # every explain term is a query term that matched
+    assert {r["term"] for r in rows} <= set(terms)
+
+
+def test_explain_absent_terms_is_empty(spark, index_dir):
+    assert (
+        bm25_segments.explain_topk(spark, index_dir, ["zzz_no_such_term"], k=5).count()
+        == 0
+    )
+
+
+def test_facet_counts_match_postings(spark, corpus, index_dir):
+    """facet_counts == distinct matching docs per lang computed straight
+    from the uncompressed postings + corpus metadata."""
+    terms = ["def", "indexquery"]
+    got = {
+        (r["lang"], r["n_docs"])
+        for r in bm25_segments.facet_counts(spark, index_dir, terms, "lang").collect()
+    }
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    post = P.build_postings(c)
+    want = {
+        (r["lang"], r["n_docs"])
+        for r in (
+            post.filter(F.col("term").isin(terms))
+            .select("doc_id")
+            .distinct()
+            .join(c.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .collect()
+        )
+    }
+    assert got == want and len(got) >= 1
