@@ -391,6 +391,22 @@ def cmd_facets(args, spark) -> None:
     )
 
 
+def cmd_count(args, spark) -> None:
+    """Total hit count (Lucene TotalHitCountCollector analog): how many
+    live docs contain ANY of the query terms — no scoring, no top-k."""
+    from .operators.bm25_segments import match_count
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    out = match_count(spark, args.index, terms)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: str(d["n_docs"]),
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_mlt(args, spark) -> None:
     """More-Like-This: top-k docs most similar to --doc-id by lexical
     overlap (operators/mlt.py) — interesting terms from the source doc
@@ -631,6 +647,13 @@ def build_parser() -> argparse.ArgumentParser:
     fc.add_argument("--query", required=True)
     fc.add_argument("--by", default="lang", help="doc_meta column to facet by")
     fc.set_defaults(fn=cmd_facets)
+
+    cn = sub.add_parser(
+        "count", help="total hit count over the index (no scoring)"
+    )
+    cn.add_argument("--index", required=True)
+    cn.add_argument("--query", required=True)
+    cn.set_defaults(fn=cmd_count)
 
     sn = sub.add_parser(
         "synonym", help="synonym set scored as one term (blended stats)"

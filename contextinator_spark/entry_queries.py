@@ -895,6 +895,23 @@ GROUP BY d.lang ORDER BY lang
 """
 
 
+def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TotalHitCountCollector analog: one row — how many docs
+    contain ANY of the flagship query's terms (no scoring, no top-k)."""
+    from .operators.bm25_segments import match_count
+
+    return match_count(spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+def sql_match_count() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}), q(term) AS (VALUES {values})
+SELECT CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs
+FROM post p JOIN q ON p.term = q.term
+"""
+
+
 PHRASE_TERMS = ["table", "hash"]
 
 
@@ -2062,6 +2079,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
+        "match_count": (q_match_count, sql_match_count()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
         "bm25_purged": (q_bm25_purged, sql_bm25_purged()),

@@ -1663,34 +1663,23 @@ def explain_topk(
         .orderBy("rank", "term")
     )
 
-
-def facet_counts(
+def _matched_docs(
     spark: SparkSession,
     index_dir: str,
     terms: list[str],
-    facet_col: str = "lang",
     n_partitions: int | None = None,
-) -> DataFrame:
-    """Lucene faceting analog: hit counts per metadata value over the FULL
-    match set of the disjunctive query (every doc containing ANY query
-    term — not just the top-k), grouped by a doc_meta column.
-
-    Plan shape: the same partition-pruned segments scan as topk_segments
-    (no scoring — the kernel emits matched doc_ids only, tombstone-masked),
-    one distinct on doc_id (a doc matching several terms counts once), a
-    doc_id equi-join against the store-resident doc_meta, and a tiny
-    groupBy(facet). The distinct + join shuffle on doc_id — the same keys
-    the store's doc_meta is already organized by — and the facet agg is
-    map-side combined, so at cluster scale this is one pruned scan plus
-    one bounded exchange; nothing driver-side grows with the corpus."""
+) -> DataFrame | None:
+    """(doc_id) stream of every live doc containing ANY of the terms —
+    the shared front half of facet_counts / match_count: partition+term
+    pruned segments scan, decode, tombstone mask; no scoring. None when
+    no term is indexed."""
     stats = load_stats(index_dir)
     if n_partitions is None:
         n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
     info = probe_dictionary(spark, index_dir, sorted(set(terms)), n_partitions)
     matched = sorted(info)
-    schema = f"{facet_col} string, n_docs long"
     if not matched:
-        return spark.createDataFrame([], schema)
+        return None
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
 
     pids = sorted({info[t]["partition_id"] for t in matched})
@@ -1713,15 +1702,57 @@ def facet_counts(
             if out:
                 yield pd.DataFrame({"doc_id": np.concatenate(out)})
 
-    docs = seg.mapInPandas(match_slices, schema="doc_id long").distinct()
+    docs = seg.mapInPandas(match_slices, schema="doc_id long")
     if tomb_over is not None:  # over-cap tombstones: distributed anti-join
         docs = docs.join(tomb_over, "doc_id", "left_anti")
+    return docs
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    facet_col: str = "lang",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Lucene faceting analog: hit counts per metadata value over the FULL
+    match set of the disjunctive query (every doc containing ANY query
+    term — not just the top-k), grouped by a doc_meta column.
+
+    Plan shape: _matched_docs' pruned scan, one distinct on doc_id (a doc
+    matching several terms counts once), a doc_id equi-join against the
+    store-resident doc_meta, and a tiny groupBy(facet). The distinct +
+    join shuffle on doc_id — the same keys the store's doc_meta is
+    already organized by — and the facet agg is map-side combined, so at
+    cluster scale this is one pruned scan plus one bounded exchange;
+    nothing driver-side grows with the corpus."""
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    if docs is None:
+        return spark.createDataFrame([], f"{facet_col} string, n_docs long")
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
         "doc_id", facet_col
     )
     return (
-        docs.join(meta, "doc_id")
+        docs.distinct()
+        .join(meta, "doc_id")
         .groupBy(facet_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(facet_col)
     )
+
+
+def match_count(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Lucene TotalHitCountCollector analog: ONE row (n_docs) — how many
+    live docs contain ANY of the query terms. _matched_docs' pruned scan
+    folded to a single count(DISTINCT) — no scoring, no doc_meta join.
+    count_distinct is Spark's two-phase distinct aggregate (partial sets
+    map-side), so the exchange carries distinct doc_ids only."""
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    if docs is None:
+        return spark.createDataFrame([(0,)], "n_docs long")
+    return docs.agg(F.count_distinct("doc_id").alias("n_docs"))

@@ -797,21 +797,32 @@ def boolean_topk_multi(
                 cur_rows += est[qid]
             if cur:
                 groups.append(cur)
-            out = None
+            # sub-batches run EAGERLY (collect per group, ≤ k rows/query)
+            # instead of folding into one lazy union: a lazy union keeps
+            # every group's multi-GB shuffle files live until the final
+            # collect — on tmpfs scratch that accumulation re-creates the
+            # very memory cliff the bound exists to avoid (observed: the
+            # 64M-doc 100-query run was OOM-killed by ~53 GB of retained
+            # sub-batch shuffle on /dev/shm plus the driver heap). After
+            # each group the plan is dropped and a JVM GC nudge lets
+            # ContextCleaner reap its shuffle files before the next runs.
+            rows: list = []
             for g in groups:
-                part = boolean_topk_multi(
-                    spark,
-                    index_dir,
-                    {qid: parsed[qid] for qid in g},
-                    k=k,
-                    k1=k1,
-                    b=b,
-                    max_expansions=max_expansions,
-                    combine=combine,
-                    tie_breaker=tie_breaker,
+                rows.extend(
+                    boolean_topk_multi(
+                        spark,
+                        index_dir,
+                        {qid: parsed[qid] for qid in g},
+                        k=k,
+                        k1=k1,
+                        b=b,
+                        max_expansions=max_expansions,
+                        combine=combine,
+                        tie_breaker=tie_breaker,
+                    ).collect()
                 )
-                out = part if out is None else out.unionByName(part)
-            return out
+                spark.sparkContext._jvm.System.gc()
+            return spark.createDataFrame(rows, _BATCH_SCHEMA)
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     parts: list[DataFrame] = []

@@ -448,3 +448,15 @@ def test_cli_facets_verb(capsys, spark, index_dir):
     ]
     assert rows and all(r["n_docs"] >= 1 for r in rows)
     assert [r["lang"] for r in rows] == sorted(r["lang"] for r in rows)
+
+
+def test_cli_count_verb(capsys, spark, index_dir):
+    """count returns one total-hit-count line; a doc matching both terms
+    counts once (count('spark hash') ≤ count('spark') + count('hash'))."""
+    def n(q):
+        out = run_cli(capsys, spark, "--format", "json", "count",
+                      "--index", index_dir, "--query", q)
+        return json.loads(out[0])["n_docs"]
+
+    both, a, b = n("spark hash"), n("spark"), n("hash")
+    assert a >= 1 and b >= 1 and max(a, b) <= both <= a + b

@@ -798,3 +798,25 @@ def test_facet_counts_match_postings(spark, corpus, index_dir):
         )
     }
     assert got == want and len(got) >= 1
+
+
+def test_match_count_equals_distinct_matches(spark, corpus, index_dir):
+    """match_count == count of distinct docs containing any query term,
+    computed straight from the uncompressed postings; absent terms give 0."""
+    terms = ["def", "indexquery"]
+    got = bm25_segments.match_count(spark, index_dir, terms).collect()[0]["n_docs"]
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    want = (
+        P.build_postings(c)
+        .filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert got == want and got >= 1
+    assert (
+        bm25_segments.match_count(spark, index_dir, ["zzz_no_such_term"]).collect()[0][
+            "n_docs"
+        ]
+        == 0
+    )
