@@ -219,6 +219,35 @@ def cmd_query(args, spark) -> None:
     if getattr(args, "after", None):
         s, _, d = args.after.partition(":")
         after = (float(s), int(d))
+    collapse = getattr(args, "collapse", None)
+    if collapse:
+        # collapse is a different collector: no scope/pagination/occur knobs,
+        # and pruning is off by construction — reject combos, don't drop them
+        bad = [
+            f
+            for f, v in (
+                ("--mode all", getattr(args, "mode", "any") == "all"),
+                ("--where", where),
+                ("--after", after),
+                ("--snippets", getattr(args, "snippets", None)),
+            )
+            if v
+        ]
+        if bad:
+            raise SystemExit(f"--collapse does not support {', '.join(bad)}")
+        from .operators.bm25_segments import collapse_topk
+
+        rows = collapse_topk(
+            spark, args.index, terms, collapse_col=collapse, k=args.k
+        ).collect()
+        _emit(
+            rows,
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d[collapse]:<16}  "
+                      f"{d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if getattr(args, "mode", "any") == "all":
         # the conjunctive executor has no scope/pagination/prune knobs —
         # reject rather than silently return unscoped page 1
@@ -591,6 +620,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--snippets", metavar="CORPUS",
         help="render each hit's best line from this corpus parquet, query "
              "terms «highlighted» (doc_id-pruned read of just the k hits)",
+    )
+    q.add_argument(
+        "--collapse", metavar="COL",
+        help="field collapsing (Lucene CollapsingTopDocsCollector): at most "
+             "one hit per distinct doc_meta[COL] value, each group "
+             "represented by its best-scoring doc",
     )
     q.set_defaults(fn=cmd_query)
 

@@ -489,16 +489,25 @@ def _cached_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     # layout-affecting config is part of the cache key: a stale index built
     # under an older layout must rebuild, not serve wrong partitions
+    # |M=repo: doc_meta carries source-as-repo (collapse key) — shape tag so
+    # caches built before the column existed rebuild instead of serving a
+    # doc_meta without it
     key = (
         f"{sf_dir}|P={INDEX_PARTITIONS}|B={BLOCK_SIZE}|F={HEAVY_SALT_FANOUT}"
-        f"|S={SLICE_TARGET_POSTINGS}|{_data_fingerprint(f'{sf_dir}/documents.parquet')}"
+        f"|S={SLICE_TARGET_POSTINGS}|M=repo"
+        f"|{_data_fingerprint(f'{sf_dir}/documents.parquet')}"
     )
     d = _cache_dir(key)
     if not _os.path.exists(_os.path.join(d, "stats.json")):
         from .operators.segments import write_index
 
         _os.makedirs(d, exist_ok=True)
-        write_index(spark, _docs(spark, sf_dir), d, id_col="doc_id")
+        write_index(
+            spark,
+            _docs(spark, sf_dir).withColumn("repo", F.col("source")),
+            d,
+            id_col="doc_id",
+        )
     return d
 
 
@@ -893,6 +902,38 @@ SELECT d.lang AS lang, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs
 FROM post p JOIN q ON p.term = q.term JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY d.lang ORDER BY lang
 """
+
+
+def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene field-collapsing analog (CollapsingTopDocsCollector): the
+    flagship query's top-10 GROUPS — one best-scoring doc per repo
+    (documents.source), groups ranked by their winner. Pruning is off by
+    construction (group winners can score below the global doc-level
+    θ); exactness vs the oracle's window-function formulation."""
+    from .operators.bm25_segments import collapse_topk
+
+    return collapse_topk(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        collapse_col="repo", k=10,
+    )
+
+
+def sql_bm25_collapse() -> str:
+    values = ", ".join(f"(1, '{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return (
+        _bm25_sql(values)
+        + """
+, grouped AS (
+  SELECT d.source AS repo, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT CAST(rank AS INT) AS rank, repo, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         repo, doc_id, score
+  FROM grouped WHERE rn = 1) WHERE rank <= 10
+"""
+    )
 
 
 def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2080,6 +2121,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
         "match_count": (q_match_count, sql_match_count()),
+        "bm25_collapse": (q_bm25_collapse, sql_bm25_collapse()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),
         "bm25_purged": (q_bm25_purged, sql_bm25_purged()),

@@ -1756,3 +1756,104 @@ def match_count(
     if docs is None:
         return spark.createDataFrame([(0,)], "n_docs long")
     return docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    collapse_col: str = "repo",
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Lucene field-collapsing analog (CollapsingTopDocsCollector): top-k
+    GROUPS — at most one hit per distinct doc_meta[collapse_col] value,
+    each group represented by its best-scoring live doc (score desc,
+    doc_id asc within the group), groups ranked by their winner.
+
+    θ/block-max/sketch pruning is deliberately OFF: every such bound is
+    derived from the global k-th best DOC, and a group winner can
+    legitimately score below it — top hits concentrating in few groups is
+    exactly the case collapsing exists for, so pruning with the doc-level
+    θ would drop the winners of diverse groups. Dictionary partition+term
+    pruning still applies (match-preserving), as do tombstone masks.
+
+    Plan shape: one pruned scan → exact BM25 partials (same kernel math
+    as topk_segments, tested rank-identical pre-collapse) → one
+    groupBy(doc_id) fold → doc_id equi-join to the store-resident
+    doc_meta for the collapse key → per-group row_number window → global
+    top-k via TakeOrderedAndProject. The window shuffles on collapse_col
+    over the MATCHING docs only (one row per matched doc), not the
+    corpus; at cluster scale this is one extra bounded exchange after the
+    fold. Group-key skew mirrors the corpus's repo-size skew — acceptable
+    because the window's per-group state is O(1) (running row_number),
+    not a buffered sort of the group."""
+    stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    out_schema = f"rank int, {collapse_col} string, doc_id long, score double"
+    info = probe_dictionary(spark, index_dir, sorted(set(terms)), n_partitions)
+    matched = sorted(info)
+    if not matched:
+        return spark.createDataFrame([], out_schema)
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    idf_b = {t: _idf(float(info[t]["df"]), n) for t in matched}
+
+    pids = sorted({info[t]["partition_id"] for t in matched})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+    )
+    seg = _spread_slices(seg, spark, sum(int(info[t]["df"]) for t in matched))
+
+    def score_slices(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            out_docs, out_scores = [], []
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    m = live_mask(doc_ids, tomb_bc.value)
+                    if not m.all():
+                        doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                if doc_ids.size == 0:
+                    continue
+                out_docs.append(doc_ids)
+                out_scores.append(
+                    idf_b[term]
+                    * _tf_norm(
+                        tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
+                    )
+                )
+            if out_docs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_docs),
+                        "partial": np.concatenate(out_scores),
+                    }
+                )
+
+    partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
+    if tomb_over is not None:  # over-cap tombstones: distributed anti-join
+        partials = partials.join(tomb_over, "doc_id", "left_anti")
+    scored = partials.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", collapse_col
+    )
+    wg = Window.partitionBy(collapse_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(meta, "doc_id")
+        .withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", collapse_col, "doc_id", "score")
+    )

@@ -460,3 +460,25 @@ def test_cli_count_verb(capsys, spark, index_dir):
 
     both, a, b = n("spark hash"), n("spark"), n("hash")
     assert a >= 1 and b >= 1 and max(a, b) <= both <= a + b
+
+
+def test_cli_query_collapse(capsys, spark, index_dir):
+    """--collapse: at most one hit per repo, contiguous ranks, descending
+    scores; combinations the collapse collector has no knobs for are
+    rejected loudly instead of silently dropped."""
+    lines = run_cli(
+        capsys, spark, "--format", "json", "query", "--index", index_dir,
+        "--query", "the", "--collapse", "repo", "--k", "5",
+    )
+    recs = [json.loads(ln) for ln in lines]
+    assert recs, "collapse query must match the sf corpus"
+    assert len({r["repo"] for r in recs}) == len(recs)
+    assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
+    assert all(
+        recs[i]["score"] >= recs[i + 1]["score"] for i in range(len(recs) - 1)
+    )
+    with pytest.raises(SystemExit, match="--collapse does not support"):
+        run_cli(
+            capsys, spark, "query", "--index", index_dir, "--query", "the",
+            "--collapse", "repo", "--where", "lang = 'en'",
+        )

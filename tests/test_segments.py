@@ -820,3 +820,44 @@ def test_match_count_equals_distinct_matches(spark, corpus, index_dir):
         ]
         == 0
     )
+
+
+def test_collapse_topk_matches_exhaustive(spark, index_dir):
+    """collapse_topk (Lucene CollapsingTopDocsCollector analog): one hit
+    per repo, each the group's best-scoring doc, groups ranked by winner —
+    verified against the exhaustive unpruned executor (itself rank-proven
+    vs the brute oracle) collapsed driver-side."""
+    terms = ["def", "indexquery"]
+    got = [
+        (r["rank"], r["repo"], r["doc_id"], r["score"])
+        for r in bm25_segments.collapse_topk(
+            spark, index_dir, terms, "repo", k=5
+        ).collect()
+    ]
+    full = bm25_segments.topk_segments(
+        spark, index_dir, terms, k=10**6, prune=False, driver_path=False
+    ).collect()
+    assert full, "fixture corpus must match the query terms"
+    meta = {
+        r["doc_id"]: r["repo"]
+        for r in spark.read.parquet(f"{index_dir}/doc_meta")
+        .select("doc_id", "repo")
+        .collect()
+    }
+    best: dict = {}
+    for r in sorted(full, key=lambda r: (-r["score"], r["doc_id"])):
+        best.setdefault(meta[r["doc_id"]], (r["doc_id"], r["score"]))
+    want = sorted(
+        ((g, d, s) for g, (d, s) in best.items()), key=lambda x: (-x[2], x[1])
+    )[:5]
+    assert got == [(i + 1, g, d, s) for i, (g, d, s) in enumerate(want)]
+    assert len({g for _, g, _, _ in got}) == len(got)  # one per group
+
+
+def test_collapse_topk_absent_terms_empty(spark, index_dir):
+    assert (
+        bm25_segments.collapse_topk(
+            spark, index_dir, ["zzz_no_such_term"], "repo"
+        ).count()
+        == 0
+    )
