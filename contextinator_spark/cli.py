@@ -355,6 +355,7 @@ def cmd_bool(args, spark) -> None:
         spark, args.index, args.query, k=args.k,
         combine="sum" if tie is None else "dismax",
         tie_breaker=tie or 0.0,
+        min_should_match=getattr(args, "msm", 0) or 0,
     )
     _emit(
         out.collect(),
@@ -654,6 +655,11 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="TIE",
         help="DisjunctionMax combiner: score = best clause + TIE × rest "
              "(default combiner is BooleanQuery sum)",
+    )
+    bq.add_argument(
+        "--msm", type=int, default=0, metavar="N",
+        help="minimum_should_match: a hit must match ≥ N distinct SHOULD "
+             "clauses (Lucene setMinimumNumberShouldMatch)",
     )
     bq.set_defaults(fn=cmd_bool)
 

@@ -1390,7 +1390,7 @@ BOOLEAN_BATCH_QUERIES: dict[int, str] = {
 }
 
 
-def _sql_boolean_one(query: str, k: int = 10) -> str:
+def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
     """Compile ONE Boolean query string to its DuckDB oracle: the same
     clause-by-clause structure as sql_bm25_boolean, generated generically
     from the engine's own parse (the oracle reuses the parser only to
@@ -1505,8 +1505,12 @@ def _sql_boolean_one(query: str, k: int = 10) -> str:
     ctes.append("allp AS (" + " UNION ALL ".join(unions) + ")")
     ctes.append(
         f"agg AS (SELECT doc_id, CAST(round(sum(partial), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score, "
-        "count(DISTINCT CASE WHEN is_must THEN cid END) AS nm FROM allp GROUP BY doc_id)"
+        "count(DISTINCT CASE WHEN is_must THEN cid END) AS nm, "
+        "count(DISTINCT CASE WHEN NOT is_must THEN cid END) AS ns "
+        "FROM allp GROUP BY doc_id)"
     )
+    if min_should_match > 0:
+        conds.append(f"ns >= {min_should_match}")
     if not_terms:
         tl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
         conds.append(f"doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ({tl}))")
@@ -1523,6 +1527,33 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
   FROM agg WHERE {where}
 ) WHERE rank <= {k}
 """
+
+
+# minimum_should_match: MUST hash, and ≥2 of the three SHOULD terms must
+# also match (Lucene BooleanQuery.setMinimumNumberShouldMatch) — grades the
+# SHOULD-coverage count end-to-end through the fold
+BOOLEAN_MSM_QUERY = "+hash spark join table"
+BOOLEAN_MSM = 2
+
+
+def q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean top-10 with minimum_should_match=2: a hit must match the
+    MUST clause AND ≥2 distinct SHOULD clauses (operators/boolean.py)."""
+    from .operators.boolean import boolean_topk_query
+
+    return boolean_topk_query(
+        spark,
+        _cached_phrase_index_dir(spark, sf_dir),
+        BOOLEAN_MSM_QUERY,
+        k=10,
+        min_should_match=BOOLEAN_MSM,
+    )
+
+
+def sql_boolean_msm() -> str:
+    """Oracle: the compiled Boolean query plus an `ns >= 2` SHOULD-coverage
+    condition (distinct matched non-MUST clause ids per doc)."""
+    return _sql_boolean_one(BOOLEAN_MSM_QUERY, min_should_match=BOOLEAN_MSM)
 
 
 def q_boolean_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2138,6 +2169,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "snippets": (q_snippets, sql_snippets()),
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
         "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
+        "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
         "mlt": (q_mlt, sql_mlt()),
         "hybrid_rrf": (q_hybrid_rrf, sql_hybrid_rrf()),
         "bm25_page2": (q_bm25_page2, sql_bm25_page2()),

@@ -289,6 +289,7 @@ def boolean_topk(
     rare_filter: bool = True,
     combine: str = "sum",
     tie_breaker: float = 0.0,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """(rank, doc_id, score) for a Boolean query over the segment store.
 
@@ -299,6 +300,12 @@ def boolean_topk(
     expansion, per Lucene's rewrite), then
     score(d) = max_c + tie_breaker · Σ_{c' ≠ argmax} c'. Occur semantics
     (MUST coverage, MUST_NOT, FILTER) are combiner-independent.
+
+    `min_should_match` is Lucene's BooleanQuery.setMinimumNumberShouldMatch:
+    a doc must match ≥ that many DISTINCT SHOULD clauses (on top of full
+    MUST coverage). A clause matching through several expansion terms
+    counts once — coverage counts clauses, not terms. A value larger than
+    the number of SHOULD clauses is unsatisfiable → empty result.
 
     Positional clauses (phrase/near) require a positions store
     (posting_format=2, segments.write_index(positions=True)); term-only
@@ -319,6 +326,12 @@ def boolean_topk(
     filters = [c for c in clauses if c.occur == FILTER]
     if any(c.kind == "predicate" for c in scoring):
         raise ValueError("predicate clauses are FILTER/MUST_NOT only")
+    if min_should_match < 0:
+        raise ValueError(f"min_should_match must be ≥ 0, got {min_should_match}")
+    should_ids = [cid for cid, c in enumerate(clauses) if c.occur == SHOULD]
+    if min_should_match > len(should_ids):
+        # Lucene: msm above the SHOULD clause count matches nothing
+        return spark.createDataFrame([], _RESULT_SCHEMA)
 
     # ---- expansion + dictionary probe (metadata-scale, no posting reads)
     termish = [
@@ -481,6 +494,15 @@ def boolean_topk(
     # exchanges over the posting-sized partial stream (measured 2× slower
     # at 8M docs, scripts/new_surface_probe.py).
     must_set = F.array(*[F.lit(i) for i in must_ids]) if must_ids else None
+    # SHOULD-coverage agg (minimum_should_match): count DISTINCT matched
+    # SHOULD clause ids per doc, same shape as the MUST-coverage count
+    should_cov = None
+    if min_should_match > 0:
+        should_set = F.array(*[F.lit(i) for i in should_ids])
+        should_cov = F.count_distinct(
+            F.when(F.array_contains(should_set, F.col("clause_id")),
+                   F.col("clause_id"))
+        ).alias("n_should")
     if combine == "dismax":
         scids = [cid for cid, c in enumerate(clauses) if c.occur in (MUST, SHOULD)]
         # BM25 partials are strictly positive, so coalesce-to-0 is a safe
@@ -500,6 +522,8 @@ def boolean_topk(
                            F.col("clause_id"))
                 ).alias("n_must")
             )
+        if should_cov is not None:
+            agg_cols.append(should_cov)
         ccols = [F.col(f"_c{cid}") for cid in scids]
         best = F.greatest(*ccols) if len(ccols) > 1 else ccols[0]
         total = ccols[0]
@@ -528,9 +552,15 @@ def boolean_topk(
                            F.col("clause_id"))
                 ).alias("n_must")
             )
+        if should_cov is not None:
+            agg_cols.append(should_cov)
         scored = allp.groupBy("doc_id").agg(*agg_cols)
     if must_ids:
         scored = scored.filter(F.col("n_must") == len(must_ids)).drop("n_must")
+    if should_cov is not None:
+        scored = scored.filter(
+            F.col("n_should") >= min_should_match
+        ).drop("n_should")
 
     # ---- MUST_NOT: anti-join the union of excluded doc sets
     ex = _excluded_docs(spark, index_dir, nots, n_partitions, max_expansions)
@@ -640,6 +670,7 @@ def boolean_topk_multi(
     combine: str = "sum",
     tie_breaker: float = 0.0,
     max_partial_rows: int | None = None,
+    min_should_match: int | dict[int, int] = 0,
 ) -> DataFrame:
     """Batch Boolean executor: (query_id, rank, doc_id, score) for many
     Boolean queries in ONE plan — the Boolean twin of
@@ -694,6 +725,16 @@ def boolean_topk_multi(
     }
     if not parsed:
         return spark.createDataFrame([], _BATCH_SCHEMA)
+    # per-query minimum_should_match (Lucene setMinimumNumberShouldMatch):
+    # an int applies to every query, a dict maps query_id → msm
+    msm: dict[int, int] = (
+        {int(q): int(min_should_match.get(q, 0)) for q in parsed}
+        if isinstance(min_should_match, dict)
+        else {int(q): int(min_should_match) for q in parsed}
+    )
+    if any(v < 0 for v in msm.values()):
+        raise ValueError("min_should_match must be ≥ 0")
+    any_msm = any(v > 0 for v in msm.values())
     stats = load_stats(index_dir)
     n_partitions = int(stats["n_partitions"])
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
@@ -819,6 +860,7 @@ def boolean_topk_multi(
                         max_expansions=max_expansions,
                         combine=combine,
                         tie_breaker=tie_breaker,
+                        min_should_match={qid: msm[qid] for qid in g},
                     ).collect()
                 )
                 spark.sparkContext._jvm.System.gc()
@@ -983,14 +1025,30 @@ def boolean_topk_multi(
     aggs.append(
         F.count_distinct(F.when(F.col("is_must"), F.col("slot"))).alias("n_cov")
     )
+    if any_msm:
+        # SHOULD coverage (minimum_should_match): distinct non-MUST slots
+        aggs.append(
+            F.count_distinct(
+                F.when(~F.col("is_must"), F.col("slot"))
+            ).alias("n_scov")
+        )
     scored = allp.groupBy("query_id", "doc_id").agg(*aggs)
     qmeta = spark.createDataFrame(
-        [(qid, sum(1 for _s, c in scoring[qid] if c.occur == MUST)) for qid in live],
-        "query_id int, n_must int",
+        [
+            (
+                qid,
+                sum(1 for _s, c in scoring[qid] if c.occur == MUST),
+                msm[qid],
+            )
+            for qid in live
+        ],
+        "query_id int, n_must int, msm int",
     )
     scored = scored.join(F.broadcast(qmeta), "query_id").filter(
         F.col("n_cov") == F.col("n_must")
     )
+    if any_msm:
+        scored = scored.filter(F.col("n_scov") >= F.col("msm"))
     cols = [F.col(f"_s{j}") for j in range(m_slots)]
     total = cols[0]
     for c in cols[1:]:

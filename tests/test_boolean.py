@@ -552,3 +552,91 @@ def test_boolean_batch_validations(spark, idx):
         boolean_topk_multi(spark, idx, {0: "-join"})  # no scoring clause
     with pytest.raises(ValueError):
         boolean_topk_multi(spark, idx, {0: "hash"}, combine="best")
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match (Lucene setMinimumNumberShouldMatch)
+# ---------------------------------------------------------------------------
+
+
+def test_msm_filters_by_should_coverage(spark, idx):
+    # "hash spark join": per-doc SHOULD coverage — 3:{hash}=1, the rest of
+    # the matching docs cover 2 clauses. msm=2 must drop doc 3 WITHOUT
+    # rescoring the survivors.
+    base = {r.doc_id: r.score for r in
+            boolean_topk_query(spark, idx, "hash spark join", k=10).collect()}
+    out = boolean_topk_query(
+        spark, idx, "hash spark join", k=10, min_should_match=2
+    )
+    got = {r.doc_id: r.score for r in out.collect()}
+    assert set(got) == {0, 1, 2, 4, 6}
+    for d, s in got.items():
+        assert s == base[d]  # msm filters, never rescores
+
+
+def test_msm_unsatisfiable_is_empty(spark, idx):
+    # no doc matches all three SHOULD terms → msm=3 empty via coverage;
+    # msm=4 > clause count empty via the early return
+    assert boolean_topk_query(
+        spark, idx, "hash spark join", k=10, min_should_match=3
+    ).count() == 0
+    assert boolean_topk_query(
+        spark, idx, "hash spark join", k=10, min_should_match=4
+    ).count() == 0
+    with pytest.raises(ValueError):
+        boolean_topk_query(spark, idx, "hash", min_should_match=-1)
+
+
+def test_msm_composes_with_must(spark, idx):
+    # MUST table restricts to {0, 3, 4}; SHOULD coverage over {hash, spark}:
+    # doc 0 = 1 (hash), doc 3 = 1 (hash), doc 4 = 2 → only doc 4 at msm=2
+    out = boolean_topk_query(
+        spark, idx, "+table hash spark", k=10, min_should_match=2
+    )
+    assert [r.doc_id for r in out.collect()] == [4]
+
+
+def test_msm_counts_clauses_not_expansion_terms(spark, idx):
+    # wildcard *a* expands to {hash, table, spark}; doc 0 matches TWO of its
+    # expansion terms but that is ONE clause — at msm=2 only doc 2
+    # (hash + merge) covers both clauses
+    cs = [Clause(SHOULD, "wildcard", ("*a*",)), Clause(SHOULD, "term", ("merge",))]
+    out = boolean_topk(spark, idx, cs, k=10, min_should_match=2)
+    assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_msm_dismax_filters_like_sum(spark, idx):
+    # msm is combiner-independent: the dismax run at msm=2 is the dismax
+    # run at msm=0 restricted to the sum run's surviving doc set
+    kw = dict(k=10, combine="dismax", tie_breaker=0.3)
+    base = {r.doc_id: r.score for r in
+            boolean_topk_query(spark, idx, "hash spark join", **kw).collect()}
+    got = {r.doc_id: r.score for r in
+           boolean_topk_query(
+               spark, idx, "hash spark join", min_should_match=2, **kw
+           ).collect()}
+    assert set(got) == {0, 1, 2, 4, 6}
+    for d, s in got.items():
+        assert s == base[d]
+
+
+def test_boolean_batch_msm_matches_single(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    qs = {0: "hash spark join", 1: "+table hash spark", 2: "merge sort"}
+    msm = {0: 2, 1: 2, 2: 1}
+    out = boolean_topk_multi(spark, idx, qs, k=10, min_should_match=msm)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in qs.items():
+        want = _rows(
+            boolean_topk_query(spark, idx, q, k=10, min_should_match=msm[qid])
+        )
+        assert sorted(got.get(qid, [])) == sorted(want), f"qid={qid} {q!r}"
+    # int form applies to every query
+    out2 = boolean_topk_multi(spark, idx, {0: "hash spark join"}, k=10,
+                              min_should_match=2)
+    assert sorted((r.rank, r.doc_id, r.score) for r in out2.collect()) == sorted(
+        got[0]
+    )

@@ -482,3 +482,20 @@ def test_cli_query_collapse(capsys, spark, index_dir):
             capsys, spark, "query", "--index", index_dir, "--query", "the",
             "--collapse", "repo", "--where", "lang = 'en'",
         )
+
+
+def test_cli_bool_msm(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_msm_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    base = [json.loads(x) for x in run_cli(
+        capsys, spark, "bool", "--index", d,
+        "--query", "hash spark join", "--k", "100000",
+    )]
+    got = [json.loads(x) for x in run_cli(
+        capsys, spark, "bool", "--index", d,
+        "--query", "hash spark join", "--k", "100000", "--msm", "2",
+    )]
+    assert got and len(got) < len(base)  # msm=2 strictly narrows at sf0.001
+    scores = {r["doc_id"]: r["score"] for r in base}
+    for r in got:  # filtered, never rescored
+        assert r["score"] == scores[r["doc_id"]]
