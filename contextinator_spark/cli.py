@@ -219,6 +219,36 @@ def cmd_query(args, spark) -> None:
     if getattr(args, "after", None):
         s, _, d = args.after.partition(":")
         after = (float(s), int(d))
+    sort_by = getattr(args, "sort_by", None)
+    if sort_by:
+        # field sort is a different collector: no scoring, so no occur /
+        # scope / pagination / snippet knobs — reject combos, don't drop them
+        bad = [
+            f
+            for f, v in (
+                ("--mode all", getattr(args, "mode", "any") == "all"),
+                ("--where", where),
+                ("--after", after),
+                ("--snippets", getattr(args, "snippets", None)),
+                ("--collapse", getattr(args, "collapse", None)),
+            )
+            if v
+        ]
+        if bad:
+            raise SystemExit(f"--sort-by does not support {', '.join(bad)}")
+        from .operators.bm25_segments import sort_topk
+
+        rows = sort_topk(
+            spark, args.index, terms, sort_col=sort_by,
+            ascending=getattr(args, "asc", False), k=args.k,
+        ).collect()
+        _emit(
+            rows,
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d[sort_by]}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     collapse = getattr(args, "collapse", None)
     if collapse:
         # collapse is a different collector: no scope/pagination/occur knobs,
@@ -627,6 +657,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="field collapsing (Lucene CollapsingTopDocsCollector): at most "
              "one hit per distinct doc_meta[COL] value, each group "
              "represented by its best-scoring doc",
+    )
+    q.add_argument(
+        "--sort-by", metavar="COL", dest="sort_by",
+        help="sort matches by a doc_meta field instead of relevance "
+             "(Lucene Sort/SortField; no scoring runs) — descending by "
+             "default, doc_id tiebreak",
+    )
+    q.add_argument(
+        "--asc", action="store_true",
+        help="with --sort-by: ascending order (default is descending)",
     )
     q.set_defaults(fn=cmd_query)
 

@@ -953,6 +953,31 @@ FROM post p JOIN q ON p.term = q.term
 """
 
 
+def q_bm25_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene Sort/SortField analog: the flagship query's matches ordered
+    by the index-resident doc_len field (desc, doc_id tiebreak) instead
+    of relevance — no BM25 math runs (operators/bm25_segments.sort_topk)."""
+    from .operators.bm25_segments import sort_topk
+
+    return sort_topk(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        sort_col="doc_len", ascending=False, k=10,
+    )
+
+
+def sql_bm25_sort() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}), q(term) AS (VALUES {values}),
+meta AS ({SQL_DOCMETA}),
+matched AS (SELECT DISTINCT p.doc_id FROM post p JOIN q ON p.term = q.term)
+SELECT CAST(rank AS INT) AS rank, doc_id, doc_len FROM (
+  SELECT row_number() OVER (ORDER BY m.doc_len DESC, m.doc_id) AS rank,
+         m.doc_id, m.doc_len
+  FROM matched d JOIN meta m ON d.doc_id = m.doc_id) WHERE rank <= 10
+"""
+
+
 PHRASE_TERMS = ["table", "hash"]
 
 
@@ -2152,6 +2177,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
         "match_count": (q_match_count, sql_match_count()),
+        "bm25_sort": (q_bm25_sort, sql_bm25_sort()),
         "bm25_collapse": (q_bm25_collapse, sql_bm25_collapse()),
         "bm25_conj": (q_bm25_conj, sql_bm25_conj()),
         "bm25_delete": (q_bm25_delete, sql_bm25_delete()),

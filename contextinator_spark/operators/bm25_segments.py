@@ -1857,3 +1857,41 @@ def collapse_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", collapse_col, "doc_id", "score")
     )
+
+
+def sort_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    sort_col: str = "doc_len",
+    ascending: bool = False,
+    k: int = DEFAULT_TOP_K,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Lucene Sort/SortField analog: top-k MATCHING docs ordered by an
+    index-resident doc_meta field instead of relevance —
+    IndexSearcher.search(query, k, new Sort(new SortField(field, ...)))
+    with the doDocScores=false default, so no BM25 math runs at all.
+    doc_id asc is the tiebreak (Lucene's implicit doc-order tiebreak).
+
+    Plan shape: _matched_docs' partition+term pruned scan (tombstone-
+    masked doc_ids only — no tf/doc_len decode math beyond the shared
+    codec) → two-phase distinct (a doc matching several terms sorts
+    once) → doc_id equi-join to the store-resident doc_meta for the sort
+    key → orderBy+limit, which Spark compiles to TakeOrderedAndProject:
+    per-partition k-row heaps, a k-row driver merge — the exchange
+    carries k rows per partition regardless of match count, so at
+    cluster scale this is one pruned scan plus one bounded exchange."""
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", sort_col
+    )
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    base = meta.limit(0) if docs is None else docs.distinct().join(meta, "doc_id")
+    key = F.asc(sort_col) if ascending else F.desc(sort_col)
+    w = Window.orderBy(key, F.asc("doc_id"))
+    return (
+        base.orderBy(key, F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", sort_col)
+    )

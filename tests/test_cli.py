@@ -499,3 +499,27 @@ def test_cli_bool_msm(capsys, spark, tmp_path_factory):
     scores = {r["doc_id"]: r["score"] for r in base}
     for r in got:  # filtered, never rescored
         assert r["score"] == scores[r["doc_id"]]
+
+def test_cli_query_sort_by(capsys, spark, index_dir):
+    """--sort-by: matches ordered by a doc_meta field (Lucene Sort), no
+    scores in the output; --asc flips the order; unsupported combos are
+    rejected loudly."""
+    lines = run_cli(
+        capsys, spark, "--format", "json", "query", "--index", index_dir,
+        "--query", "the", "--sort-by", "doc_len", "--k", "5",
+    )
+    recs = [json.loads(ln) for ln in lines]
+    assert recs and all({"rank", "doc_id", "doc_len"} <= set(r) for r in recs)
+    assert all("score" not in r for r in recs)
+    lens = [r["doc_len"] for r in recs]
+    assert lens == sorted(lens, reverse=True)
+    asc = [json.loads(ln) for ln in run_cli(
+        capsys, spark, "--format", "json", "query", "--index", index_dir,
+        "--query", "the", "--sort-by", "doc_len", "--asc", "--k", "5",
+    )]
+    assert [r["doc_len"] for r in asc] == sorted(r["doc_len"] for r in asc)
+    with pytest.raises(SystemExit, match="--sort-by does not support"):
+        run_cli(
+            capsys, spark, "query", "--index", index_dir, "--query", "the",
+            "--sort-by", "doc_len", "--collapse", "repo",
+        )

@@ -861,3 +861,56 @@ def test_collapse_topk_absent_terms_empty(spark, index_dir):
         ).count()
         == 0
     )
+
+
+def test_sort_topk_matches_meta_order(spark, corpus, index_dir):
+    """sort_topk (Lucene Sort/SortField analog): top-k matching docs by a
+    doc_meta field with doc_id tiebreak, no scoring — verified against the
+    uncompressed postings + store doc_meta sorted driver-side; ascending
+    flips the order; string sort keys work; absent terms give empty."""
+    terms = ["def", "indexquery"]
+    c = corpus.withColumn("doc_id", F.pmod(F.xxhash64("repo", "path"), F.lit(2**61)))
+    matched = {
+        r["doc_id"]
+        for r in P.build_postings(c)
+        .filter(F.col("term").isin(terms))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert matched
+    meta = {
+        r["doc_id"]: (r["doc_len"], r["repo"])
+        for r in spark.read.parquet(f"{index_dir}/doc_meta").collect()
+    }
+    got = [
+        (r["rank"], r["doc_id"], r["doc_len"])
+        for r in bm25_segments.sort_topk(
+            spark, index_dir, terms, "doc_len", ascending=False, k=5
+        ).collect()
+    ]
+    want = sorted(((meta[d][0], d) for d in matched), key=lambda x: (-x[0], x[1]))[:5]
+    assert got == [(i + 1, d, n) for i, (n, d) in enumerate(want)]
+
+    got_asc = [
+        (r["doc_id"], r["doc_len"])
+        for r in bm25_segments.sort_topk(
+            spark, index_dir, terms, "doc_len", ascending=True, k=5
+        ).collect()
+    ]
+    want_asc = sorted(((meta[d][0], d) for d in matched), key=lambda x: (x[0], x[1]))[:5]
+    assert got_asc == [(d, n) for n, d in want_asc]
+
+    got_str = [
+        (r["doc_id"], r["repo"])
+        for r in bm25_segments.sort_topk(
+            spark, index_dir, terms, "repo", ascending=True, k=5
+        ).collect()
+    ]
+    want_str = sorted(((meta[d][1], d) for d in matched))[:5]
+    assert got_str == [(d, g) for g, d in want_str]
+
+    assert (
+        bm25_segments.sort_topk(spark, index_dir, ["zzz_no_such_term"], "doc_len").count()
+        == 0
+    )
