@@ -1539,10 +1539,15 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
     if not_terms:
         tl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
         conds.append(f"doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ({tl}))")
+    # doc_len predicates (range clauses) resolve against the meta CTE —
+    # documents has no doc_len column; string fields live on documents
+    def _ptbl(p: str) -> str:
+        return "meta" if "doc_len" in p else "documents"
+
     for p in not_preds:
-        conds.append(f"doc_id NOT IN (SELECT doc_id FROM documents WHERE {p})")
+        conds.append(f"doc_id NOT IN (SELECT doc_id FROM {_ptbl(p)} WHERE {p})")
     for p in filt_preds:
-        conds.append(f"doc_id IN (SELECT doc_id FROM documents WHERE {p})")
+        conds.append(f"doc_id IN (SELECT doc_id FROM {_ptbl(p)} WHERE {p})")
     where = " AND ".join(conds)
     joined = ",\n".join(ctes)
     return f"""
@@ -1559,6 +1564,27 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 # SHOULD-coverage count end-to-end through the fold
 BOOLEAN_MSM_QUERY = "+hash spark join table"
 BOOLEAN_MSM = 2
+
+# range clauses: numeric doc_len window (PointRangeQuery, half-open) as a
+# FILTER plus a negated string range (TermRangeQuery) excluding langs < 'es'
+BOOLEAN_RANGE_QUERY = "+hash spark doc_len:[40 TO 90} -lang:[* TO es}"
+
+
+def q_boolean_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean top-10 with Lucene range clauses: doc_len ∈ [40, 90) as a
+    non-scoring FILTER, langs lexicographically below 'es' excluded via a
+    negated open-bound string range (operators/boolean.py parse_query)."""
+    from .operators.boolean import boolean_topk_query
+
+    return boolean_topk_query(
+        spark, _cached_phrase_index_dir(spark, sf_dir), BOOLEAN_RANGE_QUERY, k=10
+    )
+
+
+def sql_boolean_range() -> str:
+    """Oracle: the compiled Boolean algebra — range predicates become the
+    same >=/< SQL the parser emits, doc_len resolved via the meta CTE."""
+    return _sql_boolean_one(BOOLEAN_RANGE_QUERY)
 
 
 def q_boolean_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2196,6 +2222,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
         "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
         "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
+        "boolean_range": (q_boolean_range, sql_boolean_range()),
         "mlt": (q_mlt, sql_mlt()),
         "hybrid_rrf": (q_hybrid_rrf, sql_hybrid_rrf()),
         "bm25_page2": (q_bm25_page2, sql_bm25_page2()),

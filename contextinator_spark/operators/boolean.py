@@ -115,6 +115,8 @@ _SCAN_RX = re.compile(
         (?:
           "(?P<phrase>[^"]*)"(?:~(?P<window>\d+))?
           (?:\^(?P<pboost>\d+(?:\.\d+)?))?
+        | (?P<rfld>[A-Za-z_][A-Za-z0-9_]*):
+          (?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}])
         | (?P<fld>[A-Za-z_][A-Za-z0-9_]*):(?P<val>[^\s"]+)
         | (?P<word>[^\s"]+)
         )""",
@@ -128,6 +130,10 @@ _BOOST_RX = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)$")
 # doc_meta columns a field clause may target (resident store metadata;
 # anything else would silently match nothing)
 FILTER_FIELDS = ("repo", "path", "lang", "commit")
+# range clauses additionally cover the numeric doc_len column
+# (Lucene PointRangeQuery vs TermRangeQuery split)
+RANGE_FIELDS = FILTER_FIELDS + ("doc_len",)
+NUMERIC_FIELDS = ("doc_len",)
 
 
 def _toks(text: str) -> tuple[str, ...]:
@@ -147,7 +153,10 @@ def parse_query(q: str) -> list[Clause]:
     (Lucene FuzzyQuery; bare `~` = 2 edits); any scoring atom may carry a
     trailing `^w` boost (fuzzy-then-boost order, `grup~1^2.5`);
     `field:value` → FILTER predicate (field ∈ FILTER_FIELDS; `value` may
-    carry `*` → SQL LIKE), `-field:value` excludes instead. Multi-token
+    carry `*` → SQL LIKE), `-field:value` excludes instead;
+    `field:[lo TO hi]` / `{lo TO hi}` → range FILTER (Lucene
+    TermRangeQuery on strings, PointRangeQuery on doc_len; `*` = open
+    bound, `[* TO *]` = field existence, `-` negates). Multi-token
     words ("foo-bar") become phrases — the tokenizer would index them
     adjacently, so the faithful query is positional."""
     clauses: list[Clause] = []
@@ -173,6 +182,45 @@ def parse_query(q: str) -> list[Clause]:
                 Clause(occur, "near" if win else "phrase", terms,
                        window=win or None,
                        boost=float(pb) if pb else 1.0)
+            )
+        elif m.group("rfld") is not None:
+            # Lucene range syntax: field:[lo TO hi] inclusive, {lo TO hi}
+            # exclusive, mixable; `*` is an open bound ([* TO *] is the
+            # field-existence query). TermRangeQuery on string fields,
+            # PointRangeQuery semantics on numeric doc_len. Ranges are
+            # filter-context only (non-scoring fields), like field:value.
+            fld = m.group("rfld").lower()
+            if fld not in RANGE_FIELDS:
+                raise ValueError(
+                    f"unknown range field {fld!r} (have {RANGE_FIELDS})"
+                )
+
+            def _bound(op: str, v: str) -> str | None:
+                if v == "*":
+                    return None
+                if fld in NUMERIC_FIELDS:
+                    try:
+                        float(v)
+                    except ValueError:
+                        raise ValueError(
+                            f"numeric range field {fld!r} needs numeric "
+                            f"bounds, got {v!r}"
+                        ) from None
+                    return f"{fld} {op} {v}"
+                return f"{fld} {op} '{v.replace(chr(39), chr(39) * 2)}'"
+
+            parts = [
+                p
+                for p in (
+                    _bound(">=" if m.group("lb") == "[" else ">", m.group("lo")),
+                    _bound("<=" if m.group("rb") == "]" else "<", m.group("hi")),
+                )
+                if p
+            ]
+            pred = " AND ".join(parts) if parts else f"{fld} IS NOT NULL"
+            clauses.append(
+                Clause(MUST_NOT if occur == MUST_NOT else FILTER,
+                       "predicate", predicate=pred)
             )
         elif m.group("fld") is not None:
             fld, val = m.group("fld").lower(), m.group("val")

@@ -640,3 +640,50 @@ def test_boolean_batch_msm_matches_single(spark, idx):
     assert sorted((r.rank, r.doc_id, r.score) for r in out2.collect()) == sorted(
         got[0]
     )
+
+
+# ---------------------------------------------------------------------------
+# range clauses (Lucene TermRangeQuery / PointRangeQuery)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_range_clauses():
+    cs = parse_query(
+        "hash doc_len:[3 TO 10] lang:{a TO en] -doc_len:[* TO 5} repo:[* TO *]"
+    )
+    assert cs[1] == Clause(
+        FILTER, "predicate", predicate="doc_len >= 3 AND doc_len <= 10"
+    )
+    assert cs[2] == Clause(
+        FILTER, "predicate", predicate="lang > 'a' AND lang <= 'en'"
+    )
+    assert cs[3] == Clause(MUST_NOT, "predicate", predicate="doc_len < 5")
+    assert cs[4] == Clause(FILTER, "predicate", predicate="repo IS NOT NULL")
+    with pytest.raises(ValueError, match="numeric range"):
+        parse_query("hash doc_len:[a TO 5]")
+    with pytest.raises(ValueError, match="unknown range field"):
+        parse_query("hash size:[1 TO 5]")
+
+
+def test_range_filter_restricts_without_rescoring(spark, idx):
+    # fixture doc_lens: {0:4, 3:4, 6:4}, rest 3; hash matches {0,2,3,4,6}
+    base = {r.doc_id: r.score for r in
+            boolean_topk_query(spark, idx, "hash", k=10).collect()}
+    assert set(base) == {0, 2, 3, 4, 6}
+    got = {r.doc_id: r.score for r in
+           boolean_topk_query(spark, idx, "hash doc_len:[4 TO *]", k=10).collect()}
+    assert set(got) == {0, 3, 6}
+    for d, s in got.items():
+        assert s == base[d]  # FILTER never rescores
+    # exclusive upper bound drops the boundary value
+    assert {r.doc_id for r in
+            boolean_topk_query(spark, idx, "hash doc_len:{3 TO 4}", k=10).collect()
+            } == set()
+    # negated string range: exclude langs in [d, dz] → drops the de docs
+    assert {r.doc_id for r in
+            boolean_topk_query(spark, idx, "hash -lang:[d TO dz]", k=10).collect()
+            } == {0, 4}
+    # field-existence range is a no-op filter on a fully-populated field
+    assert {r.doc_id for r in
+            boolean_topk_query(spark, idx, "hash lang:[* TO *]", k=10).collect()
+            } == set(base)
