@@ -1430,6 +1430,10 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
     k1, b = BM25_K1, BM25_B
     term_rows: list[tuple[int, bool, str, float]] = []
     pos_rows: list[tuple[int, bool, list[str], int | None, float]] = []
+    # ConstantScore clauses: fixed per-doc partial v, BM25 math bypassed
+    const_terms: list[tuple[int, bool, str, float]] = []
+    const_pos: list[tuple[int, bool, list[str], int | None, float]] = []
+    const_preds: list[tuple[int, bool, str, float]] = []
     not_terms: list[str] = []
     not_pos: list[tuple[list[str], int | None]] = []
     not_preds: list[str] = []
@@ -1448,12 +1452,25 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
         else:
             if c.occur == B_MUST:
                 n_must += 1
-            if c.kind == "term":
-                term_rows.append((cid, c.occur == B_MUST, c.terms[0], c.boost))
+            is_m = c.occur == B_MUST
+            if c.const_score is not None:
+                if c.kind == "term":
+                    const_terms.append((cid, is_m, c.terms[0], c.const_score))
+                elif c.kind in ("phrase", "near"):
+                    const_pos.append(
+                        (cid, is_m, list(c.terms), c.window, c.const_score)
+                    )
+                elif c.kind == "predicate":
+                    const_preds.append((cid, is_m, c.predicate, c.const_score))
+                else:
+                    raise ValueError(
+                        f"oracle supports term/phrase/near/predicate "
+                        f"const clauses only: {c.kind}"
+                    )
+            elif c.kind == "term":
+                term_rows.append((cid, is_m, c.terms[0], c.boost))
             elif c.kind in ("phrase", "near"):
-                pos_rows.append(
-                    (cid, c.occur == B_MUST, list(c.terms), c.window, c.boost)
-                )
+                pos_rows.append((cid, is_m, list(c.terms), c.window, c.boost))
             else:
                 raise ValueError(
                     f"batch oracle supports term/phrase/near scoring only: {c.kind}"
@@ -1523,6 +1540,25 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
   FROM pmm{i} x CROSS JOIN stats s CROSS JOIN dfp{i} d)""")
         unions.append(f"SELECT * FROM pp{i}")
 
+    # ConstantScore arms: partial = v per matching doc (no BM25 terms)
+    for cid, m, t, v in const_terms:
+        unions.append(
+            f"SELECT {cid} AS cid, {str(m).upper()} AS is_must, doc_id, "
+            f"{v} AS partial FROM post WHERE term = '{t}'"
+        )
+    for i, (cid, m, ts, w, v) in enumerate(const_pos):
+        ctes.append(match_cte(f"cpm{i}", ts, w))
+        unions.append(
+            f"SELECT {cid} AS cid, {str(m).upper()} AS is_must, doc_id, "
+            f"{v} AS partial FROM cpm{i} WHERE ptf > 0"
+        )
+    for cid, m, p, v in const_preds:
+        tbl = "meta" if "doc_len" in p else "documents"
+        unions.append(
+            f"SELECT {cid} AS cid, {str(m).upper()} AS is_must, doc_id, "
+            f"{v} AS partial FROM {tbl} WHERE {p}"
+        )
+
     conds = [f"nm = {n_must}"]
     for i, (ts, w) in enumerate(not_pos):
         ctes.append(match_cte(f"npm{i}", ts, w))
@@ -1568,6 +1604,29 @@ BOOLEAN_MSM = 2
 # range clauses: numeric doc_len window (PointRangeQuery, half-open) as a
 # FILTER plus a negated string range (TermRangeQuery) excluding langs < 'es'
 BOOLEAN_RANGE_QUERY = "+hash spark doc_len:[40 TO 90} -lang:[* TO es}"
+
+# constant-score clauses (Lucene ^=v / ConstantScoreQuery): a scoring
+# metadata filter (the canonical ConstantScore-over-filter), a const term,
+# and a BM25 term in one query — grades the max-fold and the predicate
+# partial stream end-to-end
+BOOLEAN_CONST_QUERY = "+hash lang:en^=0.5 table^=1.5 spark"
+
+
+def q_boolean_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean top-10 with ConstantScore clauses: lang:en scores a flat
+    0.5, `table` a flat 1.5 (BM25 bypassed), `spark` BM25 — all summed on
+    top of the MUST hash clause (operators/boolean.py `^=v`)."""
+    from .operators.boolean import boolean_topk_query
+
+    return boolean_topk_query(
+        spark, _cached_phrase_index_dir(spark, sf_dir), BOOLEAN_CONST_QUERY, k=10
+    )
+
+
+def sql_boolean_const() -> str:
+    """Oracle: const clauses are fixed-v union arms in the same compiled
+    clause algebra (one row per matching doc, no BM25 terms)."""
+    return _sql_boolean_one(BOOLEAN_CONST_QUERY)
 
 
 def q_boolean_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2223,6 +2282,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
         "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
+        "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),
         "hybrid_rrf": (q_hybrid_rrf, sql_hybrid_rrf()),
         "bm25_page2": (q_bm25_page2, sql_bm25_page2()),

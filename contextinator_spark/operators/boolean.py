@@ -96,7 +96,12 @@ class Clause:
     radius — or, for a fuzzy clause, the max edit distance; `predicate` is
     a SQL expression over the store's doc_meta columns; `boost` multiplies
     the clause's score partial (Lucene `^w` — scoring clauses only, inert
-    on MUST_NOT/FILTER)."""
+    on MUST_NOT/FILTER); `const_score` (Lucene `^=v`, ConstantScoreQuery)
+    replaces the clause's BM25 partial with a fixed per-doc value — a doc
+    matching the clause through ANY number of expansion terms or
+    occurrences contributes exactly v once. A `^=v` on a field/range
+    clause turns the filter into a scoring clause (ConstantScore over the
+    filter), which is the canonical Lucene use."""
 
     occur: str
     kind: str
@@ -104,6 +109,7 @@ class Clause:
     window: int | None = None
     predicate: str | None = None
     boost: float = 1.0
+    const_score: float | None = None
 
 
 _TOKEN_RX = re.compile(r"[a-z0-9_]+")
@@ -114,7 +120,7 @@ _SCAN_RX = re.compile(
     r"""\s*(?P<occur>[+-]?)
         (?:
           "(?P<phrase>[^"]*)"(?:~(?P<window>\d+))?
-          (?:\^(?P<pboost>\d+(?:\.\d+)?))?
+          (?:\^(?P<peq>=)?(?P<pboost>\d+(?:\.\d+)?))?
         | (?P<rfld>[A-Za-z_][A-Za-z0-9_]*):
           (?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}])
         | (?P<fld>[A-Za-z_][A-Za-z0-9_]*):(?P<val>[^\s"]+)
@@ -126,6 +132,8 @@ _SCAN_RX = re.compile(
 # means the Lucene default of 2 edits
 _FUZZ_RX = re.compile(r"~(?P<edits>[012]?)$")
 _BOOST_RX = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)$")
+# `^=v` constant score (peeled before `^w` — `=` would fail _BOOST_RX)
+_CONST_RX = re.compile(r"\^=(?P<v>\d+(?:\.\d+)?)$")
 
 # doc_meta columns a field clause may target (resident store metadata;
 # anything else would silently match nothing)
@@ -178,10 +186,12 @@ def parse_query(q: str) -> list[Clause]:
             # Lucene slop 0 IS an exact phrase — `"a b"~0` must not become
             # a NEAR clause with an unsatisfiable window for distinct terms
             win = int(w) if w else None
+            is_const = m.group("peq") is not None
             clauses.append(
                 Clause(occur, "near" if win else "phrase", terms,
                        window=win or None,
-                       boost=float(pb) if pb else 1.0)
+                       boost=1.0 if is_const else (float(pb) if pb else 1.0),
+                       const_score=float(pb) if is_const and pb else None)
             )
         elif m.group("rfld") is not None:
             # Lucene range syntax: field:[lo TO hi] inclusive, {lo TO hi}
@@ -224,9 +234,14 @@ def parse_query(q: str) -> list[Clause]:
             )
         elif m.group("fld") is not None:
             fld, val = m.group("fld").lower(), m.group("val")
-            vb = _BOOST_RX.search(val)
-            if vb:  # boost on a filter-context clause is inert (Lucene)
-                val = val[: vb.start()]
+            const = None
+            vc = _CONST_RX.search(val)
+            if vc:  # ^=v: ConstantScore over the filter → scoring clause
+                const, val = float(vc.group("v")), val[: vc.start()]
+            else:
+                vb = _BOOST_RX.search(val)
+                if vb:  # boost on a filter-context clause is inert (Lucene)
+                    val = val[: vb.start()]
             if fld not in FILTER_FIELDS:
                 raise ValueError(
                     f"unknown filter field {fld!r} (have {FILTER_FIELDS})"
@@ -238,23 +253,38 @@ def parse_query(q: str) -> list[Clause]:
                 else f"{fld} = '{esc}'"
             )
             # +field:v and field:v both restrict (Lucene treats a bare
-            # field clause on a non-scoring field as a filter)
-            clauses.append(
-                Clause(MUST_NOT if occur == MUST_NOT else FILTER,
-                       "predicate", predicate=pred)
-            )
+            # field clause on a non-scoring field as a filter); with ^=v
+            # the clause scores, so +/bare keep their MUST/SHOULD meaning
+            if const is not None and occur != MUST_NOT:
+                clauses.append(
+                    Clause(occur, "predicate", predicate=pred,
+                           const_score=const)
+                )
+            else:
+                clauses.append(
+                    Clause(MUST_NOT if occur == MUST_NOT else FILTER,
+                           "predicate", predicate=pred)
+                )
         else:
             word = m.group("word")
-            boost, edits = 1.0, None
+            boost, edits, const = 1.0, None, None
+            cm = _CONST_RX.search(word)
+            if cm:
+                const, word = float(cm.group("v")), word[: cm.start()]
             bm = _BOOST_RX.search(word)
             if bm:
                 boost, word = float(bm.group("boost")), word[: bm.start()]
+            if const is not None and boost != 1.0:
+                raise ValueError(
+                    f"{m.group('word')!r}: ^=v and ^w are mutually exclusive"
+                )
             # /pattern/ → RegexpQuery (Lucene syntax; whole-term match,
             # lowercased to the index's token normalization). Peeled
             # before the fuzzy suffix so `/a~b/` stays a regex literal.
             if len(word) > 2 and word.startswith("/") and word.endswith("/"):
                 clauses.append(
-                    Clause(occur, "regexp", (word[1:-1].lower(),), boost=boost)
+                    Clause(occur, "regexp", (word[1:-1].lower(),),
+                           boost=boost, const_score=const)
                 )
                 continue
             fm = _FUZZ_RX.search(word)
@@ -282,7 +312,9 @@ def parse_query(q: str) -> list[Clause]:
                     else "wildcard"
                 )
                 pat = body[:-1] if kind == "prefix" else body
-                clauses.append(Clause(occur, kind, (pat,), boost=boost))
+                clauses.append(
+                    Clause(occur, kind, (pat,), boost=boost, const_score=const)
+                )
             else:
                 terms = _toks(word)
                 if not terms:
@@ -291,15 +323,25 @@ def parse_query(q: str) -> list[Clause]:
                     if len(terms) != 1:
                         raise ValueError(f"fuzzy needs a single token: {word!r}")
                     if edits == 0:  # term~0 is an exact term query
-                        clauses.append(Clause(occur, "term", terms, boost=boost))
+                        clauses.append(
+                            Clause(occur, "term", terms, boost=boost,
+                                   const_score=const)
+                        )
                     else:
                         clauses.append(
-                            Clause(occur, "fuzzy", terms, window=edits, boost=boost)
+                            Clause(occur, "fuzzy", terms, window=edits,
+                                   boost=boost, const_score=const)
                         )
                 elif len(terms) == 1:
-                    clauses.append(Clause(occur, "term", terms, boost=boost))
+                    clauses.append(
+                        Clause(occur, "term", terms, boost=boost,
+                               const_score=const)
+                    )
                 else:  # "foo-bar" indexes as adjacent tokens → phrase
-                    clauses.append(Clause(occur, "phrase", terms, boost=boost))
+                    clauses.append(
+                        Clause(occur, "phrase", terms, boost=boost,
+                               const_score=const)
+                    )
     if not clauses:
         raise ValueError("empty query")
     return clauses
@@ -372,8 +414,11 @@ def boolean_topk(
         )
     nots = [c for c in clauses if c.occur == MUST_NOT]
     filters = [c for c in clauses if c.occur == FILTER]
-    if any(c.kind == "predicate" for c in scoring):
-        raise ValueError("predicate clauses are FILTER/MUST_NOT only")
+    if any(c.kind == "predicate" and c.const_score is None for c in scoring):
+        raise ValueError(
+            "predicate clauses are FILTER/MUST_NOT only (add ^=v for a "
+            "scoring ConstantScore filter)"
+        )
     if min_should_match < 0:
         raise ValueError(f"min_should_match must be ≥ 0, got {min_should_match}")
     should_ids = [cid for cid, c in enumerate(clauses) if c.occur == SHOULD]
@@ -453,6 +498,7 @@ def boolean_topk(
         )
         idf_b, tc_b = dict(idf), dict(term_clauses)
         boost_b = {cid: float(c.boost) for cid, c in termish}
+        const_b = {cid: c.const_score for cid, c in termish}
 
         def score_slices(pdf_iter):
             cand = cand_bc.value if cand_bc is not None else None
@@ -474,13 +520,19 @@ def boolean_topk(
                         doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
                     if doc_ids.size == 0:
                         continue
-                    partial = idf_b[term] * _tf_norm(
-                        tfs.astype(np.float64), dls.astype(np.float64),
-                        avgdl, k1, b,
-                    )
+                    partial = None  # BM25 math skipped for const-only terms
                     for cid in tc_b[term]:
                         out_d.append(doc_ids)
                         out_c.append(np.full(doc_ids.size, cid, np.int32))
+                        cv = const_b[cid]
+                        if cv is not None:  # ConstantScoreQuery partial
+                            out_p.append(np.full(doc_ids.size, cv, np.float64))
+                            continue
+                        if partial is None:
+                            partial = idf_b[term] * _tf_norm(
+                                tfs.astype(np.float64), dls.astype(np.float64),
+                                avgdl, k1, b,
+                            )
                         w = boost_b[cid]
                         out_p.append(partial if w == 1.0 else partial * w)
                 if out_d:
@@ -503,6 +555,15 @@ def boolean_topk(
         matched, stats_df = positional_matches(
             spark, index_dir, list(c.terms), window=c.window
         )
+        if c.const_score is not None:  # ConstantScore(phrase): v per match
+            parts.append(
+                matched.select(
+                    "doc_id",
+                    F.lit(cid).cast("int").alias("clause_id"),
+                    F.lit(float(c.const_score)).alias("partial"),
+                )
+            )
+            continue
         dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("df_phrase"))
         parts.append(
             matched.crossJoin(F.broadcast(stats_df))
@@ -523,6 +584,31 @@ def boolean_topk(
                 ).alias("partial"),
             )
         )
+
+    # ---- scoring-predicate streams (ConstantScore over a metadata filter):
+    # doc_meta scan filtered by the predicate, v per live doc. doc_meta is
+    # not tombstone-masked on disk, so mask here — the term/positional
+    # streams mask kernel-side and would never resurrect a deleted doc.
+    const_preds = [
+        (cid, c) for cid, c in enumerate(clauses)
+        if c.occur in (MUST, SHOULD) and c.kind == "predicate"
+    ]
+    for cid, c in const_preds:
+        pm = (
+            spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+            .filter(c.predicate)
+            .select(
+                "doc_id",
+                F.lit(cid).cast("int").alias("clause_id"),
+                F.lit(float(c.const_score)).alias("partial"),
+            )
+        )
+        if tomb_bc is not None and tomb_bc.value.size:
+            dead = spark.createDataFrame(
+                [(int(d),) for d in tomb_bc.value], "doc_id long"
+            )
+            pm = pm.join(F.broadcast(dead), "doc_id", "left_anti")
+        parts.append(pm)
 
     if not parts:
         # every scoring clause expanded to zero indexed terms (e.g. a
@@ -551,13 +637,23 @@ def boolean_topk(
             F.when(F.array_contains(should_set, F.col("clause_id")),
                    F.col("clause_id"))
         ).alias("n_should")
+    # ConstantScore clauses fold with per-clause MAX, not SUM: a doc
+    # matching a const clause through several expansion terms carries
+    # several identical const partials, and Lucene's contract is exactly v
+    # once per doc (all rows equal v, so max == v)
+    const_ids = [
+        cid for cid, c in enumerate(clauses)
+        if c.occur in (MUST, SHOULD) and c.const_score is not None
+    ]
     if combine == "dismax":
         scids = [cid for cid, c in enumerate(clauses) if c.occur in (MUST, SHOULD)]
         # BM25 partials are strictly positive, so coalesce-to-0 is a safe
         # identity for both the max and the sum of absent clauses
         cs = [
             F.coalesce(
-                F.sum(F.when(F.col("clause_id") == cid, F.col("partial"))),
+                (F.max if cid in const_ids else F.sum)(
+                    F.when(F.col("clause_id") == cid, F.col("partial"))
+                ),
                 F.lit(0.0),
             ).alias(f"_c{cid}")
             for cid in scids
@@ -590,9 +686,26 @@ def boolean_topk(
             .drop(*[f"_c{cid}" for cid in scids])
         )
     else:
-        agg_cols = [
-            F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
-        ]
+        if const_ids:
+            # split the sum: BM25 clauses sum as before, each const clause
+            # contributes max(=v) once; absent clauses coalesce to 0
+            nc = F.coalesce(
+                F.sum(
+                    F.when(~F.col("clause_id").isin(const_ids), F.col("partial"))
+                ),
+                F.lit(0.0),
+            )
+            total = nc
+            for cid in const_ids:
+                total = total + F.coalesce(
+                    F.max(F.when(F.col("clause_id") == cid, F.col("partial"))),
+                    F.lit(0.0),
+                )
+            agg_cols = [F.round(total, SCORE_ROUND_DECIMALS).alias("score")]
+        else:
+            agg_cols = [
+                F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
+            ]
         if must_ids:
             agg_cols.append(
                 F.count_distinct(
@@ -797,8 +910,11 @@ def boolean_topk_multi(
         sc = [c for c in cls if c.occur in (MUST, SHOULD)]
         if not sc:
             raise ValueError(f"query {qid}: needs ≥1 scoring clause")
-        if any(c.kind == "predicate" for c in sc):
-            raise ValueError(f"query {qid}: predicate clauses are FILTER/MUST_NOT only")
+        if any(c.kind == "predicate" and c.const_score is None for c in sc):
+            raise ValueError(
+                f"query {qid}: predicate clauses are FILTER/MUST_NOT only "
+                "(add ^=v for a scoring ConstantScore filter)"
+            )
         if len(sc) > _SLOT_BASE:
             raise ValueError(f"query {qid}: >{_SLOT_BASE} scoring clauses")
         scoring[qid] = list(enumerate(sc))
@@ -867,6 +983,10 @@ def boolean_topk_multi(
                         int(pos_info[t]["df"]) for t in c.terms if t in pos_info
                     ]
                     rows += min(dfs) if dfs else 0
+                elif c.kind == "predicate":
+                    # ConstantScore(filter): selectivity unknown without a
+                    # scan, so budget the worst case (every doc matches)
+                    rows += int(n_docs)
                 else:
                     rows += sum(
                         int(info[t]["df"])
@@ -917,7 +1037,14 @@ def boolean_topk_multi(
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     parts: list[DataFrame] = []
 
-    # ---- term-clause partial stream: decode once, fan out per (qid, slot)
+    # ---- term-clause partial stream: decode once, fan out per (qid, slot).
+    # For a ConstantScore clause the weight IS the per-doc partial (const
+    # flag set); for BM25 clauses it is idf·boost, multiplied by tf_norm.
+    any_const = any(
+        c.const_score is not None
+        for qid in live
+        for _s, c in scoring[qid]
+    )
     fan: dict[str, tuple] = {}
     for (qid, slot), ts in cl_terms.items():
         if qid not in live_set:
@@ -927,7 +1054,10 @@ def boolean_topk_multi(
         for t in ts:
             if t in info:
                 fan.setdefault(t, []).append(
-                    (qid, slot, is_m, idf[t] * float(c.boost))
+                    (qid, slot, is_m,
+                     float(c.const_score) if c.const_score is not None
+                     else idf[t] * float(c.boost),
+                     c.const_score is not None)
                 )
     if fan:
         fan_arr = {
@@ -936,6 +1066,7 @@ def boolean_topk_multi(
                 np.asarray([e[1] for e in v], np.int32),
                 np.asarray([e[2] for e in v], bool),
                 np.asarray([e[3] for e in v], np.float64),
+                np.asarray([e[4] for e in v], bool),
             )
             for t, v in fan.items()
         }
@@ -948,7 +1079,7 @@ def boolean_topk_multi(
         from .bm25_segments import _OUT_CHUNK_ROWS
 
         def score_slices(pdf_iter):
-            oq, os_, om, od, op, n_out = [], [], [], [], [], 0
+            oq, os_, om, od, op, ok, n_out = [], [], [], [], [], [], 0
 
             def flush():
                 return pd.DataFrame(
@@ -958,6 +1089,7 @@ def boolean_topk_multi(
                         "is_must": np.concatenate(om),
                         "doc_id": np.concatenate(od),
                         "partial": np.concatenate(op),
+                        "is_const": np.concatenate(ok),
                     }
                 )
 
@@ -970,40 +1102,57 @@ def boolean_topk_multi(
                             doc_ids, tfs, dls = doc_ids[mliv], tfs[mliv], dls[mliv]
                     if doc_ids.size == 0:
                         continue
-                    tfn = _tf_norm(
-                        tfs.astype(np.float64), dls.astype(np.float64), avgdl, k1, b
+                    qa, sa, ma, wa, ka = fan_arr[term]
+                    tfn = (
+                        None
+                        if ka.all()  # const-only term: skip the BM25 math
+                        else _tf_norm(
+                            tfs.astype(np.float64), dls.astype(np.float64),
+                            avgdl, k1, b,
+                        )
                     )
-                    qa, sa, ma, wa = fan_arr[term]
                     for i in range(qa.size):
                         oq.append(np.full(doc_ids.size, qa[i], np.int32))
                         os_.append(np.full(doc_ids.size, sa[i], np.int32))
                         om.append(np.full(doc_ids.size, ma[i], bool))
                         od.append(doc_ids)
-                        op.append(tfn * wa[i])
+                        op.append(
+                            np.full(doc_ids.size, wa[i], np.float64)
+                            if ka[i]
+                            else tfn * wa[i]
+                        )
+                        ok.append(np.full(doc_ids.size, ka[i], bool))
                         n_out += doc_ids.size
                         if n_out >= _OUT_CHUNK_ROWS:
                             yield flush()
-                            oq, os_, om, od, op, n_out = [], [], [], [], [], 0
+                            oq, os_, om, od, op, ok, n_out = (
+                                [], [], [], [], [], [], 0,
+                            )
             if od:
                 yield flush()
 
         parts.append(
             seg.mapInPandas(
                 score_slices,
-                schema="query_id int, slot int, is_must boolean, doc_id long, partial double",
+                schema="query_id int, slot int, is_must boolean, doc_id long, "
+                       "partial double, is_const boolean",
             )
         )
 
     # ---- positional clauses (scoring AND MUST_NOT) in ONE matcher pass
     pos_spec: dict[int, tuple[list[str], int | None]] = {}
-    pos_meta: list[tuple[int, int, int, bool, float]] = []  # key,qid,slot,is_must,boost
+    # key, qid, slot, is_must, boost, const (null = BM25-scored)
+    pos_meta: list[tuple[int, int, int, bool, float, float | None]] = []
     not_pos_keys: dict[int, int] = {}  # key -> qid (exclusion matches)
     for qid in live:
         for slot, c in scoring[qid]:
             if c.kind in ("phrase", "near"):
                 key = qid * _SLOT_BASE + slot
                 pos_spec[key] = (list(c.terms), c.window)
-                pos_meta.append((key, qid, slot, c.occur == MUST, float(c.boost)))
+                pos_meta.append(
+                    (key, qid, slot, c.occur == MUST, float(c.boost),
+                     c.const_score)
+                )
         for j, c in enumerate(nots[qid]):
             if c.kind in ("phrase", "near"):
                 key = -(qid * _SLOT_BASE + j + 1)
@@ -1018,7 +1167,8 @@ def boolean_topk_multi(
         if pos_meta:
             meta_df = spark.createDataFrame(
                 pos_meta,
-                "query_id_key int, qid int, slot int, is_must boolean, boost double",
+                "query_id_key int, qid int, slot int, is_must boolean, "
+                "boost double, const double",
             )
             sc_m = matched.withColumnRenamed("query_id", "query_id_key").join(
                 F.broadcast(meta_df), "query_id_key"
@@ -1032,7 +1182,8 @@ def boolean_topk_multi(
                     "slot",
                     "is_must",
                     "doc_id",
-                    (
+                    F.coalesce(
+                        F.col("const"),
                         idf_expr(F.col("df_phrase"), F.lit(n_docs))
                         * tf_norm_expr(
                             F.col("phrase_tf").cast("double"),
@@ -1041,8 +1192,9 @@ def boolean_topk_multi(
                             k1,
                             b,
                         )
-                        * F.col("boost")
+                        * F.col("boost"),
                     ).alias("partial"),
+                    F.col("const").isNotNull().alias("is_const"),
                 )
             )
         if not_pos_keys:
@@ -1055,6 +1207,31 @@ def boolean_topk_multi(
                 .select(F.col("qid").alias("query_id"), "doc_id")
             )
 
+    # ---- scoring-predicate streams (ConstantScore over metadata filters):
+    # doc_meta scans (metadata-scale), tombstone-masked like the single path
+    for qid in live:
+        for slot, c in scoring[qid]:
+            if c.kind != "predicate":
+                continue
+            pm = (
+                spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+                .filter(c.predicate)
+                .select(
+                    F.lit(qid).cast("int").alias("query_id"),
+                    F.lit(slot).cast("int").alias("slot"),
+                    F.lit(c.occur == MUST).alias("is_must"),
+                    "doc_id",
+                    F.lit(float(c.const_score)).alias("partial"),
+                    F.lit(True).alias("is_const"),
+                )
+            )
+            if tomb_bc is not None and tomb_bc.value.size:
+                dead = spark.createDataFrame(
+                    [(int(d),) for d in tomb_bc.value], "doc_id long"
+                )
+                pm = pm.join(F.broadcast(dead), "doc_id", "left_anti")
+            parts.append(pm)
+
     if not parts:
         return spark.createDataFrame([], _BATCH_SCHEMA)
     allp = parts[0]
@@ -1063,13 +1240,41 @@ def boolean_topk_multi(
     if tomb_over is not None:
         allp = allp.join(tomb_over, "doc_id", "left_anti")
 
-    # ---- ONE exchange: per-slot pivot + MUST coverage per (query, doc)
-    aggs = [
-        F.coalesce(
-            F.sum(F.when(F.col("slot") == j, F.col("partial"))), F.lit(0.0)
-        ).alias(f"_s{j}")
-        for j in range(m_slots)
-    ]
+    # ---- ONE exchange: per-slot pivot + MUST coverage per (query, doc).
+    # Const slots fold with MAX (v once per doc, expansion-term dupes all
+    # equal v); a (query, slot) is either const or BM25, so exactly one of
+    # the two legs is non-null per group — their coalesced sum is the slot.
+    if any_const:
+        aggs = [
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("slot") == j) & ~F.col("is_const"),
+                            F.col("partial"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.max(
+                        F.when(
+                            (F.col("slot") == j) & F.col("is_const"),
+                            F.col("partial"),
+                        )
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias(f"_s{j}")
+            for j in range(m_slots)
+        ]
+    else:
+        aggs = [
+            F.coalesce(
+                F.sum(F.when(F.col("slot") == j, F.col("partial"))), F.lit(0.0)
+            ).alias(f"_s{j}")
+            for j in range(m_slots)
+        ]
     aggs.append(
         F.count_distinct(F.when(F.col("is_must"), F.col("slot"))).alias("n_cov")
     )

@@ -687,3 +687,91 @@ def test_range_filter_restricts_without_rescoring(spark, idx):
     assert {r.doc_id for r in
             boolean_topk_query(spark, idx, "hash lang:[* TO *]", k=10).collect()
             } == set(base)
+
+
+# ---------------------------------------------------------------------------
+# constant-score clauses (Lucene ^=v / ConstantScoreQuery)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_const_score():
+    cs = parse_query('hash^=2 lang:en^=0.5 "hash join"^=1.5 -lang:de^=9')
+    assert cs[0] == Clause(SHOULD, "term", ("hash",), const_score=2.0)
+    assert cs[1] == Clause(
+        SHOULD, "predicate", predicate="lang = 'en'", const_score=0.5
+    )
+    assert cs[2] == Clause(
+        SHOULD, "phrase", ("hash", "join"), const_score=1.5
+    )
+    # ^= on MUST_NOT is inert: exclusion, not scoring
+    assert cs[3] == Clause(MUST_NOT, "predicate", predicate="lang = 'de'")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        parse_query("hash^2^=3")
+
+
+def test_const_term_scores_flat(spark, idx):
+    # hash matches {0,2,3,4,6}; ^=2 makes every match score exactly 2.0
+    got = {r.doc_id: r.score for r in
+           boolean_topk_query(spark, idx, "hash^=2", k=10).collect()}
+    assert got == {0: 2.0, 2: 2.0, 3: 2.0, 4: 2.0, 6: 2.0}
+
+
+def test_const_expansion_counts_once(spark, idx):
+    # *a*^=1 expands to {hash, table, spark, relevant}; doc 0 matches hash
+    # AND table but the ConstantScore contract is exactly v once per doc
+    got = {r.doc_id: r.score for r in
+           boolean_topk_query(spark, idx, "*a*^=1", k=10).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0, 6: 1.0, 7: 1.0}
+
+
+def test_const_predicate_scores_filter(spark, idx):
+    # ConstantScore over a metadata filter: en docs get +0.5, and en docs
+    # NOT matching hash still enter as SHOULD matches at exactly 0.5
+    base = {r.doc_id: r.score for r in
+            boolean_topk_query(spark, idx, "hash", k=10).collect()}
+    got = {r.doc_id: r.score for r in
+           boolean_topk_query(spark, idx, "hash lang:en^=0.5", k=10).collect()}
+    en = {0, 1, 4, 5, 7}
+    assert set(got) == set(base) | en
+    for d, s in got.items():
+        want = base.get(d, 0.0) + (0.5 if d in en else 0.0)
+        assert s == pytest.approx(want, abs=1e-6), d
+    # MUST form restricts AND scores: only de docs, +1 each
+    got_m = {r.doc_id: r.score for r in
+             boolean_topk_query(spark, idx, "+lang:de^=1 hash", k=10).collect()}
+    assert set(got_m) == {2, 3, 6}
+    for d, s in got_m.items():
+        assert s == pytest.approx(1.0 + base[d], abs=1e-6)
+
+
+def test_const_dismax(spark, idx):
+    # dismax over (hash^=2, spark): score = max(2·[hash], bm25_spark)
+    base = {r.doc_id: r.score for r in
+            boolean_topk_query(spark, idx, "spark", k=10).collect()}
+    got = {r.doc_id: r.score for r in
+           boolean_topk_query(
+               spark, idx, "hash^=2 spark", k=10, combine="dismax"
+           ).collect()}
+    hash_docs = {0, 2, 3, 4, 6}
+    assert set(got) == hash_docs | set(base)
+    for d, s in got.items():
+        want = max(2.0 if d in hash_docs else 0.0, base.get(d, 0.0))
+        assert s == pytest.approx(want, abs=1e-6), d
+
+
+def test_boolean_batch_const_matches_single(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    qs = {
+        0: "hash lang:en^=0.5",
+        1: "*a*^=1 merge",
+        2: "+hash table^=1.5",
+        3: '"hash join"^=2 spark',
+    }
+    out = boolean_topk_multi(spark, idx, qs, k=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in qs.items():
+        want = _rows(boolean_topk_query(spark, idx, q, k=10))
+        assert sorted(got.get(qid, [])) == sorted(want), f"qid={qid} {q!r}"
