@@ -348,14 +348,23 @@ def cmd_phrase(args, spark) -> None:
     if not terms:
         raise SystemExit("phrase query tokenized to nothing")
     w = getattr(args, "window", 0) or 0
+    ordered = getattr(args, "ordered", False)
+    if ordered and not args.index:
+        raise SystemExit("--ordered (span-near) needs --index (positions store)")
     if args.index:
-        from .operators.phrase import near_topk_indexed, phrase_topk_indexed
-
-        out = (
-            near_topk_indexed(spark, args.index, terms, w, k=args.k)
-            if w
-            else phrase_topk_indexed(spark, args.index, terms, k=args.k)
+        from .operators.phrase import (
+            near_topk_indexed,
+            phrase_topk_indexed,
+            spannear_topk_indexed,
         )
+
+        if ordered:
+            # slop may legitimately be 0 (degenerates to the exact phrase)
+            out = spannear_topk_indexed(spark, args.index, terms, w, k=args.k)
+        elif w:
+            out = near_topk_indexed(spark, args.index, terms, w, k=args.k)
+        else:
+            out = phrase_topk_indexed(spark, args.index, terms, k=args.k)
     else:
         from .operators.phrase import near_topk, phrase_topk
 
@@ -680,6 +689,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--window", type=int, default=0,
         help="proximity mode: all terms within ±N tokens of the first "
              "(0 = exact consecutive phrase)",
+    )
+    ph.add_argument(
+        "--ordered", action="store_true",
+        help="span-near (Lucene SpanNearQuery inOrder=true): terms IN "
+             "ORDER with total gap ≤ --window; needs --index",
     )
     ph.set_defaults(fn=cmd_phrase)
 

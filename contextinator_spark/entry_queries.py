@@ -1123,14 +1123,63 @@ m AS (SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
     )
 
 
-# mixed batch: exact phrases + one NEAR query, answered in ONE plan by the
-# positional batch executor over the unified positions store
-PHRASE_BATCH_QUERIES: dict[int, tuple[list[str], int | None]] = {
+SPANNEAR_SLOP = 2
+
+
+def q_spannear_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-proximity BM25 top-10 (Lucene SpanNearQuery(inOrder=true)):
+    terms IN ORDER with total gap ≤ SPANNEAR_SLOP, from the positions
+    index via the greedy-chain bucket kernel (phrase.py). The asymmetry
+    NEAR cannot express — ["table","hash"] ≠ ["hash","table"]."""
+    from .operators.phrase import spannear_topk_indexed
+
+    return spannear_topk_indexed(
+        spark, _cached_phrase_index_dir(spark, sf_dir),
+        PHRASE_TERMS, SPANNEAR_SLOP, k=10,
+    )
+
+
+def sql_spannear_topk(terms: list[str] | None = None, slop: int | None = None) -> str:
+    """Ordered span-near oracle: an EXHAUSTIVE exists-chain existential
+    (nested list_filter, innermost-out) — anchor p0 matches when some
+    strictly-increasing chain p0 < p1 < … < p_{n−1} over the terms'
+    position lists has p_{n−1} − p0 − (n−1) ≤ slop. The Spark kernel's
+    greedy chain is exact for this existential (the minimal next position
+    minimizes the chain end), which tests/test_phrase.py pins directly."""
+    terms = PHRASE_TERMS if terms is None else terms
+    slop = SPANNEAR_SLOP if slop is None else slop
+    n = len(terms)
+
+    def pos(term: str) -> str:
+        return f"list_filter(range(1, len(t)+1), i -> t[i] = '{term}')"
+
+    inner = f"p{n-1} - p0 - {n-1} <= {slop}"
+    for j in range(n - 1, 0, -1):
+        inner = (
+            f"len(list_filter({pos(terms[j])}, "
+            f"p{j} -> p{j} > p{j-1} AND {inner})) > 0"
+        )
+    return (
+        f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+m AS (SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
+             CAST(len(list_filter({pos(terms[0])}, p0 -> {inner})) AS INT) AS phrase_tf
+      FROM toks)
+"""
+        + _sql_positional_rank_tail()
+    )
+
+
+# mixed batch: exact phrases + NEAR + ordered span-near, answered in ONE
+# plan by the positional batch executor over the unified positions store;
+# a 3rd tuple element True marks SpanNearQuery(inOrder=true) semantics
+PHRASE_BATCH_QUERIES: dict[int, tuple] = {
     1: (["table", "hash"], None),
     2: (["hash", "table"], None),
     3: (["hash"], None),
     4: (["zzz_absent", "table"], None),
     5: (["table", "hash"], 3),
+    6: (["hash", "table"], 2, True),
 }
 
 
@@ -1148,12 +1197,14 @@ def sql_phrase_batch() -> str:
     """UNION ALL of the per-query positional oracles, each tagged with its
     query_id — same shape as the Spark batch output."""
     parts = []
-    for qid, (terms, w) in PHRASE_BATCH_QUERIES.items():
-        single = (
-            sql_phrase_tf(terms) + _sql_positional_rank_tail()
-            if w is None
-            else sql_near_topk(terms, w)
-        )
+    for qid, spec in PHRASE_BATCH_QUERIES.items():
+        terms, w = spec[0], spec[1]
+        if len(spec) > 2 and spec[2]:
+            single = sql_spannear_topk(terms, w)
+        elif w is None:
+            single = sql_phrase_tf(terms) + _sql_positional_rank_tail()
+        else:
+            single = sql_near_topk(terms, w)
         parts.append(
             f"SELECT CAST({qid} AS INT) AS query_id, t.* FROM ({single}) t"
         )
@@ -2273,6 +2324,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "phrase_indexed": (q_phrase_indexed, sql_phrase_topk()),
         "near_topk": (q_near_topk, sql_near_topk()),
         "near_indexed": (q_near_indexed, sql_near_topk()),
+        "spannear": (q_spannear_indexed, sql_spannear_topk()),
         "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),

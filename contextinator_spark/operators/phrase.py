@@ -317,9 +317,17 @@ def _bucketed_matches(
     index_dir: str,
     terms: list[str],
     window: int | None,
+    ordered: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(matched, stats_df) via the bucket-packed kernel. Same contract as
-    the pivot path: matched = (doc_id, phrase_tf, doc_len), phrase_tf > 0."""
+    the pivot path: matched = (doc_id, phrase_tf, doc_len), phrase_tf > 0.
+
+    ordered=True (requires window ≥ 1): Lucene SpanNearQuery(inOrder=true)
+    — an anchor p0 matches when positions p0 < p1 < … < p_{n−1} exist in
+    term order with total gap p_{n−1} − p0 − (n−1) ≤ window (slop). The
+    kernel takes the GREEDY chain (each next position minimal), which
+    minimizes the final position and is therefore exact for the ≤ slop
+    test; phrase_tf counts matching anchors."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
@@ -434,6 +442,27 @@ def _bucketed_matches(
                 if inter.size == 0:
                     return empty
             ids, counts = np.unique(inter >> _POS_BITS, return_counts=True)
+        elif ordered:
+            # span_near(inOrder): greedy minimal chain per anchor — each
+            # next position is the smallest key strictly greater than the
+            # previous, same doc enforced via the composite key's doc part
+            a0 = keys[0]
+            aloc = a0 >> _POS_BITS
+            cur = a0
+            ok = np.ones(a0.size, dtype=bool)
+            for j in range(1, n):
+                kj = keys[j]
+                idx = np.searchsorted(kj, cur, "right")
+                valid = idx < kj.size
+                nxt = kj[np.minimum(idx, kj.size - 1)]
+                valid &= (nxt >> _POS_BITS) == aloc
+                ok &= valid
+                cur = nxt  # garbage on dead lanes; masked by ok
+            pm = (1 << _POS_BITS) - 1
+            ok &= ((cur & pm) - (a0 & pm) - (n - 1)) <= w
+            if not ok.any():
+                return empty
+            ids, counts = np.unique(aloc[ok], return_counts=True)
         else:
             a0 = keys[0]
             aloc, apos = a0 >> _POS_BITS, a0 & ((1 << _POS_BITS) - 1)
@@ -476,20 +505,25 @@ def positional_matches(
     index_dir: str,
     terms: list[str],
     window: int | None = None,
+    ordered: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared positional-match core: (matched, stats_df) where matched is
     (doc_id, phrase_tf, doc_len) for every doc satisfying the positional
     predicate — exact consecutive phrase when window is None, NEAR (all
-    terms within ±window of an anchor terms[0] occurrence) otherwise.
-    Feeds phrase_topk_indexed / near_topk_indexed and the Boolean executor
-    (operators/boolean.py), which scores a positional clause as one
-    synthetic term over this matched set.
+    terms within ±window of an anchor terms[0] occurrence) otherwise;
+    ordered=True upgrades NEAR to Lucene SpanNearQuery(inOrder=true)
+    semantics (terms in order, total gap ≤ window). Feeds
+    phrase_topk_indexed / near_topk_indexed / spannear_topk_indexed and
+    the Boolean executor (operators/boolean.py), which scores a
+    positional clause as one synthetic term over this matched set.
 
     Executes via the bucket-packed numpy kernel (_bucketed_matches) — the
     pivot/array_intersect path survives in _candidate_positions for the
     batch executor and as the semantic reference the tests pin both
     against."""
-    return _bucketed_matches(spark, index_dir, terms, window)
+    if ordered and window is None:
+        raise ValueError("ordered span-near needs a slop window (≥ 0)")
+    return _bucketed_matches(spark, index_dir, terms, window, ordered=ordered)
 
 
 def phrase_topk_indexed(
@@ -633,7 +667,7 @@ def positional_matches_multi(
     the bucket layout eliminates."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    all_terms = sorted({t for ts, _w in queries.values() for t in ts})
+    all_terms = sorted({t for spec in queries.values() for t in spec[0]})
     if not all_terms or not queries:
         empty = spark.createDataFrame(
             [], "query_id int, doc_id long, phrase_tf int, doc_len int"
@@ -702,10 +736,18 @@ def positional_matches_multi(
             "tfs array<int>, flat array<long>"
         ),
     )
+    # spec tuples: (terms, window) or (terms, window, ordered) — ordered
+    # means SpanNearQuery(inOrder=true) with window as the slop
     qspec = {
-        int(qid): ([*ts], None if w is None else int(w))
-        for qid, (ts, w) in queries.items()
+        int(qid): (
+            [*spec[0]],
+            None if spec[1] is None else int(spec[1]),
+            bool(spec[2]) if len(spec) > 2 else False,
+        )
+        for qid, spec in queries.items()
     }
+    if any(o and w is None for _ts, w, o in qspec.values()):
+        raise ValueError("ordered span-near needs a slop window (≥ 0)")
     pos_mask = (1 << _POS_BITS) - 1
     cut_avgdl = float(stats["avgdl"])  # local-cut tf_norm uses store stats
 
@@ -722,7 +764,7 @@ def positional_matches_multi(
             order = np.argsort(docs, kind="stable")
             per[term] = (keys, docs[order], dls[order])
         oq, od, otf, odl = [], [], [], []
-        for qid, (ts, w) in qspec.items():
+        for qid, (ts, w, ordered) in qspec.items():
             if any(t not in per for t in ts):
                 continue
             n = len(ts)
@@ -737,6 +779,23 @@ def positional_matches_multi(
                 if inter.size == 0:
                     continue
                 ids, counts = np.unique(inter >> _POS_BITS, return_counts=True)
+            elif ordered:  # span_near(inOrder): greedy chain per anchor
+                a0 = per[ts[0]][0]
+                aloc = a0 >> _POS_BITS
+                cur = a0
+                ok = np.ones(a0.size, dtype=bool)
+                for j in range(1, n):
+                    kj = per[ts[j]][0]
+                    idx = np.searchsorted(kj, cur, "right")
+                    valid = idx < kj.size
+                    nxt = kj[np.minimum(idx, kj.size - 1)]
+                    valid &= (nxt >> _POS_BITS) == aloc
+                    ok &= valid
+                    cur = nxt  # garbage on dead lanes; masked by ok
+                ok &= ((cur & pos_mask) - (a0 & pos_mask) - (n - 1)) <= w
+                if not ok.any():
+                    continue
+                ids, counts = np.unique(aloc[ok], return_counts=True)
             else:  # NEAR: window probe around every anchor at once
                 a0 = per[ts[0]][0]
                 aloc, apos = a0 >> _POS_BITS, a0 & pos_mask
@@ -834,11 +893,12 @@ def positional_topk_indexed_multi(
     if tomb_over is None and queries:
         stats0 = json.load(open(os.path.join(index_dir, "stats.json")))
         n0 = float(stats0["n_docs"])
-        all_terms = sorted({t for ts, _w in queries.values() for t in ts})
+        all_terms = sorted({t for spec in queries.values() for t in spec[0]})
         info = probe_dictionary(spark, index_dir, all_terms)
         quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
         local_cut = {}
-        for qid, (ts, _w) in queries.items():
+        for qid, spec in queries.items():
+            ts = spec[0]
             if all(t in info for t in ts):
                 df_ub = min(int(info[t]["df"]) for t in ts)
                 idf_lb = _idf(float(df_ub), n0)
@@ -940,5 +1000,26 @@ def near_topk_indexed(
         .withColumn("phrase_tf", F.size(F.filter(F.col("0"), cond)))
         .filter(F.col("phrase_tf") > 0)
         .select("doc_id", "phrase_tf", "doc_len")
+    )
+    return _rank_matches(matched, stats_df, k, k1, b)
+
+
+def spannear_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    slop: int,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Ordered-proximity BM25 top-k (Lucene SpanNearQuery(inOrder=true)):
+    docs where the terms appear IN ORDER with total gap ≤ slop, scored as
+    one synthetic term over the match set (phrase_tf = matching anchors,
+    greedy-chain contract — see _bucketed_matches). slop=0 degenerates to
+    the exact phrase. Same pruned positions-store scan and bucket-packed
+    kernel as phrase/NEAR; only the per-anchor predicate differs."""
+    matched, stats_df = positional_matches(
+        spark, index_dir, terms, window=slop, ordered=True
     )
     return _rank_matches(matched, stats_df, k, k1, b)

@@ -523,3 +523,26 @@ def test_cli_query_sort_by(capsys, spark, index_dir):
             capsys, spark, "query", "--index", index_dir, "--query", "the",
             "--sort-by", "doc_len", "--collapse", "repo",
         )
+
+
+def test_cli_phrase_ordered_spannear(capsys, spark, tmp_path_factory):
+    """--ordered: span-near over a positions index; scan form rejects it."""
+    d = str(tmp_path_factory.mktemp("cli_span_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "phrase", "--index", d, "--query", "table hash",
+        "--window", "2", "--ordered", "--k", "5",
+    )
+    from contextinator_spark.operators.phrase import spannear_topk_indexed
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+        for r in spannear_topk_indexed(spark, d, ["table", "hash"], 2, k=5).collect()
+    ]
+    assert [json.loads(x) for x in out] == want
+    with pytest.raises(SystemExit, match="--index"):
+        cli.main(
+            ["phrase", "--corpus", SF, "--query", "table hash", "--ordered"],
+            spark=spark,
+        )
+    capsys.readouterr()

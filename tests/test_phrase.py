@@ -270,3 +270,134 @@ def test_positional_batch_local_cut_exact_under_ties(spark, tmp_path_factory):
     # the tie classes resolved by doc_id: rank 1..k are the smallest ids
     # within the best (tf, dl) class
     assert got[1][0][1] < got[1][-1][1]
+
+
+# ---- ordered span-near (Lucene SpanNearQuery(inOrder=true)) ----------------
+
+SPAN_DOCS = [
+    (0, "table hash join table hash"),
+    (1, "hash table"),
+    (2, "table x y hash"),
+    (3, "hash x table hash y table"),
+    (4, "a a a b a"),
+    (5, "table hash table hash table"),
+    (6, "nothing relevant"),
+]
+
+
+def _brute_spannear(text: str, terms: list[str], slop: int) -> int:
+    """EXHAUSTIVE in-order chain search — the semantic reference the
+    greedy kernel (phrase.py _bucketed_matches ordered branch) is pinned
+    against: tf = number of anchor positions p0 of terms[0] for which ANY
+    strictly-increasing chain p0 < p1 < … < p_{n-1} over the terms'
+    position lists satisfies p_{n-1} - p0 - (n-1) <= slop."""
+    from contextinator_spark.oracle import tokenize
+
+    toks = tokenize(text)
+    pos = [[i for i, w in enumerate(toks) if w == t] for t in terms]
+    n = len(terms)
+
+    def chain(j: int, prev: int, p0: int) -> bool:
+        if j == n:
+            return True
+        return any(
+            chain(j + 1, p, p0)
+            for p in pos[j]
+            if p > prev and p - p0 - (n - 1) <= slop
+        )
+
+    return sum(1 for p0 in pos[0] if chain(1, p0, p0))
+
+
+@pytest.fixture(scope="module")
+def span_idx(spark, tmp_path_factory):
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id long, content string")
+    d = str(tmp_path_factory.mktemp("span_idx"))
+    PH.write_phrase_index(spark, docs, d)
+    return d
+
+
+def test_spannear_matches_exhaustive_reference(spark, span_idx):
+    """Greedy chain == exists-chain on asymmetric orders, repeated terms,
+    3-term chains, and absent terms."""
+    cases = [
+        (["table", "hash"], 0),
+        (["table", "hash"], 2),
+        (["hash", "table"], 1),
+        (["hash", "table"], 4),
+        (["a", "a"], 0),
+        (["a", "a", "b"], 1),
+        (["a", "b", "a"], 3),
+        (["table", "hash", "table"], 2),
+        (["zzz", "table"], 5),
+    ]
+    for terms, slop in cases:
+        matched, _ = PH.positional_matches(
+            spark, span_idx, terms, window=slop, ordered=True
+        )
+        got = {r.doc_id: r.phrase_tf for r in matched.collect()}
+        want = {
+            did: tf
+            for did, text in SPAN_DOCS
+            if (tf := _brute_spannear(text, terms, slop))
+        }
+        assert got == want, (terms, slop)
+
+
+def test_spannear_order_matters(spark, span_idx):
+    """doc 1 = "hash table": ["hash","table"] slop 0 matches, the reversed
+    order does not — the asymmetry NEAR cannot express."""
+    fwd, _ = PH.positional_matches(spark, span_idx, ["hash", "table"], 0, ordered=True)
+    rev, _ = PH.positional_matches(spark, span_idx, ["table", "hash"], 0, ordered=True)
+    assert 1 in {r.doc_id for r in fwd.collect()}
+    assert 1 not in {r.doc_id for r in rev.collect()}
+
+
+def test_spannear_slop0_equals_phrase(spark, span_idx):
+    """slop=0 degenerates to the exact consecutive phrase — rank, score
+    and tf identical to phrase_topk_indexed."""
+    for terms in (["table", "hash"], ["a", "a"], ["hash", "table"]):
+        span = [
+            (r.rank, r.doc_id, r.score)
+            for r in PH.spannear_topk_indexed(spark, span_idx, terms, 0, k=10).collect()
+        ]
+        ph = [
+            (r.rank, r.doc_id, r.score)
+            for r in PH.phrase_topk_indexed(spark, span_idx, terms, k=10).collect()
+        ]
+        assert span == ph, terms
+
+
+def test_spannear_requires_slop():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="slop"):
+        PH.positional_matches(None, "/nonexistent", ["a", "b"], None, ordered=True)
+
+
+def test_positional_batch_ordered_spec(spark, span_idx):
+    """The batch executor's 3-tuple (terms, slop, ordered) spec must equal
+    the single-query spannear path, mixed with phrase and NEAR specs in
+    the same batch."""
+    queries = {
+        1: (["table", "hash"], 2, True),
+        2: (["hash", "table"], 1, True),
+        3: (["table", "hash"], 3),
+        4: (["table", "hash"], None),
+        5: (["a", "a", "b"], 1, True),
+    }
+    multi = PH.positional_topk_indexed_multi(spark, span_idx, queries, k=10)
+    got: dict[int, list] = {}
+    for r in multi.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, spec in queries.items():
+        terms, w = spec[0], spec[1]
+        if len(spec) > 2 and spec[2]:
+            want = PH.spannear_topk_indexed(spark, span_idx, terms, w, k=10)
+        elif w is None:
+            want = PH.phrase_topk_indexed(spark, span_idx, terms, k=10)
+        else:
+            want = PH.near_topk_indexed(spark, span_idx, terms, w, k=10)
+        assert sorted(got.get(qid, [])) == sorted(
+            (r.rank, r.doc_id, r.score) for r in want.collect()
+        ), (qid, spec)
