@@ -349,8 +349,25 @@ def cmd_phrase(args, spark) -> None:
         raise SystemExit("phrase query tokenized to nothing")
     w = getattr(args, "window", 0) or 0
     ordered = getattr(args, "ordered", False)
+    prefix = getattr(args, "prefix", None)
     if ordered and not args.index:
         raise SystemExit("--ordered (span-near) needs --index (positions store)")
+    if prefix:
+        # phrase-prefix is a different rewrite: no window/ordered knobs
+        if not args.index:
+            raise SystemExit("--prefix (phrase-prefix) needs --index")
+        if w or ordered:
+            raise SystemExit("--prefix does not support --window/--ordered")
+        from .operators.phrase import phrase_prefix_topk_indexed
+
+        out = phrase_prefix_topk_indexed(spark, args.index, terms, prefix, k=args.k)
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if args.index:
         from .operators.phrase import (
             near_topk_indexed,
@@ -694,6 +711,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--ordered", action="store_true",
         help="span-near (Lucene SpanNearQuery inOrder=true): terms IN "
              "ORDER with total gap ≤ --window; needs --index",
+    )
+    ph.add_argument(
+        "--prefix",
+        help="phrase-prefix (ES match_phrase_prefix): the token after the "
+             "query phrase must start with PREFIX; needs --index",
     )
     ph.set_defaults(fn=cmd_phrase)
 

@@ -1170,6 +1170,62 @@ m AS (SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
     )
 
 
+PHRASE_PREFIX_TERMS = ["table"]
+PHRASE_PREFIX = "s"
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-prefix BM25 top-10 (ES match_phrase_prefix / Lucene
+    MultiPhraseQuery): exact tokens PHRASE_PREFIX_TERMS followed by any
+    dictionary term starting with PHRASE_PREFIX — prefix expanded against
+    the RAM-pinned dictionary (bounded MultiTermQuery rewrite), then ONE
+    multiphrase plan whose final slot is the expansion's key union."""
+    from .operators.phrase import phrase_prefix_topk_indexed
+
+    return phrase_prefix_topk_indexed(
+        spark, _cached_phrase_index_dir(spark, sf_dir),
+        PHRASE_PREFIX_TERMS, PHRASE_PREFIX, k=10,
+    )
+
+
+def sql_phrase_prefix(
+    terms: list[str] | None = None,
+    prefix: str | None = None,
+) -> str:
+    """Oracle reproduces BOTH stages: the dictionary expansion (df desc /
+    term asc, bounded by MAX_EXPANSIONS — same rewrite contract as the
+    fuzzy/prefix oracles) and the multiphrase match via lead() windows
+    with the final position tested against the expansion set."""
+    from .operators.bm25_segments import MAX_EXPANSIONS
+
+    terms = PHRASE_PREFIX_TERMS if terms is None else terms
+    prefix = PHRASE_PREFIX if prefix is None else prefix
+    n = len(terms)  # exact slots; slot n is the expanded one
+    leads = ",\n             ".join(
+        f"lead(term, {j}) OVER w AS nt{j}" for j in range(1, n + 1)
+    )
+    cond = " AND ".join(
+        [f"term = '{terms[0]}'"]
+        + [f"nt{j} = '{t}'" for j, t in enumerate(terms[1:], start=1)]
+        + [f"nt{n} IN (SELECT term FROM exp)"]
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+seq AS (SELECT doc_id, unnest(t) AS term, unnest(range(1, len(t)+1)) AS pos FROM toks),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM seq GROUP BY term),
+exp AS (SELECT term FROM dfs WHERE starts_with(term, '{prefix}')
+        ORDER BY df DESC, term LIMIT {MAX_EXPANSIONS}),
+led AS (SELECT doc_id, term,
+             {leads}
+        FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+mm AS (SELECT doc_id, CAST(count(*) AS INT) AS phrase_tf FROM led
+       WHERE {cond} GROUP BY doc_id),
+m AS (SELECT toks.doc_id, CAST(len(t) AS INT) AS doc_len,
+             COALESCE(mm.phrase_tf, 0) AS phrase_tf
+      FROM toks LEFT JOIN mm ON toks.doc_id = mm.doc_id)
+""" + _sql_positional_rank_tail()
+
+
 # mixed batch: exact phrases + NEAR + ordered span-near, answered in ONE
 # plan by the positional batch executor over the unified positions store;
 # a 3rd tuple element True marks SpanNearQuery(inOrder=true) semantics
@@ -2325,6 +2381,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "near_topk": (q_near_topk, sql_near_topk()),
         "near_indexed": (q_near_indexed, sql_near_topk()),
         "spannear": (q_spannear_indexed, sql_spannear_topk()),
+        "phrase_prefix": (q_phrase_prefix, sql_phrase_prefix()),
         "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),

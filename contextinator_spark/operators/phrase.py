@@ -327,7 +327,13 @@ def _bucketed_matches(
     term order with total gap p_{n−1} − p0 − (n−1) ≤ window (slop). The
     kernel takes the GREEDY chain (each next position minimal), which
     minimizes the final position and is therefore exact for the ≤ slop
-    test; phrase_tf counts matching anchors."""
+    test; phrase_tf counts matching anchors.
+
+    Each `terms` element may be a single term OR a list of ALTERNATIVE
+    terms for that slot (Lucene MultiPhraseQuery): slot j matches where
+    ANY alternative occurs. The kernel is unchanged — a slot's key array
+    is the sorted union of its alternatives' composite keys, and since a
+    token position holds exactly one term the union is duplicate-free."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
@@ -336,8 +342,13 @@ def _bucketed_matches(
             f"(posting_format={stats.get('posting_format')})"
         )
     n_partitions = stats["n_partitions"]
-    n = len(terms)
-    uniq = sorted(set(terms))
+    slots: list[list[str]] = [
+        [t] if isinstance(t, str) else sorted(set(t)) for t in terms
+    ]
+    if any(not s for s in slots):
+        raise ValueError("every phrase slot needs at least one term")
+    n = len(slots)
+    uniq = sorted({t for s in slots for t in s})
     from ..functions.xxhash import term_partition
 
     parts = sorted({term_partition(t, n_partitions) for t in uniq})
@@ -359,8 +370,9 @@ def _bucketed_matches(
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     shift = _bucket_shift(spark, stats)
     ords: dict[str, list[int]] = {}
-    for j, t in enumerate(terms):
-        ords.setdefault(t, []).append(j)
+    for j, slot in enumerate(slots):
+        for t in slot:
+            ords.setdefault(t, []).append(j)
 
     def pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdf_iter:
@@ -539,6 +551,55 @@ def phrase_topk_indexed(
     phrase terms' blobs instead of scanning the corpus."""
     matched, stats_df = positional_matches(spark, index_dir, terms)
     return _rank_matches(matched, stats_df, k, k1, b)
+
+
+def multiphrase_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    slots: list[str | list[str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene MultiPhraseQuery: exact consecutive phrase where each slot
+    may carry ALTERNATIVE terms — a position matches slot j when ANY of
+    slot j's terms occurs there. phrase_tf counts matching start
+    positions; the match set scores as one synthetic term (same contract
+    as phrase_topk_indexed, which is the all-singleton special case).
+    Kernel cost is unchanged: a slot's key array is the sorted union of
+    its alternatives' postings — no per-alternative re-scan."""
+    matched, stats_df = positional_matches(spark, index_dir, slots)
+    return _rank_matches(matched, stats_df, k, k1, b)
+
+
+def phrase_prefix_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    prefix: str,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Phrase-prefix search (ES match_phrase_prefix; Lucene
+    MultiPhraseQuery with a prefix-expanded final slot): `terms` match
+    exactly and consecutively, the token AFTER them starts with `prefix`.
+    The prefix expands against the RAM-pinned dictionary (df desc / term
+    asc, bounded — expand_prefix's MultiTermQuery rewrite), then the
+    whole query runs as ONE multiphrase plan: one partition-pruned scan
+    over terms ∪ expansion, one bucket-kernel pass."""
+    from .bm25_segments import MAX_EXPANSIONS, expand_prefix
+
+    exp = expand_prefix(
+        spark, index_dir, prefix,
+        MAX_EXPANSIONS if max_expansions is None else max_expansions,
+    )
+    if not exp:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    return multiphrase_topk_indexed(
+        spark, index_dir, [*terms, exp], k=k, k1=k1, b=b
+    )
 
 
 # ---------------------------------------------------------------------------

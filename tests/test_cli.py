@@ -546,3 +546,30 @@ def test_cli_phrase_ordered_spannear(capsys, spark, tmp_path_factory):
             spark=spark,
         )
     capsys.readouterr()
+
+
+def test_cli_phrase_prefix(capsys, spark, tmp_path_factory):
+    """--prefix: phrase-prefix over a positions index; window/ordered and
+    scan-form combinations rejected."""
+    d = str(tmp_path_factory.mktemp("cli_pp_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "phrase", "--index", d, "--query", "table",
+        "--prefix", "s", "--k", "5",
+    )
+    from contextinator_spark.operators.phrase import phrase_prefix_topk_indexed
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+        for r in phrase_prefix_topk_indexed(spark, d, ["table"], "s", k=5).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
+    with pytest.raises(SystemExit, match="--index"):
+        cli.main(["phrase", "--corpus", SF, "--query", "table", "--prefix", "s"], spark=spark)
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="window"):
+        cli.main(
+            ["phrase", "--index", d, "--query", "table", "--prefix", "s", "--window", "2"],
+            spark=spark,
+        )
+    capsys.readouterr()

@@ -401,3 +401,90 @@ def test_positional_batch_ordered_spec(spark, span_idx):
         assert sorted(got.get(qid, [])) == sorted(
             (r.rank, r.doc_id, r.score) for r in want.collect()
         ), (qid, spec)
+
+
+# ---- MultiPhraseQuery / phrase-prefix ---------------------------------------
+
+
+def _brute_multiphrase(text: str, slots: list) -> int:
+    """Exhaustive multiphrase reference: tf = start positions p0 where
+    every slot j's token toks[p0+j] is one of the slot's alternatives."""
+    from contextinator_spark.oracle import tokenize
+
+    toks = tokenize(text)
+    sl = [[s] if isinstance(s, str) else s for s in slots]
+    n = len(sl)
+    return sum(
+        1
+        for p0 in range(len(toks) - n + 1)
+        if all(toks[p0 + j] in sl[j] for j in range(n))
+    )
+
+
+def test_multiphrase_matches_exhaustive_reference(spark, span_idx):
+    cases = [
+        ["table", ["hash", "x"]],
+        [["hash", "table"], ["table", "hash"]],
+        [["a", "b"], ["a", "b"], ["a", "b"]],
+        ["table", ["zzz", "qqq"]],
+        [["table", "hash"]],  # single multi-term slot = disjunctive tf
+    ]
+    for slots in cases:
+        matched, _ = PH.positional_matches(spark, span_idx, slots)
+        got = {r.doc_id: r.phrase_tf for r in matched.collect()}
+        want = {
+            did: tf
+            for did, text in SPAN_DOCS
+            if (tf := _brute_multiphrase(text, slots))
+        }
+        assert got == want, slots
+
+
+def test_multiphrase_singleton_equals_phrase(spark, span_idx):
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.multiphrase_topk_indexed(
+            spark, span_idx, [["table"], ["hash"]], k=10
+        ).collect()
+    ]
+    want = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.phrase_topk_indexed(spark, span_idx, ["table", "hash"], k=10).collect()
+    ]
+    assert got == want
+
+
+def test_phrase_prefix_expansion_and_bound(spark, tmp_path_factory):
+    """phrase_prefix == multiphrase over expand_prefix's expansion; the
+    max_expansions bound keeps the top-df terms (df desc, term asc)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "data hash data house"),
+            (1, "data harbor data hash"),
+            (2, "data house house data"),
+            (3, "hash house harbor data"),
+            (4, "data data hash"),
+        ],
+        "doc_id long, content string",
+    )
+    d = str(tmp_path_factory.mktemp("pp_idx"))
+    PH.write_phrase_index(spark, docs, d)
+    from contextinator_spark.operators.bm25_segments import expand_prefix
+
+    exp = expand_prefix(spark, d, "h")
+    assert sorted(exp) == ["harbor", "hash", "house"]
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.phrase_prefix_topk_indexed(spark, d, ["data"], "h", k=10).collect()
+    ]
+    want = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.multiphrase_topk_indexed(spark, d, ["data", exp], k=10).collect()
+    ]
+    assert got == want and got
+    # bound: df(hash)=4 > df(house)=3 > df(harbor)=2 → top-2 drops harbor
+    exp2 = expand_prefix(spark, d, "h", max_expansions=2)
+    assert sorted(exp2) == ["hash", "house"]
+    # absent prefix → empty ranked frame with the ranked schema
+    empty = PH.phrase_prefix_topk_indexed(spark, d, ["data"], "zz", k=10)
+    assert empty.count() == 0 and empty.columns == ["rank", "doc_id", "score"]
