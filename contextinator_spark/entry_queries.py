@@ -1519,6 +1519,8 @@ BOOLEAN_BATCH_QUERIES: dict[int, str] = {
     5: "-lang:de table",              # negated predicate
     6: "+hash +join -spark",          # conjunctive MUSTs + MUST_NOT
     7: "zzz_absent_term hash",        # partially unindexed disjunction
+    8: '+"table s*" hash',            # MUST phrase-prefix (6 expansions)
+    9: 'table -"table s*"',           # MUST_NOT phrase-prefix
 }
 
 
@@ -1536,13 +1538,17 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
 
     k1, b = BM25_K1, BM25_B
     term_rows: list[tuple[int, bool, str, float]] = []
-    pos_rows: list[tuple[int, bool, list[str], int | None, float]] = []
+    # positional rows carry (cid, is_must, terms, window, boost, prefix) —
+    # prefix is non-None for phrase_prefix clauses (trailing starts_with
+    # slot; EXACT vs the engine as long as the dictionary expansion is not
+    # truncated at MAX_EXPANSIONS, which holds at oracle scale)
+    pos_rows: list[tuple[int, bool, list[str], int | None, float, str | None]] = []
     # ConstantScore clauses: fixed per-doc partial v, BM25 math bypassed
     const_terms: list[tuple[int, bool, str, float]] = []
-    const_pos: list[tuple[int, bool, list[str], int | None, float]] = []
+    const_pos: list[tuple[int, bool, list[str], int | None, float, str | None]] = []
     const_preds: list[tuple[int, bool, str, float]] = []
     not_terms: list[str] = []
-    not_pos: list[tuple[list[str], int | None]] = []
+    not_pos: list[tuple[list[str], int | None, str | None]] = []
     not_preds: list[str] = []
     filt_preds: list[str] = []
     n_must = 0
@@ -1552,8 +1558,8 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
         elif c.occur == B_MUST_NOT:
             if c.kind == "term":
                 not_terms.append(c.terms[0])
-            elif c.kind in ("phrase", "near"):
-                not_pos.append((list(c.terms), c.window))
+            elif c.kind in ("phrase", "near", "phrase_prefix"):
+                not_pos.append((list(c.terms), c.window, c.prefix))
             else:
                 not_preds.append(c.predicate)
         else:
@@ -1563,9 +1569,10 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
             if c.const_score is not None:
                 if c.kind == "term":
                     const_terms.append((cid, is_m, c.terms[0], c.const_score))
-                elif c.kind in ("phrase", "near"):
+                elif c.kind in ("phrase", "near", "phrase_prefix"):
                     const_pos.append(
-                        (cid, is_m, list(c.terms), c.window, c.const_score)
+                        (cid, is_m, list(c.terms), c.window, c.const_score,
+                         c.prefix)
                     )
                 elif c.kind == "predicate":
                     const_preds.append((cid, is_m, c.predicate, c.const_score))
@@ -1576,8 +1583,10 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
                     )
             elif c.kind == "term":
                 term_rows.append((cid, is_m, c.terms[0], c.boost))
-            elif c.kind in ("phrase", "near"):
-                pos_rows.append((cid, is_m, list(c.terms), c.window, c.boost))
+            elif c.kind in ("phrase", "near", "phrase_prefix"):
+                pos_rows.append(
+                    (cid, is_m, list(c.terms), c.window, c.boost, c.prefix)
+                )
             else:
                 raise ValueError(
                     f"batch oracle supports term/phrase/near scoring only: {c.kind}"
@@ -1609,18 +1618,29 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
        JOIN meta m ON p.doc_id = m.doc_id CROSS JOIN stats s)""")
         unions.append("SELECT * FROM tp")
 
-    def match_cte(name: str, terms: list[str], window: int | None) -> str:
+    def match_cte(
+        name: str,
+        terms: list[str],
+        window: int | None,
+        prefix: str | None = None,
+    ) -> str:
         n = len(terms)
         if window is None:
-            cond = " AND ".join(
+            conds = [
                 (f"t[i+{j}] = '{t}'" if j else f"t[i] = '{t}'")
                 for j, t in enumerate(terms)
-            )
+            ]
+            if prefix is not None:  # phrase_prefix: one extra slot
+                conds.append(f"starts_with(t[i+{n}], '{prefix}')")
+                n += 1
+            cond = " AND ".join(conds)
             return (
                 f"{name} AS (SELECT doc_id, "
                 f"CAST(len(list_filter(range(1, len(t) - {n} + 2), i -> {cond})) AS INT) AS ptf, "
                 f"CAST(len(t) AS INT) AS doc_len FROM toks)"
             )
+        if prefix is not None:
+            raise ValueError("phrase_prefix does not take a slop window")
 
         def pos(term: str) -> str:
             return f"list_filter(range(1, len(t)+1), i -> t[i] = '{term}')"
@@ -1635,8 +1655,8 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
             f"CAST(len(t) AS INT) AS doc_len FROM toks)"
         )
 
-    for i, (cid, m, ts, w, bo) in enumerate(pos_rows):
-        ctes.append(match_cte(f"pm{i}", ts, w))
+    for i, (cid, m, ts, w, bo, pre) in enumerate(pos_rows):
+        ctes.append(match_cte(f"pm{i}", ts, w, pre))
         ctes.append(f"pmm{i} AS (SELECT * FROM pm{i} WHERE ptf > 0)")
         ctes.append(f"dfp{i} AS (SELECT CAST(count(*) AS DOUBLE) AS dfp FROM pmm{i})")
         ctes.append(f"""pp{i} AS (
@@ -1653,8 +1673,8 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
             f"SELECT {cid} AS cid, {str(m).upper()} AS is_must, doc_id, "
             f"{v} AS partial FROM post WHERE term = '{t}'"
         )
-    for i, (cid, m, ts, w, v) in enumerate(const_pos):
-        ctes.append(match_cte(f"cpm{i}", ts, w))
+    for i, (cid, m, ts, w, v, pre) in enumerate(const_pos):
+        ctes.append(match_cte(f"cpm{i}", ts, w, pre))
         unions.append(
             f"SELECT {cid} AS cid, {str(m).upper()} AS is_must, doc_id, "
             f"{v} AS partial FROM cpm{i} WHERE ptf > 0"
@@ -1667,8 +1687,8 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
         )
 
     conds = [f"nm = {n_must}"]
-    for i, (ts, w) in enumerate(not_pos):
-        ctes.append(match_cte(f"npm{i}", ts, w))
+    for i, (ts, w, pre) in enumerate(not_pos):
+        ctes.append(match_cte(f"npm{i}", ts, w, pre))
         conds.append(f"doc_id NOT IN (SELECT doc_id FROM npm{i} WHERE ptf > 0)")
     ctes.append("allp AS (" + " UNION ALL ".join(unions) + ")")
     ctes.append(

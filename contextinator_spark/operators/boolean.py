@@ -12,9 +12,11 @@ store, unifying every query form the engine has into one composable plan:
 
 Clause kinds: ``term``, ``prefix``/``wildcard``/``fuzzy`` (bounded
 MultiTermQuery rewrite via bm25_segments.expand_prefix/expand_wildcard/
-expand_fuzzy), ``phrase`` and ``near`` (positional, scored as ONE
-synthetic term over the matched set — phrase.positional_matches),
-``predicate`` (FILTER / negated FILTER).
+expand_fuzzy), ``phrase`` / ``near`` / ``phrase_prefix`` (positional,
+scored as ONE synthetic term over the matched set —
+phrase.positional_matches; phrase_prefix = `"table s*"`, ES
+match_phrase_prefix, its trailing prefix expanded into a MultiPhraseQuery
+alternatives slot), ``predicate`` (FILTER / negated FILTER).
 
 score(d) = round(Σ_{matching scoring clauses c} boost_c · partial_c(d), 6)
 where a term clause's partial is idf·tf_norm (global df), a
@@ -110,6 +112,10 @@ class Clause:
     predicate: str | None = None
     boost: float = 1.0
     const_score: float | None = None
+    # phrase_prefix only: the prefix the token AFTER `terms` must start
+    # with (ES match_phrase_prefix — expanded against the dictionary at
+    # execution time into a MultiPhraseQuery alternatives slot)
+    prefix: str | None = None
 
 
 _TOKEN_RX = re.compile(r"[a-z0-9_]+")
@@ -178,7 +184,38 @@ def parse_query(q: str) -> list[Clause]:
         pos = m.end()
         occur = {"+": MUST, "-": MUST_NOT, "": SHOULD}[m.group("occur")]
         if m.group("phrase") is not None:
-            terms = _toks(m.group("phrase"))
+            raw = m.group("phrase")
+            words = raw.split()
+            if "*" in raw:
+                # `"table s*"` → phrase-prefix (ES match_phrase_prefix):
+                # exact head tokens, then any term starting with the
+                # suffix word. Wildcard anywhere else in a phrase is
+                # rejected loudly (it would otherwise silently tokenize
+                # the `*` away and match a plain phrase).
+                if not (words and words[-1].endswith("*") and raw.count("*") == 1):
+                    raise ValueError(
+                        f'phrase wildcard must be a trailing prefix ("a b*"): {raw!r}'
+                    )
+                if m.group("window"):
+                    raise ValueError("phrase-prefix does not take a slop (~N)")
+                pre = _toks(words[-1][:-1])
+                head = _toks(" ".join(words[:-1]))
+                if len(pre) != 1:
+                    raise ValueError(f"bad phrase-prefix word: {words[-1]!r}")
+                if not head:
+                    raise ValueError(
+                        "phrase-prefix needs at least one exact leading "
+                        "term (use bare `s*` for a prefix query)"
+                    )
+                pb = m.group("pboost")
+                is_const = m.group("peq") is not None
+                clauses.append(
+                    Clause(occur, "phrase_prefix", head, prefix=pre[0],
+                           boost=1.0 if is_const else (float(pb) if pb else 1.0),
+                           const_score=float(pb) if is_const and pb else None)
+                )
+                continue
+            terms = _toks(raw)
             if not terms:
                 raise ValueError("empty phrase clause")
             w = m.group("window")
@@ -368,6 +405,22 @@ def _clause_terms(
     raise ValueError(f"not a term clause: {c.kind}")
 
 
+def _positional_slots(
+    spark: SparkSession, index_dir: str, c: Clause, max_expansions: int
+) -> list | None:
+    """Slot list a positional clause matches over. phrase/NEAR pass their
+    terms through; phrase_prefix appends the bounded dictionary expansion
+    of its prefix as an ALTERNATIVES slot (MultiPhraseQuery — the kernel
+    unions the slot's postings keys). None = the prefix expands to no
+    dictionary term, so the clause can never match."""
+    if c.kind != "phrase_prefix":
+        return list(c.terms)
+    exp = expand_prefix(spark, index_dir, c.prefix, max_expansions)
+    if not exp:
+        return None
+    return [*c.terms, exp]
+
+
 def boolean_topk(
     spark: SparkSession,
     index_dir: str,
@@ -434,7 +487,8 @@ def boolean_topk(
     ]
     positional = [
         (cid, c) for cid, c in enumerate(clauses)
-        if c.occur in (MUST, SHOULD) and c.kind in ("phrase", "near")
+        if c.occur in (MUST, SHOULD)
+        and c.kind in ("phrase", "near", "phrase_prefix")
     ]
     must_ids = [cid for cid, c in enumerate(clauses) if c.occur == MUST]
 
@@ -550,10 +604,17 @@ def boolean_topk(
             )
         )
 
-    # ---- positional-clause partial streams (phrase/NEAR as synthetic term)
+    # ---- positional-clause partial streams (phrase/NEAR/phrase-prefix as
+    # ONE synthetic term over the matched set)
     for cid, c in positional:
+        slots = _positional_slots(spark, index_dir, c, max_expansions)
+        if slots is None:
+            # prefix expanded to nothing: a SHOULD contributes no stream;
+            # a MUST still counts in len(must_ids), so coverage empties
+            # the result — same contract as an unindexed MUST term
+            continue
         matched, stats_df = positional_matches(
-            spark, index_dir, list(c.terms), window=c.window
+            spark, index_dir, slots, window=c.window
         )
         if c.const_score is not None:  # ConstantScore(phrase): v per match
             parts.append(
@@ -765,9 +826,12 @@ def _excluded_docs(
     for c in nots:
         if c.kind in ("term", "prefix", "wildcard", "fuzzy", "regexp"):
             terms.update(_clause_terms(spark, index_dir, c, max_expansions))
-        elif c.kind in ("phrase", "near"):
+        elif c.kind in ("phrase", "near", "phrase_prefix"):
+            slots = _positional_slots(spark, index_dir, c, max_expansions)
+            if slots is None:
+                continue  # unexpandable -"a b*" excludes nothing
             matched, _ = positional_matches(
-                spark, index_dir, list(c.terms), window=c.window
+                spark, index_dir, slots, window=c.window
             )
             outs.append(matched.select("doc_id"))
         else:  # negated metadata predicate
@@ -965,7 +1029,7 @@ def boolean_topk_multi(
                 t
                 for qid in live
                 for _slot, c in scoring[qid]
-                if c.kind in ("phrase", "near")
+                if c.kind in ("phrase", "near", "phrase_prefix")
                 for t in c.terms
             }
         )
@@ -978,7 +1042,10 @@ def boolean_topk_multi(
         for qid in live:
             rows = 0
             for slot, c in scoring[qid]:
-                if c.kind in ("phrase", "near"):
+                if c.kind in ("phrase", "near", "phrase_prefix"):
+                    # estimate from the EXACT terms' dfs (sound row bound:
+                    # matches ⊆ any exact term's postings; phrase_prefix
+                    # always carries ≥1 exact head term by the parser)
                     dfs = [
                         int(pos_info[t]["df"]) for t in c.terms if t in pos_info
                     ]
@@ -1140,23 +1207,29 @@ def boolean_topk_multi(
         )
 
     # ---- positional clauses (scoring AND MUST_NOT) in ONE matcher pass
-    pos_spec: dict[int, tuple[list[str], int | None]] = {}
+    pos_spec: dict[int, tuple[list, int | None]] = {}
     # key, qid, slot, is_must, boost, const (null = BM25-scored)
     pos_meta: list[tuple[int, int, int, bool, float, float | None]] = []
     not_pos_keys: dict[int, int] = {}  # key -> qid (exclusion matches)
     for qid in live:
         for slot, c in scoring[qid]:
-            if c.kind in ("phrase", "near"):
+            if c.kind in ("phrase", "near", "phrase_prefix"):
+                slots = _positional_slots(spark, index_dir, c, max_expansions)
+                if slots is None:
+                    continue  # unexpandable prefix: n_must coverage empties
                 key = qid * _SLOT_BASE + slot
-                pos_spec[key] = (list(c.terms), c.window)
+                pos_spec[key] = (slots, c.window)
                 pos_meta.append(
                     (key, qid, slot, c.occur == MUST, float(c.boost),
                      c.const_score)
                 )
         for j, c in enumerate(nots[qid]):
-            if c.kind in ("phrase", "near"):
+            if c.kind in ("phrase", "near", "phrase_prefix"):
+                slots = _positional_slots(spark, index_dir, c, max_expansions)
+                if slots is None:
+                    continue  # unexpandable -"a b*" excludes nothing
                 key = -(qid * _SLOT_BASE + j + 1)
-                pos_spec[key] = (list(c.terms), c.window)
+                pos_spec[key] = (slots, c.window)
                 not_pos_keys[key] = qid
     excl: list[DataFrame] = []
     if pos_spec:

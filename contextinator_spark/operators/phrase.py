@@ -698,7 +698,10 @@ def positional_matches_multi(
 
     queries: key -> (terms, window); window=None means exact consecutive
     phrase, window=W means NEAR (all terms within ±W of an anchor terms[0]
-    occurrence).
+    occurrence). Each `terms` element may be a single term or a list of
+    ALTERNATIVE terms for that slot (MultiPhraseQuery — same union-key
+    contract as _bucketed_matches; a slot is dead only when EVERY
+    alternative is absent from the bucket).
 
     local_cut: optional {key: (k, tfnorm_margin)} — per-bucket EXACT
     top-k pruning for rank-only consumers (positional_topk_indexed_multi).
@@ -728,7 +731,14 @@ def positional_matches_multi(
     the bucket layout eliminates."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
-    all_terms = sorted({t for spec in queries.values() for t in spec[0]})
+    all_terms = sorted(
+        {
+            t
+            for spec in queries.values()
+            for slot in spec[0]
+            for t in ([slot] if isinstance(slot, str) else slot)
+        }
+    )
     if not all_terms or not queries:
         empty = spark.createDataFrame(
             [], "query_id int, doc_id long, phrase_tf int, doc_len int"
@@ -798,10 +808,14 @@ def positional_matches_multi(
         ),
     )
     # spec tuples: (terms, window) or (terms, window, ordered) — ordered
-    # means SpanNearQuery(inOrder=true) with window as the slop
+    # means SpanNearQuery(inOrder=true) with window as the slop; slot
+    # elements may be alternative-term tuples (MultiPhraseQuery)
     qspec = {
         int(qid): (
-            [*spec[0]],
+            [
+                s if isinstance(s, str) else tuple(sorted(set(s)))
+                for s in spec[0]
+            ],
             None if spec[1] is None else int(spec[1]),
             bool(spec[2]) if len(spec) > 2 else False,
         )
@@ -824,15 +838,42 @@ def positional_matches_multi(
             keys.sort()
             order = np.argsort(docs, kind="stable")
             per[term] = (keys, docs[order], dls[order])
+
+        slot_cache: dict[tuple, tuple | None] = {}
+
+        def slot_arrs(s):
+            """(keys, docs_sorted, dls_sorted) for a slot — a term's
+            arrays, or the sorted key union over an alternative tuple
+            (duplicate-free: one token per position). None = every
+            alternative absent from this bucket."""
+            if isinstance(s, str):
+                return per.get(s)
+            if s in slot_cache:
+                return slot_cache[s]
+            alts = [per[t] for t in s if t in per]
+            if not alts:
+                arr = None
+            elif len(alts) == 1:
+                arr = alts[0]
+            else:
+                keys = np.sort(np.concatenate([a[0] for a in alts]))
+                docs = np.concatenate([a[1] for a in alts])
+                dls = np.concatenate([a[2] for a in alts])
+                order = np.argsort(docs, kind="stable")
+                arr = (keys, docs[order], dls[order])
+            slot_cache[s] = arr
+            return arr
+
         oq, od, otf, odl = [], [], [], []
         for qid, (ts, w, ordered) in qspec.items():
-            if any(t not in per for t in ts):
+            arrs = [slot_arrs(s) for s in ts]
+            if any(a is None for a in arrs):
                 continue
             n = len(ts)
             if w is None:  # phrase: +(n−slot) preserves sort, shifts position
-                inter = per[ts[0]][0] + n
+                inter = arrs[0][0] + n
                 for j in range(1, n):
-                    kj = per[ts[j]][0] + (n - j)
+                    kj = arrs[j][0] + (n - j)
                     pos = np.minimum(np.searchsorted(kj, inter), kj.size - 1)
                     inter = inter[kj[pos] == inter]
                     if inter.size == 0:
@@ -841,12 +882,12 @@ def positional_matches_multi(
                     continue
                 ids, counts = np.unique(inter >> _POS_BITS, return_counts=True)
             elif ordered:  # span_near(inOrder): greedy chain per anchor
-                a0 = per[ts[0]][0]
+                a0 = arrs[0][0]
                 aloc = a0 >> _POS_BITS
                 cur = a0
                 ok = np.ones(a0.size, dtype=bool)
                 for j in range(1, n):
-                    kj = per[ts[j]][0]
+                    kj = arrs[j][0]
                     idx = np.searchsorted(kj, cur, "right")
                     valid = idx < kj.size
                     nxt = kj[np.minimum(idx, kj.size - 1)]
@@ -858,11 +899,11 @@ def positional_matches_multi(
                     continue
                 ids, counts = np.unique(aloc[ok], return_counts=True)
             else:  # NEAR: window probe around every anchor at once
-                a0 = per[ts[0]][0]
+                a0 = arrs[0][0]
                 aloc, apos = a0 >> _POS_BITS, a0 & pos_mask
                 ok = np.ones(a0.size, dtype=bool)
                 for j in range(1, n):
-                    kj = per[ts[j]][0]
+                    kj = arrs[j][0]
                     lo = (aloc << _POS_BITS) | np.maximum(apos - w, 0)
                     hi = (aloc << _POS_BITS) | np.minimum(apos + w, pos_mask)
                     ok &= np.searchsorted(kj, lo, "left") < np.searchsorted(
@@ -871,7 +912,7 @@ def positional_matches_multi(
                 if not ok.any():
                     continue
                 ids, counts = np.unique(aloc[ok], return_counts=True)
-            d0, dl0 = per[ts[0]][1], per[ts[0]][2]
+            d0, dl0 = arrs[0][1], arrs[0][2]
             dls = dl0[np.searchsorted(d0, ids + base)]
             cut = local_cut.get(qid) if local_cut else None
             if cut is not None:
@@ -954,14 +995,32 @@ def positional_topk_indexed_multi(
     if tomb_over is None and queries:
         stats0 = json.load(open(os.path.join(index_dir, "stats.json")))
         n0 = float(stats0["n_docs"])
-        all_terms = sorted({t for spec in queries.values() for t in spec[0]})
+        all_terms = sorted(
+            {
+                t
+                for spec in queries.values()
+                for slot in spec[0]
+                for t in ([slot] if isinstance(slot, str) else slot)
+            }
+        )
         info = probe_dictionary(spark, index_dir, all_terms)
         quantum = 10.0 ** (-SCORE_ROUND_DECIMALS)
         local_cut = {}
         for qid, spec in queries.items():
-            ts = spec[0]
-            if all(t in info for t in ts):
-                df_ub = min(int(info[t]["df"]) for t in ts)
+            # per-slot df upper bound: a term's df, or the SUM over an
+            # alternative tuple (match docs ⊆ union of alts' postings);
+            # a slot with no indexed alternative matches nothing → no cut
+            bounds: list[int] | None = []
+            for s in spec[0]:
+                alts = [s] if isinstance(s, str) else list(s)
+                dfs_ = [int(info[t]["df"]) for t in alts if t in info]
+                if not dfs_:
+                    bounds = None
+                    break
+                bounds.append(sum(dfs_))
+            if bounds:
+                # clamp: an alternative-sum can exceed n_docs; df ≤ n_docs
+                df_ub = min(min(bounds), int(n0))
                 idf_lb = _idf(float(df_ub), n0)
                 # degenerate idf (term in ~every doc) → infinite margin:
                 # the cut keeps everything but the sentinel still carries

@@ -775,3 +775,89 @@ def test_boolean_batch_const_matches_single(spark, idx):
     for qid, q in qs.items():
         want = _rows(boolean_topk_query(spark, idx, q, k=10))
         assert sorted(got.get(qid, [])) == sorted(want), f"qid={qid} {q!r}"
+
+
+# ---------------------------------------------------------------------------
+# phrase-prefix clauses ("table h*" — ES match_phrase_prefix)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_phrase_prefix_clause():
+    cs = parse_query('+"hash ta*" "a b c*"^2 -"table h*"')
+    assert cs[0] == Clause(MUST, "phrase_prefix", ("hash",), prefix="ta")
+    assert cs[1] == Clause(
+        SHOULD, "phrase_prefix", ("a", "b"), prefix="c", boost=2.0
+    )
+    assert cs[2] == Clause(MUST_NOT, "phrase_prefix", ("table",), prefix="h")
+
+
+def test_parse_phrase_prefix_rejects_malformed():
+    for bad in ('"h*ash x"', '"hash t*"~2', '"t*"', '"a * b"', '"x y*z"'):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_boolean_phrase_prefix_matches_positional_executor(spark, idx):
+    """A single SHOULD phrase-prefix clause scores identically to
+    phrase_prefix_topk_indexed (same synthetic-term BM25)."""
+    from contextinator_spark.operators.phrase import phrase_prefix_topk_indexed
+
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, '"table h*"', k=10).collect()
+    ]
+    want = [
+        (r.rank, r.doc_id, r.score)
+        for r in phrase_prefix_topk_indexed(spark, idx, ["table"], "h", k=10).collect()
+    ]
+    assert got == want and got
+    # expansion {hash, here}: only "table hash" bigrams exist → docs 0, 3
+    assert {d for _r, d, _s in got} == {0, 3}
+
+
+def test_boolean_phrase_prefix_must_not_and_unexpandable(spark, idx):
+    # -"table h*" excludes docs 0 and 3 from the hash matches {0,2,3,4,6}
+    got = {
+        r.doc_id
+        for r in boolean_topk_query(spark, idx, 'hash -"table h*"', k=10).collect()
+    }
+    assert got == {2, 4, 6}
+    # unexpandable MUST prefix → empty result
+    assert boolean_topk_query(spark, idx, '+hash +"table zz*"', k=10).count() == 0
+    # unexpandable SHOULD prefix → same as the plain term query
+    a = [
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, 'hash "table zz*"', k=10).collect()
+    ]
+    b_ = [
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, "hash", k=10).collect()
+    ]
+    assert a == b_
+    # unexpandable MUST_NOT prefix excludes nothing
+    c = [
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, 'hash -"table zz*"', k=10).collect()
+    ]
+    assert c == b_
+
+
+def test_boolean_batch_phrase_prefix_matches_single(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_topk_multi
+
+    qs = {
+        0: '"table h*" spark',
+        1: '+hash -"table h*"',
+        2: '+"hash ta*"^2 join',
+        3: 'hash "table zz*"',
+    }
+    batch = boolean_topk_multi(spark, idx, qs, k=10)
+    got: dict[int, list] = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, q in qs.items():
+        want = [
+            (r.rank, r.doc_id, r.score)
+            for r in boolean_topk_query(spark, idx, q, k=10).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(want), (qid, q)

@@ -488,3 +488,36 @@ def test_phrase_prefix_expansion_and_bound(spark, tmp_path_factory):
     # absent prefix → empty ranked frame with the ranked schema
     empty = PH.phrase_prefix_topk_indexed(spark, d, ["data"], "zz", k=10)
     assert empty.count() == 0 and empty.columns == ["rank", "doc_id", "score"]
+
+
+def test_positional_batch_multiphrase_slots(spark, span_idx):
+    """Batch specs may carry alternative-term slots (MultiPhraseQuery):
+    results equal the single-query multiphrase path, mixed with plain
+    phrase / NEAR / span-near specs in one batch."""
+    queries = {
+        1: ([["hash", "table"], ["table", "hash"]], None),
+        2: (["table", ["hash", "x"]], None),
+        3: (["table", "hash"], None),
+        4: (["table", ["zzz", "qqq"]], None),
+        5: ([["table", "hash"], ["hash"]], 2, True),
+    }
+    multi = PH.positional_topk_indexed_multi(spark, span_idx, queries, k=10)
+    got: dict[int, list] = {}
+    for r in multi.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, spec in queries.items():
+        slots, w = spec[0], spec[1]
+        if len(spec) > 2 and spec[2]:
+            matched, stats_df = PH.positional_matches(
+                spark, span_idx, slots, window=w, ordered=True
+            )
+            want_df = PH._rank_matches(
+                matched, stats_df, 10, PH.BM25_K1, PH.BM25_B
+            )
+        elif w is None:
+            want_df = PH.multiphrase_topk_indexed(spark, span_idx, slots, k=10)
+        else:
+            matched, stats_df = PH.positional_matches(spark, span_idx, slots, window=w)
+            want_df = PH._rank_matches(matched, stats_df, 10, PH.BM25_K1, PH.BM25_B)
+        want = [(r.rank, r.doc_id, r.score) for r in want_df.collect()]
+        assert sorted(got.get(qid, [])) == sorted(want), (qid, spec)
