@@ -439,6 +439,23 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_suggest(args, spark) -> None:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker analog):
+    dictionary neighbors of a possibly-misspelled term, closest-first
+    then by collection frequency."""
+    from .operators.bm25_segments import suggest_terms
+
+    out = suggest_terms(
+        spark, args.index, args.term, max_edits=args.max_edits, k=args.k
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['suggestion']:<24}  dist={d['dist']}  df={d['df']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_explain(args, spark) -> None:
     """Score decomposition for the top-k hits (Lucene
     IndexSearcher.explain analog): one row per (hit, matched term) with
@@ -781,6 +798,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    sg = sub.add_parser(
+        "suggest", help="did-you-mean term suggestions (DirectSpellChecker)"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", required=True)
+    sg.add_argument("--max-edits", type=int, default=2, dest="max_edits")
+    sg.add_argument("--k", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
 
     hy = sub.add_parser("hybrid", help="BM25 + vector ANN fused by RRF")
     hy.add_argument("--index", required=True)

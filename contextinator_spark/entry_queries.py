@@ -1267,6 +1267,41 @@ def sql_phrase_batch() -> str:
     return " UNION ALL ".join(parts)
 
 
+SUGGEST_TERM = "grup"
+SUGGEST_MAX_EDITS = 2
+SUGGEST_K = 5
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker analog) for a
+    misspelled seed: dictionary neighbors within edit distance ≤ 2,
+    closest-first then df-desc — (rank, suggestion, dist, df)."""
+    from .operators.bm25_segments import suggest_terms
+
+    return suggest_terms(
+        spark, _cached_index_dir(spark, sf_dir),
+        SUGGEST_TERM, max_edits=SUGGEST_MAX_EDITS, k=SUGGEST_K,
+    )
+
+
+def sql_suggest() -> str:
+    """Oracle: df from the postings CTE, bounded levenshtein, the exact
+    (dist asc, df desc, term asc) blending and top-k."""
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+c AS (SELECT term AS suggestion,
+             CAST(levenshtein(term, '{SUGGEST_TERM}') AS INT) AS dist, df
+      FROM dfs
+      WHERE term <> '{SUGGEST_TERM}'
+        AND levenshtein(term, '{SUGGEST_TERM}') <= {SUGGEST_MAX_EDITS}),
+r AS (SELECT CAST(row_number() OVER (ORDER BY dist, df DESC, suggestion) AS INT) AS rank,
+             suggestion, dist, df
+      FROM c)
+SELECT rank, suggestion, dist, df FROM r WHERE rank <= {SUGGEST_K}
+"""
+
+
 # Fuzzy query (Lucene FuzzyQuery): a misspelled seed whose edit-distance-≤2
 # dictionary neighborhood is {group (dist 1), dup (dist 2)} — exercises the
 # closest-first/df-desc/term-asc expansion order AND a rare-term expansion
@@ -2405,6 +2440,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),
+        "suggest": (q_suggest, sql_suggest()),
         "bm25_boosted": (q_bm25_boosted, sql_bm25_boosted()),
         "snippets": (q_snippets, sql_snippets()),
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),

@@ -1224,6 +1224,52 @@ def expand_fuzzy(
     return sorted(r["term"] for r in rows)
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    max_edits: int = 2,
+    k: int = 5,
+    prefix_length: int = 0,
+) -> DataFrame:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker analog): the
+    dictionary terms within Levenshtein distance ≤ max_edits of `term`,
+    EXCLUDING the exact term, ranked closest-first then by collection
+    frequency (dist asc, df desc, term asc — the same deterministic
+    blending as expand_fuzzy) → (rank, suggestion, dist, df) top-k.
+
+    Scale: one pass over the RAM-pinned vocabulary-sized dictionary with
+    the ±max_edits length band (and optional exact-prefix pre-filter)
+    applied before the O(len²) edit-distance kernel; postings are never
+    read. The rank window orders a ≤ vocabulary-sized, already-filtered
+    set — at any corpus scale this is metadata work."""
+    t = term.lower()
+    if not t:
+        raise ValueError("suggest term must be non-empty")
+    if max_edits < 1:
+        raise ValueError("max_edits must be ≥ 1")
+    base = _terms_df(spark, index_dir)
+    if prefix_length > 0:
+        base = base.filter(F.col("term").startswith(t[:prefix_length]))
+    base = base.filter(
+        F.abs(F.length("term") - F.lit(len(t))) <= int(max_edits)
+    )
+    w = Window.orderBy(F.asc("dist"), F.desc("df"), F.asc("suggestion"))
+    return (
+        base.groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("term"), F.lit(t), int(max_edits)).cast("int"),
+        )
+        .filter((F.col("dist") >= 1) & (F.col("term") != F.lit(t)))
+        .withColumnRenamed("term", "suggestion")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", "suggestion", "dist", "df")
+    )
+
+
 def fuzzy_topk(
     spark: SparkSession,
     index_dir: str,

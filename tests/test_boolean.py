@@ -861,3 +861,32 @@ def test_boolean_batch_phrase_prefix_matches_single(spark, idx):
             for r in boolean_topk_query(spark, idx, q, k=10).collect()
         ]
         assert sorted(got.get(qid, [])) == sorted(want), (qid, q)
+
+
+# ---------------------------------------------------------------------------
+# did-you-mean suggestions (Lucene DirectSpellChecker analog)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_terms_ordering_and_exclusion(spark, idx):
+    """Suggestions exclude the exact term, order (dist asc, df desc, term
+    asc), carry dist/df, and respect k / max_edits / prefix_length."""
+    from contextinator_spark.operators.bm25_segments import suggest_terms
+
+    # DOCS dfs: hash 5, here 1; "har" → hash d2, here d2 → df breaks tie
+    rows = suggest_terms(spark, idx, "har", max_edits=2, k=5).collect()
+    assert [(r.rank, r.suggestion, r.dist) for r in rows] == [
+        (1, "hash", 2), (2, "here", 2)
+    ]
+    assert rows[0].df == 5 and rows[1].df == 1
+    # exact dictionary term is excluded even when it IS the seed
+    rows = suggest_terms(spark, idx, "hash", max_edits=2, k=5).collect()
+    assert "hash" not in {r.suggestion for r in rows}
+    # k bound and unknown seed
+    assert suggest_terms(spark, idx, "har", k=1).count() == 1
+    assert suggest_terms(spark, idx, "qqqqqq", max_edits=1, k=5).count() == 0
+    # prefix_length pins the head
+    only = suggest_terms(spark, idx, "har", max_edits=2, prefix_length=2, k=5)
+    assert [r.suggestion for r in only.collect()] == ["hash"]
+    with pytest.raises(ValueError):
+        suggest_terms(spark, idx, "x", max_edits=0)

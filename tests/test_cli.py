@@ -573,3 +573,16 @@ def test_cli_phrase_prefix(capsys, spark, tmp_path_factory):
             spark=spark,
         )
     capsys.readouterr()
+
+
+def test_cli_suggest_verb(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_sug_idx"))
+    run_cli(capsys, spark, "build", "--corpus", SF, "--index", d)
+    out = run_cli(capsys, spark, "suggest", "--index", d, "--term", "grup", "--k", "3")
+    from contextinator_spark.operators.bm25_segments import suggest_terms
+
+    want = [
+        {"rank": r.rank, "suggestion": r.suggestion, "dist": r.dist, "df": r.df}
+        for r in suggest_terms(spark, d, "grup", k=3).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
