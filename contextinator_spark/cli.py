@@ -350,8 +350,30 @@ def cmd_phrase(args, spark) -> None:
     w = getattr(args, "window", 0) or 0
     ordered = getattr(args, "ordered", False)
     prefix = getattr(args, "prefix", None)
+    first = getattr(args, "first", None)
     if ordered and not args.index:
         raise SystemExit("--ordered (span-near) needs --index (positions store)")
+    if first is not None:
+        # SpanFirst wraps an ordered span: exact phrase, or --ordered NEAR
+        if not args.index:
+            raise SystemExit("--first (SpanFirst) needs --index")
+        if prefix:
+            raise SystemExit("--first does not support --prefix")
+        if w and not ordered:
+            raise SystemExit("--first with --window needs --ordered (span end)")
+        from .operators.phrase import spanfirst_topk_indexed
+
+        out = spanfirst_topk_indexed(
+            spark, args.index, terms, first,
+            slop=w if ordered else None, k=args.k,
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if prefix:
         # phrase-prefix is a different rewrite: no window/ordered knobs
         if not args.index:
@@ -733,6 +755,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--prefix",
         help="phrase-prefix (ES match_phrase_prefix): the token after the "
              "query phrase must start with PREFIX; needs --index",
+    )
+    ph.add_argument(
+        "--first", type=int,
+        help="SpanFirstQuery: the span must end within the first N token "
+             "positions; needs --index (combine with --ordered --window "
+             "for a span-near inside)",
     )
     ph.set_defaults(fn=cmd_phrase)
 

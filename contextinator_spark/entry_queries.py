@@ -1170,6 +1170,42 @@ m AS (SELECT doc_id, CAST(len(t) AS INT) AS doc_len,
     )
 
 
+SPANFIRST_END = 25
+
+
+def q_spanfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanFirstQuery BM25 top-10: the exact phrase PHRASE_TERMS must END
+    within the first SPANFIRST_END token positions (0-based exclusive end
+    — the Lucene spans.endPosition() ≤ end contract)."""
+    from .operators.phrase import spanfirst_topk_indexed
+
+    return spanfirst_topk_indexed(
+        spark, _cached_phrase_index_dir(spark, sf_dir),
+        PHRASE_TERMS, SPANFIRST_END, k=10,
+    )
+
+
+def sql_spanfirst(terms: list[str] | None = None, end: int | None = None) -> str:
+    """Oracle: the phrase-tf CTE with the anchor range additionally
+    bounded so the match ends within `end` — 1-based i, 0-based p0 = i−1,
+    span end = p0 + n ⇒ i ≤ end − n + 1."""
+    terms = PHRASE_TERMS if terms is None else terms
+    end = SPANFIRST_END if end is None else end
+    n = len(terms)
+    cond = " AND ".join(
+        f"t[i+{j}] = '{term}'" if j else f"t[i] = '{term}'"
+        for j, term in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, least(len(t) - {n} + 2, {end - n + 2})),
+                                  i -> {cond})) AS INT) AS phrase_tf,
+             CAST(len(t) AS INT) AS doc_len
+      FROM toks)
+""" + _sql_positional_rank_tail()
+
+
 PHRASE_PREFIX_TERMS = ["table"]
 PHRASE_PREFIX = "s"
 
@@ -2437,6 +2473,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "near_indexed": (q_near_indexed, sql_near_topk()),
         "spannear": (q_spannear_indexed, sql_spannear_topk()),
         "phrase_prefix": (q_phrase_prefix, sql_phrase_prefix()),
+        "spanfirst": (q_spanfirst, sql_spanfirst()),
         "phrase_batch": (q_phrase_batch, sql_phrase_batch()),
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),

@@ -318,6 +318,7 @@ def _bucketed_matches(
     terms: list[str],
     window: int | None,
     ordered: bool = False,
+    first: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(matched, stats_df) via the bucket-packed kernel. Same contract as
     the pivot path: matched = (doc_id, phrase_tf, doc_len), phrase_tf > 0.
@@ -333,7 +334,13 @@ def _bucketed_matches(
     terms for that slot (Lucene MultiPhraseQuery): slot j matches where
     ANY alternative occurs. The kernel is unchanged — a slot's key array
     is the sorted union of its alternatives' composite keys, and since a
-    token position holds exactly one term the union is duplicate-free."""
+    token position holds exactly one term the union is duplicate-free.
+
+    first=N (Lucene SpanFirstQuery): keep only matches whose span END ≤ N
+    — 0-based exclusive end, so a phrase match at anchor p0 needs
+    p0 + n ≤ N and an ordered span-near chain needs p_{n−1} + 1 ≤ N.
+    Phrase and ordered spans only (unordered NEAR has no span order, so
+    SpanFirst over it is undefined — rejected by positional_matches)."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     if stats.get("posting_format") != POSTING_FORMAT_POSITIONS:
@@ -453,6 +460,11 @@ def _bucketed_matches(
                 inter = inter[kj[pos] == inter]
                 if inter.size == 0:
                     return empty
+            if first is not None:
+                # slot-0 keys carry p0 + n = the span's exclusive end
+                inter = inter[(inter & ((1 << _POS_BITS) - 1)) <= first]
+                if inter.size == 0:
+                    return empty
             ids, counts = np.unique(inter >> _POS_BITS, return_counts=True)
         elif ordered:
             # span_near(inOrder): greedy minimal chain per anchor — each
@@ -472,6 +484,8 @@ def _bucketed_matches(
                 cur = nxt  # garbage on dead lanes; masked by ok
             pm = (1 << _POS_BITS) - 1
             ok &= ((cur & pm) - (a0 & pm) - (n - 1)) <= w
+            if first is not None:  # SpanFirst: chain end p_{n−1}+1 ≤ N
+                ok &= (cur & pm) + 1 <= first
             if not ok.any():
                 return empty
             ids, counts = np.unique(aloc[ok], return_counts=True)
@@ -518,6 +532,7 @@ def positional_matches(
     terms: list[str],
     window: int | None = None,
     ordered: bool = False,
+    first: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared positional-match core: (matched, stats_df) where matched is
     (doc_id, phrase_tf, doc_len) for every doc satisfying the positional
@@ -535,7 +550,17 @@ def positional_matches(
     against."""
     if ordered and window is None:
         raise ValueError("ordered span-near needs a slop window (≥ 0)")
-    return _bucketed_matches(spark, index_dir, terms, window, ordered=ordered)
+    if first is not None:
+        if window is not None and not ordered:
+            raise ValueError(
+                "SpanFirst needs an ordered span (phrase or span-near) — "
+                "unordered NEAR has no span end"
+            )
+        if first < 1:
+            raise ValueError("SpanFirst end must be ≥ 1")
+    return _bucketed_matches(
+        spark, index_dir, terms, window, ordered=ordered, first=first
+    )
 
 
 def phrase_topk_indexed(
@@ -1120,6 +1145,30 @@ def near_topk_indexed(
         .withColumn("phrase_tf", F.size(F.filter(F.col("0"), cond)))
         .filter(F.col("phrase_tf") > 0)
         .select("doc_id", "phrase_tf", "doc_len")
+    )
+    return _rank_matches(matched, stats_df, k, k1, b)
+
+
+def spanfirst_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    end: int,
+    slop: int | None = None,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene SpanFirstQuery: the wrapped span — an exact phrase over
+    `terms` (slop None), or an in-order span-near with `slop` — must END
+    within the first `end` token positions (0-based exclusive end, the
+    Lucene contract: spans.endPosition() ≤ end). A single term with
+    end=1 is the classic 'first word' query. Scored as one synthetic
+    term over the restricted match set; same pruned scan and bucket
+    kernel, the bound is one vectorized mask on span ends."""
+    matched, stats_df = positional_matches(
+        spark, index_dir, terms,
+        window=slop, ordered=slop is not None, first=end,
     )
     return _rank_matches(matched, stats_df, k, k1, b)
 

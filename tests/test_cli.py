@@ -586,3 +586,26 @@ def test_cli_suggest_verb(capsys, spark, tmp_path_factory):
         for r in suggest_terms(spark, d, "grup", k=3).collect()
     ]
     assert [json.loads(x) for x in out] == want and want
+
+
+def test_cli_phrase_spanfirst(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_sf_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "phrase", "--index", d, "--query", "table hash",
+        "--first", "25", "--k", "5",
+    )
+    from contextinator_spark.operators.phrase import spanfirst_topk_indexed
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+        for r in spanfirst_topk_indexed(spark, d, ["table", "hash"], 25, k=5).collect()
+    ]
+    assert [json.loads(x) for x in out] == want
+    with pytest.raises(SystemExit, match="--ordered"):
+        cli.main(
+            ["phrase", "--index", d, "--query", "table hash",
+             "--first", "25", "--window", "2"],
+            spark=spark,
+        )
+    capsys.readouterr()

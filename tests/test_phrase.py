@@ -521,3 +521,72 @@ def test_positional_batch_multiphrase_slots(spark, span_idx):
             want_df = PH._rank_matches(matched, stats_df, 10, PH.BM25_K1, PH.BM25_B)
         want = [(r.rank, r.doc_id, r.score) for r in want_df.collect()]
         assert sorted(got.get(qid, [])) == sorted(want), (qid, spec)
+
+
+# ---- SpanFirstQuery (span must end within the first N positions) -----------
+
+
+def _brute_spanfirst(text: str, terms: list[str], end: int, slop=None) -> int:
+    from contextinator_spark.oracle import tokenize
+
+    toks = tokenize(text)
+    n = len(terms)
+    if slop is None:
+        return sum(
+            1
+            for p0 in range(len(toks) - n + 1)
+            if toks[p0:p0 + n] == terms and p0 + n <= end
+        )
+    pos = [[i for i, w in enumerate(toks) if w == t] for t in terms]
+
+    def chain(j: int, prev: int, p0: int) -> bool:
+        if j == n:
+            return prev + 1 <= end
+        return any(
+            chain(j + 1, p, p0)
+            for p in pos[j]
+            if p > prev and p - p0 - (n - 1) <= slop
+        )
+
+    return sum(1 for p0 in pos[0] if chain(1, p0, p0))
+
+
+def test_spanfirst_matches_exhaustive_reference(spark, span_idx):
+    cases = [
+        (["table", "hash"], 2, None),
+        (["table", "hash"], 5, None),
+        (["hash"], 1, None),
+        (["a", "a"], 3, None),
+        (["table", "hash"], 4, 2),     # span-near inside SpanFirst
+        (["hash", "table"], 6, 1),
+        (["a", "b"], 4, 3),
+    ]
+    for terms, end, slop in cases:
+        matched, _ = PH.positional_matches(
+            spark, span_idx, terms,
+            window=slop, ordered=slop is not None, first=end,
+        )
+        got = {r.doc_id: r.phrase_tf for r in matched.collect()}
+        want = {
+            did: tf
+            for did, text in SPAN_DOCS
+            if (tf := _brute_spanfirst(text, terms, end, slop))
+        }
+        assert got == want, (terms, end, slop)
+
+
+def test_spanfirst_topk_and_guards(spark, span_idx):
+    # end large enough ⇒ identical to the unrestricted phrase
+    a = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.spanfirst_topk_indexed(spark, span_idx, ["table", "hash"], 10**6, k=10).collect()
+    ]
+    b_ = [
+        (r.rank, r.doc_id, r.score)
+        for r in PH.phrase_topk_indexed(spark, span_idx, ["table", "hash"], k=10).collect()
+    ]
+    assert a == b_
+    with pytest.raises(ValueError, match="NEAR"):
+        PH.positional_matches(spark, span_idx, ["a", "b"], window=2, first=3)
+    with pytest.raises(ValueError, match="≥ 1"):
+        PH.positional_matches(spark, span_idx, ["a"], first=0)
