@@ -426,15 +426,27 @@ def cmd_bool(args, spark) -> None:
     (operators/boolean.py): `+must should -not "phrase" "near"~N pre*
     fuz~2 term^boost field:value` — one composable plan for every query
     form the engine has."""
-    from .operators.boolean import boolean_topk_query
+    from .operators.boolean import boolean_topk_query, boosting_topk
 
     tie = getattr(args, "dismax", None)
-    out = boolean_topk_query(
-        spark, args.index, args.query, k=args.k,
-        combine="sum" if tie is None else "dismax",
-        tie_breaker=tie or 0.0,
-        min_should_match=getattr(args, "msm", 0) or 0,
-    )
+    negative = getattr(args, "negative", None)
+    if negative:
+        # ES boosting query: demote (not exclude) negative matches
+        out = boosting_topk(
+            spark, args.index, args.query, negative,
+            negative_boost=getattr(args, "negative_boost", 0.5),
+            k=args.k,
+            combine="sum" if tie is None else "dismax",
+            tie_breaker=tie or 0.0,
+            min_should_match=getattr(args, "msm", 0) or 0,
+        )
+    else:
+        out = boolean_topk_query(
+            spark, args.index, args.query, k=args.k,
+            combine="sum" if tie is None else "dismax",
+            tie_breaker=tie or 0.0,
+            min_should_match=getattr(args, "msm", 0) or 0,
+        )
     _emit(
         out.collect(),
         args.format,
@@ -781,6 +793,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--msm", type=int, default=0, metavar="N",
         help="minimum_should_match: a hit must match ≥ N distinct SHOULD "
              "clauses (Lucene setMinimumNumberShouldMatch)",
+    )
+    bq.add_argument(
+        "--negative", metavar="QUERY",
+        help="boosting query (ES `boosting`): DEMOTE docs matching this "
+             "Boolean query by ×--negative-boost instead of excluding them",
+    )
+    bq.add_argument(
+        "--negative-boost", type=float, default=0.5, dest="negative_boost",
+        metavar="F", help="demotion factor in [0, 1) for --negative matches",
     )
     bq.set_defaults(fn=cmd_bool)
 

@@ -1864,6 +1864,43 @@ def sql_boolean_msm() -> str:
     return _sql_boolean_one(BOOLEAN_MSM_QUERY, min_should_match=BOOLEAN_MSM)
 
 
+BOOSTING_POS = "hash spark"
+BOOSTING_NEG = 'join "table hash"'
+BOOSTING_FACTOR = 0.3
+
+
+def q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting query (ES `boosting` / Lucene BoostingQuery): rank by the
+    positive query's Boolean score, ×BOOSTING_FACTOR for docs matching
+    the negative query — demoted, not excluded."""
+    from .operators.boolean import boosting_topk
+
+    return boosting_topk(
+        spark, _cached_phrase_index_dir(spark, sf_dir),
+        BOOSTING_POS, BOOSTING_NEG, BOOSTING_FACTOR, k=10,
+    )
+
+
+def sql_boosting() -> str:
+    """Oracle: both compiled Boolean algebras as CTEs (huge k = the full
+    scored streams), LEFT JOIN demotion, re-rank — the same composition
+    the engine performs over _boolean_scored."""
+    pos = _sql_boolean_one(BOOSTING_POS, k=10**9)
+    neg = _sql_boolean_one(BOOSTING_NEG, k=10**9)
+    return f"""
+WITH p AS ({pos}),
+n AS ({neg})
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM (SELECT p.doc_id,
+               CAST(round(CASE WHEN n.doc_id IS NOT NULL
+                               THEN p.score * {BOOSTING_FACTOR}
+                               ELSE p.score END, {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+        FROM p LEFT JOIN n ON p.doc_id = n.doc_id)
+) WHERE rank <= 10
+"""
+
+
 def q_boolean_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch Boolean executor (operators/boolean.boolean_topk_multi): the
     whole BOOLEAN_BATCH_QUERIES log in ONE plan — per-query identical to
@@ -2483,6 +2520,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),
         "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
         "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
+        "boosting": (q_boosting, sql_boosting()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

@@ -421,11 +421,13 @@ def _positional_slots(
     return [*c.terms, exp]
 
 
-def boolean_topk(
+_SCORED_SCHEMA = "doc_id long, score double"
+
+
+def _boolean_scored(
     spark: SparkSession,
     index_dir: str,
     clauses: list[Clause],
-    k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
     max_expansions: int = MAX_EXPANSIONS,
@@ -434,7 +436,11 @@ def boolean_topk(
     tie_breaker: float = 0.0,
     min_should_match: int = 0,
 ) -> DataFrame:
-    """(rank, doc_id, score) for a Boolean query over the segment store.
+    """The FULL scored match stream (doc_id, score) of a Boolean query —
+    everything boolean_topk does except the final rank/limit, so
+    composers that re-weight scores before ranking (boosting_topk) can
+    reuse the whole executor: occur semantics, expansions, positional
+    clauses, const scores, msm, MUST_NOT, FILTER.
 
     `combine` picks the cross-clause score combiner: "sum" is
     BooleanQuery (Σ over matching scoring clauses); "dismax" is
@@ -477,7 +483,7 @@ def boolean_topk(
     should_ids = [cid for cid, c in enumerate(clauses) if c.occur == SHOULD]
     if min_should_match > len(should_ids):
         # Lucene: msm above the SHOULD clause count matches nothing
-        return spark.createDataFrame([], _RESULT_SCHEMA)
+        return spark.createDataFrame([], _SCORED_SCHEMA)
 
     # ---- expansion + dictionary probe (metadata-scale, no posting reads)
     termish = [
@@ -501,7 +507,7 @@ def boolean_topk(
     # a MUST term-group with no indexed expansion can never be satisfied
     for cid, c in termish:
         if c.occur == MUST and not any(t in info for t in cl_terms[cid]):
-            return spark.createDataFrame([], _RESULT_SCHEMA)
+            return spark.createDataFrame([], _SCORED_SCHEMA)
 
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     idf = {t: _idf(float(info[t]["df"]), n_docs) for t in info}
@@ -675,7 +681,7 @@ def boolean_topk(
         # every scoring clause expanded to zero indexed terms (e.g. a
         # SHOULD-only query of unknown words): nothing can score, so the
         # Lucene-faithful result is empty — not an error
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
+        return spark.createDataFrame([], _SCORED_SCHEMA)
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
@@ -798,6 +804,12 @@ def boolean_topk(
         )
         scored = scored.join(meta, "doc_id", "left_semi")
 
+    return scored.select("doc_id", "score")
+
+
+def _rank_tail(scored: DataFrame, k: int) -> DataFrame:
+    """(rank, doc_id, score) top-k of a (doc_id, score) stream — the
+    shared collector tail (score desc, doc_id asc)."""
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -805,6 +817,96 @@ def boolean_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "score")
     )
+
+
+def boolean_topk(
+    spark: SparkSession,
+    index_dir: str,
+    clauses: list[Clause],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    rare_filter: bool = True,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """(rank, doc_id, score) for a Boolean query over the segment store —
+    _boolean_scored (see its docstring for the full occur/scoring
+    contract) plus the top-k collector tail."""
+    return _rank_tail(
+        _boolean_scored(
+            spark, index_dir, clauses, k1=k1, b=b,
+            max_expansions=max_expansions, rare_filter=rare_filter,
+            combine=combine, tie_breaker=tie_breaker,
+            min_should_match=min_should_match,
+        ),
+        k,
+    )
+
+
+def boosting_topk(
+    spark: SparkSession,
+    index_dir: str,
+    positive: str | list[Clause],
+    negative: str | list[Clause],
+    negative_boost: float = 0.5,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """Boosting query (ES `boosting`, Lucene BoostingQuery): rank by the
+    positive Boolean query's score, DEMOTED by ×negative_boost for docs
+    that match the negative query — unlike MUST_NOT, demoted docs stay
+    in the result, just lower:
+
+        score(d) = round(pos(d) × (negative_boost if d ∈ M(neg) else 1), 6)
+
+    where pos(d) is the engine's rounded Boolean score and M(neg) is the
+    negative query's full match set under its own occur semantics
+    (scores discarded — matching is what demotes). negative_boost must
+    be in [0, 1): ≥1 would promote, which Lucene forbids.
+
+    Topology: two _boolean_scored plans (the negative one reduced to a
+    distinct doc_id set) joined on doc_id — the demotion is a left join
+    + one multiply, no new exchange shapes. Top-k pruning on the
+    positive side alone would be unsound (a demoted doc may leave the
+    top-k), which is exactly why this composes over the FULL scored
+    stream, not boolean_topk's collector output."""
+    if not (0.0 <= float(negative_boost) < 1.0):
+        raise ValueError("negative_boost must be in [0, 1)")
+    pos_cl = parse_query(positive) if isinstance(positive, str) else positive
+    neg_cl = parse_query(negative) if isinstance(negative, str) else negative
+    pos = _boolean_scored(
+        spark, index_dir, pos_cl, k1=k1, b=b,
+        max_expansions=max_expansions, combine=combine,
+        tie_breaker=tie_breaker, min_should_match=min_should_match,
+    )
+    neg = (
+        _boolean_scored(
+            spark, index_dir, neg_cl, k1=k1, b=b,
+            max_expansions=max_expansions,
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_neg", F.lit(True))
+    )
+    demoted = pos.join(neg, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.col("_neg").isNotNull(),
+                F.col("score") * F.lit(float(negative_boost)),
+            ).otherwise(F.col("score")),
+            SCORE_ROUND_DECIMALS,
+        ).alias("score"),
+    )
+    return _rank_tail(demoted, k)
 
 
 def _excluded_docs(

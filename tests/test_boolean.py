@@ -890,3 +890,58 @@ def test_suggest_terms_ordering_and_exclusion(spark, idx):
     assert [r.suggestion for r in only.collect()] == ["hash"]
     with pytest.raises(ValueError):
         suggest_terms(spark, idx, "x", max_edits=0)
+
+
+# ---------------------------------------------------------------------------
+# boosting query (ES `boosting`: demote matches of a negative query)
+# ---------------------------------------------------------------------------
+
+
+def test_boosting_demotes_but_keeps(spark, idx):
+    """Docs matching the negative query stay in the result with score ×
+    negative_boost; others keep their positive score — equals a manual
+    recompute from the full positive ranking."""
+    from contextinator_spark.operators.boolean import boosting_topk
+
+    factor = 0.3
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in boosting_topk(spark, idx, "hash spark", "join", factor, k=10).collect()
+    ]
+    pos = boolean_topk_query(spark, idx, "hash spark", k=100).collect()
+    neg = {r.doc_id for r in boolean_topk_query(spark, idx, "join", k=100).collect()}
+    manual = sorted(
+        (
+            (r.doc_id, round(r.score * factor, 6) if r.doc_id in neg else r.score)
+            for r in pos
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    want = [(i + 1, d, s) for i, (d, s) in enumerate(manual[:10])]
+    assert got == want
+    # demoted docs are PRESENT (vs MUST_NOT, which drops them)
+    assert neg & {d for _r, d, _s in got}
+    # and the order actually changed vs the undemoted ranking
+    assert [d for _r, d, _s in got] != [r.doc_id for r in pos[:10]]
+
+
+def test_boosting_inert_negative_and_guards(spark, idx):
+    from contextinator_spark.operators.boolean import boosting_topk
+
+    a = [
+        (r.rank, r.doc_id, r.score)
+        for r in boosting_topk(spark, idx, "hash spark", "zzz_absent", 0.3, k=10).collect()
+    ]
+    b_ = [
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, "hash spark", k=10).collect()
+    ]
+    assert a == b_
+    # factor 0 nukes demoted scores to 0 but keeps the docs
+    z = boosting_topk(spark, idx, "hash spark", "join", 0.0, k=10).collect()
+    assert {r.doc_id for r in z} == {d for _r, d, _s in b_}
+    assert any(r.score == 0.0 for r in z)
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_topk(spark, idx, "hash", "join", 1.0)
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_topk(spark, idx, "hash", "join", -0.1)

@@ -609,3 +609,19 @@ def test_cli_phrase_spanfirst(capsys, spark, tmp_path_factory):
             spark=spark,
         )
     capsys.readouterr()
+
+
+def test_cli_bool_negative_boosting(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_boost_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "bool", "--index", d, "--query", "hash spark",
+        "--negative", "join", "--negative-boost", "0.3", "--k", "5",
+    )
+    from contextinator_spark.operators.boolean import boosting_topk
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+        for r in boosting_topk(spark, d, "hash spark", "join", 0.3, k=5).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
