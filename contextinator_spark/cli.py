@@ -430,6 +430,25 @@ def cmd_bool(args, spark) -> None:
 
     tie = getattr(args, "dismax", None)
     negative = getattr(args, "negative", None)
+    rescore = getattr(args, "rescore", None)
+    if negative and rescore:
+        raise SystemExit("--negative and --rescore are mutually exclusive")
+    if rescore:
+        from .operators.boolean import rescore_topk
+
+        out = rescore_topk(
+            spark, args.index, args.query, rescore,
+            window_size=getattr(args, "rescore_window", 50),
+            rescore_weight=getattr(args, "rescore_weight", 1.0),
+            k=args.k,
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if negative:
         # ES boosting query: demote (not exclude) negative matches
         out = boosting_topk(
@@ -802,6 +821,20 @@ def build_parser() -> argparse.ArgumentParser:
     bq.add_argument(
         "--negative-boost", type=float, default=0.5, dest="negative_boost",
         metavar="F", help="demotion factor in [0, 1) for --negative matches",
+    )
+    bq.add_argument(
+        "--rescore", metavar="QUERY",
+        help="two-pass rescoring (ES rescore): re-rank the top "
+             "--rescore-window docs with this Boolean query's score added "
+             "at --rescore-weight",
+    )
+    bq.add_argument(
+        "--rescore-window", type=int, default=50, dest="rescore_window",
+        metavar="N",
+    )
+    bq.add_argument(
+        "--rescore-weight", type=float, default=1.0, dest="rescore_weight",
+        metavar="F",
     )
     bq.set_defaults(fn=cmd_bool)
 

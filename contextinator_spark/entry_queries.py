@@ -1901,6 +1901,44 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+RESCORE_POS = "hash table"
+RESCORE_QUERY = '"table hash"'
+RESCORE_WINDOW = 20
+RESCORE_WEIGHT = 2.0
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass rescoring (ES `rescore`): cheap BM25 disjunction first,
+    then ONLY its top-RESCORE_WINDOW docs re-scored with the exact-phrase
+    query at weight RESCORE_WEIGHT — the canonical proximity-rescore."""
+    from .operators.boolean import rescore_topk
+
+    return rescore_topk(
+        spark, _cached_phrase_index_dir(spark, sf_dir),
+        RESCORE_POS, RESCORE_QUERY,
+        window_size=RESCORE_WINDOW, rescore_weight=RESCORE_WEIGHT, k=10,
+    )
+
+
+def sql_rescore() -> str:
+    """Oracle: the first-pass compiled algebra cut to the window (same
+    rank tiebreak), the rescore algebra at full depth, LEFT JOIN combine,
+    re-rank — the engine's composition exactly."""
+    first = _sql_boolean_one(RESCORE_POS, k=RESCORE_WINDOW)
+    second = _sql_boolean_one(RESCORE_QUERY, k=10**9)
+    return f"""
+WITH f AS ({first}),
+s AS ({second})
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM (SELECT f.doc_id,
+               CAST(round(f.score + {RESCORE_WEIGHT} * coalesce(s.score, 0.0),
+                          {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+        FROM f LEFT JOIN s ON f.doc_id = s.doc_id)
+) WHERE rank <= 10
+"""
+
+
 def q_boolean_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch Boolean executor (operators/boolean.boolean_topk_multi): the
     whole BOOLEAN_BATCH_QUERIES log in ONE plan — per-query identical to
@@ -2521,6 +2559,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
         "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
         "boosting": (q_boosting, sql_boosting()),
+        "rescore": (q_rescore, sql_rescore()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

@@ -967,6 +967,78 @@ def _excluded_docs(
     return ex.distinct()
 
 
+def rescore_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[Clause],
+    rescore: str | list[Clause],
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Two-pass rescoring (the ES `rescore` block): the cheap first-pass
+    Boolean `query` selects its top `window_size` docs, then ONLY that
+    window is re-scored as
+
+        score(d) = round(query_weight × first(d)
+                         + rescore_weight × second(d), 6)
+
+    where second(d) is the `rescore` query's Boolean score (0 when the
+    doc doesn't match it), and the final top-k is cut from the window.
+    The classic use is BM25 first / phrase-proximity second: the
+    expensive positional query runs conceptually "against k docs", and
+    docs outside the window keep their first-pass order below it.
+
+    Exactness contract: identical to ES — the rescore pass can only
+    reorder WITHIN the window; a doc outside the window can never enter
+    the top-k (that is the point of the window, not an approximation
+    bug). k > window_size is rejected to keep the contract visible.
+
+    Topology: first pass = the full Boolean executor + its collector
+    (TakeOrderedAndProject, window_size rows on the driver-side plan, not
+    collected); second pass = _boolean_scored(rescore) LEFT-joined to the
+    tiny window frame — the window side broadcasts, so the rescore scan
+    stays partition-pruned and the join adds no exchange."""
+    if k > window_size:
+        raise ValueError(
+            f"k ({k}) must be ≤ window_size ({window_size}) — rescoring "
+            "only reorders within the first-pass window"
+        )
+    q_cl = parse_query(query) if isinstance(query, str) else query
+    r_cl = parse_query(rescore) if isinstance(rescore, str) else rescore
+    window = boolean_topk(
+        spark, index_dir, q_cl, k=window_size, k1=k1, b=b,
+        max_expansions=max_expansions,
+    ).select("doc_id", F.col("score").alias("_first"))
+    second = _boolean_scored(
+        spark, index_dir, r_cl, k1=k1, b=b, max_expansions=max_expansions
+    ).select("doc_id", F.col("score").alias("_second"))
+    # restrict the rescore stream to the window first (broadcast semi-join
+    # — the window is ≤ window_size rows), so the final left join's right
+    # side is tiny and broadcastable; the preserved side never broadcasts
+    sec_w = second.join(
+        F.broadcast(window.select("doc_id")), "doc_id", "left_semi"
+    )
+    combined = (
+        window
+        .join(F.broadcast(sec_w), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(float(query_weight)) * F.col("_first")
+                + F.lit(float(rescore_weight))
+                * F.coalesce(F.col("_second"), F.lit(0.0)),
+                SCORE_ROUND_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    return _rank_tail(combined, k)
+
+
 def boolean_topk_query(
     spark: SparkSession,
     index_dir: str,

@@ -945,3 +945,62 @@ def test_boosting_inert_negative_and_guards(spark, idx):
         boosting_topk(spark, idx, "hash", "join", 1.0)
     with pytest.raises(ValueError, match="negative_boost"):
         boosting_topk(spark, idx, "hash", "join", -0.1)
+
+
+# ---------------------------------------------------------------------------
+# two-pass rescoring (ES `rescore`: re-rank the top-N window)
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_matches_manual_recompute(spark, idx):
+    from contextinator_spark.operators.boolean import rescore_topk
+
+    qw, rw, win = 1.0, 2.0, 5
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in rescore_topk(
+            spark, idx, "hash spark", '"table hash"',
+            window_size=win, query_weight=qw, rescore_weight=rw, k=5,
+        ).collect()
+    ]
+    first = boolean_topk_query(spark, idx, "hash spark", k=win).collect()
+    second = {
+        r.doc_id: r.score
+        for r in boolean_topk_query(spark, idx, '"table hash"', k=100).collect()
+    }
+    manual = sorted(
+        ((r.doc_id, round(qw * r.score + rw * second.get(r.doc_id, 0.0), 6))
+         for r in first),
+        key=lambda x: (-x[1], x[0]),
+    )
+    want = [(i + 1, d, s) for i, (d, s) in enumerate(manual[:5])]
+    assert got == want and got
+    # the phrase pass actually reordered the window
+    assert [d for _r, d, _s in got] != [r.doc_id for r in first]
+
+
+def test_rescore_window_bounds_and_guards(spark, idx):
+    from contextinator_spark.operators.boolean import rescore_topk
+
+    # a doc outside the window can never enter the top-k: window 1 keeps
+    # only the first-pass winner regardless of the rescore query
+    one = rescore_topk(
+        spark, idx, "hash spark", '"table hash"',
+        window_size=1, rescore_weight=100.0, k=1,
+    ).collect()
+    first_top = boolean_topk_query(spark, idx, "hash spark", k=1).collect()
+    assert [r.doc_id for r in one] == [r.doc_id for r in first_top]
+    # rescore query matching nothing → first-pass order and scores
+    inert = [
+        (r.rank, r.doc_id, r.score)
+        for r in rescore_topk(
+            spark, idx, "hash spark", "zzz_absent", window_size=5, k=5
+        ).collect()
+    ]
+    base = [
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, "hash spark", k=5).collect()
+    ]
+    assert inert == base
+    with pytest.raises(ValueError, match="window_size"):
+        rescore_topk(spark, idx, "hash", "join", window_size=5, k=10)

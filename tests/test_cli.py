@@ -625,3 +625,30 @@ def test_cli_bool_negative_boosting(capsys, spark, tmp_path_factory):
         for r in boosting_topk(spark, d, "hash spark", "join", 0.3, k=5).collect()
     ]
     assert [json.loads(x) for x in out] == want and want
+
+
+def test_cli_bool_rescore(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_rescore_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "bool", "--index", d, "--query", "hash table",
+        "--rescore", '"table hash"', "--rescore-window", "20",
+        "--rescore-weight", "2.0", "--k", "5",
+    )
+    from contextinator_spark.operators.boolean import rescore_topk
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+        for r in rescore_topk(
+            spark, d, "hash table", '"table hash"',
+            window_size=20, rescore_weight=2.0, k=5,
+        ).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(
+            ["bool", "--index", d, "--query", "hash", "--rescore", "join",
+             "--negative", "join"],
+            spark=spark,
+        )
+    capsys.readouterr()
