@@ -492,6 +492,24 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_percolate(args, spark) -> None:
+    """Percolation (ES percolator): which registered queries does each
+    corpus document match — one Catalyst scan, no index."""
+    from .operators.percolate import percolate
+
+    queries = {i: q for i, q in enumerate(args.query)}
+    out = percolate(
+        _corpus(spark, args.corpus), queries,
+        min_should_match=getattr(args, "msm", 0) or 0,
+    ).orderBy("query_id", "doc_id")
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"q{d['query_id']:<4} {d['doc_id']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_suggest(args, spark) -> None:
     """Did-you-mean suggestions (Lucene DirectSpellChecker analog):
     dictionary neighbors of a possibly-misspelled term, closest-first
@@ -880,6 +898,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    pc = sub.add_parser(
+        "percolate", help="match documents against registered queries (percolator)"
+    )
+    pc.add_argument("--corpus", required=True)
+    pc.add_argument(
+        "-q", "--query", action="append", required=True,
+        help="registered query (repeatable; ids are the 0-based order)",
+    )
+    pc.add_argument("--msm", type=int, default=0)
+    pc.set_defaults(fn=cmd_percolate)
 
     sg = sub.add_parser(
         "suggest", help="did-you-mean term suggestions (DirectSpellChecker)"

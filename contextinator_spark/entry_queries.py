@@ -1901,6 +1901,116 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+# percolation registry (ES percolator): which registered queries does
+# each document match — term/phrase/NEAR/prefix/fuzzy/phrase-prefix/
+# predicate clause kinds, msm on query 8
+PERCOLATE_QUERIES: dict[int, str] = {
+    0: "+hash spark",
+    1: 'table -join "table hash"',
+    2: '+"table hash" merge',
+    3: '"big table"~3 scan',
+    4: "hash lang:en",
+    5: "-lang:de table",
+    6: "sca* sort",
+    7: "grup~2",
+    8: "hash table spark",  # msm=2 via PERCOLATE_MSM
+    9: '"table s*"',
+}
+PERCOLATE_MSM = {8: 2}
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (ES percolator / Lucene monitor): ONE Catalyst scan of
+    the documents table evaluating the whole registered query set per
+    document — (query_id, doc_id) match pairs, no index consulted."""
+    from .operators.percolate import percolate
+
+    return percolate(
+        _docs(spark, sf_dir), PERCOLATE_QUERIES,
+        min_should_match=PERCOLATE_MSM,
+    )
+
+
+def _sql_percolate_pred(query: str, msm: int) -> str:
+    """Compile one registered query's MATCH predicate (no scoring) to a
+    DuckDB boolean over the token list `t` + document columns."""
+    from .operators.boolean import FILTER as B_FILTER
+    from .operators.boolean import MUST as B_MUST
+    from .operators.boolean import MUST_NOT as B_MUST_NOT
+    from .operators.boolean import parse_query
+
+    def clause(c) -> str:
+        k = c.kind
+        if k == "term":
+            return f"list_contains(t, '{c.terms[0]}')"
+        if k == "prefix":
+            return f"len(list_filter(t, x -> starts_with(x, '{c.terms[0]}'))) > 0"
+        if k == "fuzzy":
+            return (
+                f"len(list_filter(t, x -> levenshtein(x, '{c.terms[0]}') "
+                f"<= {c.window or 2})) > 0"
+            )
+        if k == "phrase":
+            n = len(c.terms)
+            cond = " AND ".join(
+                f"t[i+{j}] = '{t}'" if j else f"t[i] = '{t}'"
+                for j, t in enumerate(c.terms)
+            )
+            return f"len(list_filter(range(1, len(t) - {n} + 2), i -> {cond})) > 0"
+        if k == "phrase_prefix":
+            n = len(c.terms)
+            conds = [
+                f"t[i+{j}] = '{t}'" if j else f"t[i] = '{t}'"
+                for j, t in enumerate(c.terms)
+            ]
+            conds.append(f"starts_with(t[i+{n}], '{c.prefix}')")
+            return (
+                f"len(list_filter(range(1, len(t) - {n + 1} + 2), "
+                f"i -> {' AND '.join(conds)})) > 0"
+            )
+        if k == "near":
+            anchor, rest, w = c.terms[0], c.terms[1:], c.window
+
+            def pos(term: str) -> str:
+                return f"list_filter(range(1, len(t)+1), i -> t[i] = '{term}')"
+
+            near = " AND ".join(
+                f"len(list_filter({pos(term)}, p{j+1} -> abs(p{j+1} - p0) <= {w})) > 0"
+                for j, term in enumerate(rest)
+            ) or "TRUE"
+            return f"len(list_filter({pos(anchor)}, p0 -> {near})) > 0"
+        if k == "predicate":
+            return f"({c.predicate})"
+        raise ValueError(f"percolate oracle: unsupported kind {k}")
+
+    cl = parse_query(query)
+    musts = [clause(c) for c in cl if c.occur in (B_MUST, B_FILTER)]
+    nots = [f"NOT ({clause(c)})" for c in cl if c.occur == B_MUST_NOT]
+    shoulds = [clause(c) for c in cl if c.occur not in (B_MUST, B_MUST_NOT, B_FILTER)]
+    conds = musts + nots
+    if shoulds:
+        need = max(msm, 0 if musts else 1)
+        if need > 0:
+            n_m = " + ".join(f"CAST({s} AS INT)" for s in shoulds)
+            conds.append(f"({n_m}) >= {need}")
+    return " AND ".join(conds) if conds else "TRUE"
+
+
+def sql_percolate() -> str:
+    arms = []
+    for qid, q in PERCOLATE_QUERIES.items():
+        pred = _sql_percolate_pred(q, PERCOLATE_MSM.get(qid, 0))
+        arms.append(
+            f"SELECT CAST({qid} AS INT) AS query_id, doc_id "
+            f"FROM toks WHERE {pred}"
+        )
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents)
+{body}
+"""
+
+
 RESCORE_POS = "hash table"
 RESCORE_QUERY = '"table hash"'
 RESCORE_WINDOW = 20
@@ -2560,6 +2670,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
         "boosting": (q_boosting, sql_boosting()),
         "rescore": (q_rescore, sql_rescore()),
+        "percolate": (q_percolate, sql_percolate()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

@@ -652,3 +652,20 @@ def test_cli_bool_rescore(capsys, spark, tmp_path_factory):
             spark=spark,
         )
     capsys.readouterr()
+
+
+def test_cli_percolate_verb(capsys, spark):
+    out = run_cli(
+        capsys, spark, "percolate", "--corpus", SF,
+        "-q", "+hash spark", "-q", '"table hash"',
+    )
+    from contextinator_spark.operators.percolate import percolate
+    from contextinator_spark.cli import _corpus
+
+    want = [
+        {"query_id": r.query_id, "doc_id": r.doc_id}
+        for r in percolate(
+            _corpus(spark, SF), {0: "+hash spark", 1: '"table hash"'}
+        ).orderBy("query_id", "doc_id").collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
