@@ -431,8 +431,29 @@ def cmd_bool(args, spark) -> None:
     tie = getattr(args, "dismax", None)
     negative = getattr(args, "negative", None)
     rescore = getattr(args, "rescore", None)
-    if negative and rescore:
-        raise SystemExit("--negative and --rescore are mutually exclusive")
+    fvf = getattr(args, "fvf_modifier", None)
+    if sum(bool(x) for x in (negative, rescore, fvf)) > 1:
+        raise SystemExit(
+            "--negative / --rescore / --fvf-modifier are mutually exclusive"
+        )
+    if fvf:
+        from .operators.boolean import function_score_topk
+
+        out = function_score_topk(
+            spark, args.index, args.query,
+            field=getattr(args, "fvf_field", "doc_len"),
+            modifier=fvf,
+            factor=getattr(args, "fvf_factor", 1.0),
+            mode=getattr(args, "fvf_mode", "multiply"),
+            k=args.k,
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if rescore:
         from .operators.boolean import rescore_topk
 
@@ -853,6 +874,18 @@ def build_parser() -> argparse.ArgumentParser:
     bq.add_argument(
         "--rescore-weight", type=float, default=1.0, dest="rescore_weight",
         metavar="F",
+    )
+    bq.add_argument(
+        "--fvf-modifier", choices=("none", "log1p", "sqrt"),
+        dest="fvf_modifier",
+        help="function_score field_value_factor: combine the score with "
+             "fn(--fvf-factor × --fvf-field) via --fvf-mode",
+    )
+    bq.add_argument("--fvf-field", default="doc_len", dest="fvf_field")
+    bq.add_argument("--fvf-factor", type=float, default=1.0, dest="fvf_factor")
+    bq.add_argument(
+        "--fvf-mode", choices=("multiply", "sum"), default="multiply",
+        dest="fvf_mode",
     )
     bq.set_defaults(fn=cmd_bool)
 

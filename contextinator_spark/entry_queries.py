@@ -2011,6 +2011,37 @@ WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents)
 """
 
 
+FSCORE_QUERY = "hash spark"
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score / field_value_factor (ES): BM25 score × log1p of
+    the doc_len doc_meta field — the composition over the FULL scored
+    stream (pruned top-k first would be unsound under re-weighting)."""
+    from .operators.boolean import function_score_topk
+
+    return function_score_topk(
+        spark, _cached_phrase_index_dir(spark, sf_dir), FSCORE_QUERY,
+        field="doc_len", modifier="log1p", factor=1.0, mode="multiply", k=10,
+    )
+
+
+def sql_function_score() -> str:
+    """Oracle: the compiled algebra at full depth joined to the doc_len
+    meta CTE, score × ln(1 + doc_len), re-rank."""
+    p = _sql_boolean_one(FSCORE_QUERY, k=10**9)
+    return f"""
+WITH p AS ({p}),
+m2 AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS DOUBLE) AS dl FROM documents)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM (SELECT p.doc_id,
+               CAST(round(p.score * ln(1.0 + m2.dl), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+        FROM p JOIN m2 ON p.doc_id = m2.doc_id)
+) WHERE rank <= 10
+"""
+
+
 RESCORE_POS = "hash table"
 RESCORE_QUERY = '"table hash"'
 RESCORE_WINDOW = 20
@@ -2671,6 +2702,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "boosting": (q_boosting, sql_boosting()),
         "rescore": (q_rescore, sql_rescore()),
         "percolate": (q_percolate, sql_percolate()),
+        "function_score": (q_function_score, sql_function_score()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

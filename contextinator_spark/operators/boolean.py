@@ -1039,6 +1039,57 @@ def rescore_topk(
     return _rank_tail(combined, k)
 
 
+def function_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[Clause],
+    field: str = "doc_len",
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    mode: str = "multiply",
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Field-value-factor scoring (the ES `function_score` /
+    `field_value_factor` block): the Boolean query's score combined with
+    a deterministic function of an index-resident numeric doc_meta
+    field —
+
+        score(d) = round(bm25(d) <mode> fn(factor × field(d)), 6)
+
+    with fn ∈ {none, log1p, sqrt} and mode ∈ {multiply, sum}. The
+    classic uses: length normalization beyond BM25's own, recency or
+    popularity boosts when the store carries such a column.
+
+    Pruning contract: the combine reorders docs arbitrarily relative to
+    the BM25 order, so this composes over _boolean_scored's FULL stream
+    (same reasoning as boosting_topk) and joins doc_meta on doc_id —
+    one extra shuffle-free broadcast-free equi-join against the store's
+    partitioned metadata, then the shared collector tail."""
+    if modifier not in ("none", "log1p", "sqrt"):
+        raise ValueError(f"modifier must be none|log1p|sqrt: {modifier!r}")
+    if mode not in ("multiply", "sum"):
+        raise ValueError(f"mode must be multiply|sum: {mode!r}")
+    q_cl = parse_query(query) if isinstance(query, str) else query
+    scored = _boolean_scored(
+        spark, index_dir, q_cl, k1=k1, b=b, max_expansions=max_expansions
+    )
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", F.col(field).cast("double").alias("_fv")
+    )
+    v = F.lit(float(factor)) * F.col("_fv")
+    fn = {"none": v, "log1p": F.log1p(v), "sqrt": F.sqrt(v)}[modifier]
+    comb = (
+        F.col("score") * fn if mode == "multiply" else F.col("score") + fn
+    )
+    out = scored.join(meta, "doc_id").select(
+        "doc_id", F.round(comb, SCORE_ROUND_DECIMALS).alias("score")
+    )
+    return _rank_tail(out, k)
+
+
 def boolean_topk_query(
     spark: SparkSession,
     index_dir: str,

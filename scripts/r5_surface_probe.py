@@ -122,6 +122,25 @@ def main() -> None:
             ])
         }, k=10))
     timed("suggest_grup", lambda: BS.suggest_terms(spark, idx, "grup", k=5))
+    from contextinator_spark.operators.boolean import boosting_topk, rescore_topk
+    from contextinator_spark.operators.percolate import percolate
+
+    timed("boosting", lambda: boosting_topk(
+        spark, idx, "hash spark", 'join "table hash"', 0.3, k=10))
+    timed("rescore_w50", lambda: rescore_topk(
+        spark, idx, "hash table", '"table hash"',
+        window_size=50, rescore_weight=2.0, k=10))
+    # percolation scans the CORPUS (no index): 10 registered queries over
+    # all 8M docs in one codegen pass; count() to avoid a driver collect
+    t = time.perf_counter()
+    n_matches = percolate(corpus, {
+        0: "+hash spark", 1: 'table -join "table hash"', 2: '+"table hash" merge',
+        3: '"big table"~3 scan', 4: "-spark table", 5: "sca* sort",
+        6: "grup~2", 7: '"table s*"', 8: "hash table spark", 9: "+stream +sort",
+    }).count()
+    res["percolate_10q_corpus"] = round(time.perf_counter() - t, 3)
+    print(f"{'percolate_10q_corpus':>28}: {res['percolate_10q_corpus']:7.3f}s  "
+          f"matches={n_matches}", flush=True)
 
     print(json.dumps({
         "amplify": amplify, "n_docs": n_docs, "cpus": cpus,

@@ -1004,3 +1004,45 @@ def test_rescore_window_bounds_and_guards(spark, idx):
     assert inert == base
     with pytest.raises(ValueError, match="window_size"):
         rescore_topk(spark, idx, "hash", "join", window_size=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# function_score (field_value_factor)
+# ---------------------------------------------------------------------------
+
+
+def test_function_score_matches_manual(spark, idx):
+    from contextinator_spark.operators.boolean import function_score_topk
+
+    base = {
+        r.doc_id: r.score
+        for r in boolean_topk_query(spark, idx, "hash spark", k=100).collect()
+    }
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    for modifier, mode, factor, fn in [
+        ("log1p", "multiply", 1.0, lambda v: math.log1p(v)),
+        ("sqrt", "sum", 0.5, lambda v: math.sqrt(v)),
+        ("none", "multiply", 2.0, lambda v: v),
+    ]:
+        got = [
+            (r.rank, r.doc_id, r.score)
+            for r in function_score_topk(
+                spark, idx, "hash spark",
+                modifier=modifier, mode=mode, factor=factor, k=10,
+            ).collect()
+        ]
+        manual = sorted(
+            (
+                (d, round(
+                    s * fn(factor * dl[d]) if mode == "multiply"
+                    else s + fn(factor * dl[d]), 6))
+                for d, s in base.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        want = [(i + 1, d, s) for i, (d, s) in enumerate(manual[:10])]
+        assert got == want, (modifier, mode)
+    with pytest.raises(ValueError, match="modifier"):
+        function_score_topk(spark, idx, "hash", modifier="exp")
+    with pytest.raises(ValueError, match="mode"):
+        function_score_topk(spark, idx, "hash", mode="max")

@@ -669,3 +669,21 @@ def test_cli_percolate_verb(capsys, spark):
         ).orderBy("query_id", "doc_id").collect()
     ]
     assert [json.loads(x) for x in out] == want and want
+
+
+def test_cli_bool_function_score(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_fvf_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "bool", "--index", d, "--query", "hash spark",
+        "--fvf-modifier", "log1p", "--k", "5",
+    )
+    from contextinator_spark.operators.boolean import function_score_topk
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score}
+        for r in function_score_topk(
+            spark, d, "hash spark", modifier="log1p", k=5
+        ).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
