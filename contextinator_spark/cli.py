@@ -577,11 +577,50 @@ def cmd_facets(args, spark) -> None:
     from .oracle import tokenize
 
     terms = [t for w in args.query.split() for t in tokenize(w)]
+    stats = getattr(args, "stats", None)
+    if stats:
+        from .operators.bm25_segments import facet_stats
+
+        out = facet_stats(
+            spark, args.index, terms, facet_col=args.by, stats_col=stats
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: (
+                f"{d[args.by] or '':<24}  n={d['n_docs']:<8} "
+                f"min={d[f'min_{stats}']} avg={d[f'avg_{stats}']:.2f} "
+                f"max={d[f'max_{stats}']}"
+            ),
+            getattr(args, "toon_fold", False),
+        )
+        return
     out = facet_counts(spark, args.index, terms, facet_col=args.by)
     _emit(
         out.collect(),
         args.format,
         lambda d: f"{d[args.by] or '':<24}  {d['n_docs']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
+def cmd_sigterms(args, spark) -> None:
+    """Significant terms (ES significant_terms aggregation): vocabulary
+    terms overrepresented in the query's match set vs the background."""
+    from .operators.bm25_segments import significant_terms
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    out = significant_terms(
+        spark, args.index, terms, k=args.k, min_fg=args.min_fg
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: (
+            f"{d['rank']:>3}  {d['term']:<24}  fg={d['fg']:<6} "
+            f"df={d['df']:<8} lift={d['score']:.4f}"
+        ),
         getattr(args, "toon_fold", False),
     )
 
@@ -913,7 +952,22 @@ def build_parser() -> argparse.ArgumentParser:
     fc.add_argument("--index", required=True)
     fc.add_argument("--query", required=True)
     fc.add_argument("--by", default="lang", help="doc_meta column to facet by")
+    fc.add_argument(
+        "--stats", metavar="COL",
+        help="sub-aggregations: also emit min/avg/max of this numeric "
+             "doc_meta column per facet value (ES terms-agg sub-aggs)",
+    )
     fc.set_defaults(fn=cmd_facets)
+
+    st = sub.add_parser(
+        "sigterms",
+        help="significant terms: vocabulary overrepresented in the match set",
+    )
+    st.add_argument("--index", required=True)
+    st.add_argument("--query", required=True)
+    st.add_argument("--k", type=int, default=10)
+    st.add_argument("--min-fg", type=int, default=2, dest="min_fg")
+    st.set_defaults(fn=cmd_sigterms)
 
     cn = sub.add_parser(
         "count", help="total hit count over the index (no scoring)"

@@ -904,6 +904,68 @@ GROUP BY d.lang ORDER BY lang
 """
 
 
+def q_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation with sub-aggregations: per-lang hit count +
+    min/avg/max doc_len over the FULL match set (not top-k)."""
+    from .operators.bm25_segments import facet_stats
+
+    return facet_stats(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        facet_col="lang", stats_col="doc_len",
+    )
+
+
+def sql_facet_stats() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}), q(term) AS (VALUES {values}),
+m AS (SELECT DISTINCT p.doc_id FROM post p JOIN q ON p.term = q.term),
+meta AS (SELECT doc_id, lang, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents)
+SELECT meta.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_len) AS BIGINT) AS min_doc_len,
+       CAST(round(avg(doc_len), 6) AS DOUBLE) AS avg_doc_len,
+       CAST(max(doc_len) AS BIGINT) AS max_doc_len
+FROM m JOIN meta ON m.doc_id = meta.doc_id
+GROUP BY meta.lang ORDER BY lang
+"""
+
+
+SIGTERMS_SEED = "dup"
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms: vocabulary terms overrepresented in the
+    SIGTERMS_SEED match set vs the background corpus, by foreground/
+    background lift — (rank, term, fg, df, score) top-10."""
+    from .operators.bm25_segments import significant_terms
+
+    return significant_terms(
+        spark, _cached_index_dir(spark, sf_dir), [SIGTERMS_SEED],
+        k=10, min_fg=2,
+    )
+
+
+def sql_significant_terms() -> str:
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+fg AS (SELECT DISTINCT doc_id FROM post WHERE term = '{SIGTERMS_SEED}'),
+nfg AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fg),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+st AS (SELECT p.term, CAST(count(*) AS BIGINT) AS df,
+              CAST(count(*) FILTER (WHERE p.doc_id IN (SELECT doc_id FROM fg)) AS BIGINT) AS fg_n
+       FROM post p GROUP BY p.term),
+scored AS (SELECT term, fg_n AS fg, df,
+                  CAST(round((fg_n / nfg.n) / (df / nd.n), 6) AS DOUBLE) AS score
+           FROM st, nfg, nd
+           WHERE fg_n >= 2 AND term <> '{SIGTERMS_SEED}')
+SELECT CAST(rank AS INT) AS rank, term, fg, df, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, fg DESC, term) AS rank,
+         term, fg, df, score
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene field-collapsing analog (CollapsingTopDocsCollector): the
     flagship query's top-10 GROUPS — one best-scoring doc per repo
@@ -2675,6 +2737,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
+        "facet_stats": (q_facet_stats, sql_facet_stats()),
+        "sig_terms": (q_significant_terms, sql_significant_terms()),
         "match_count": (q_match_count, sql_match_count()),
         "bm25_sort": (q_bm25_sort, sql_bm25_sort()),
         "bm25_collapse": (q_bm25_collapse, sql_bm25_collapse()),

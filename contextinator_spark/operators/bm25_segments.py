@@ -1787,6 +1787,151 @@ def facet_counts(
     )
 
 
+def facet_stats(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    facet_col: str = "lang",
+    stats_col: str = "doc_len",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES terms-aggregation WITH sub-aggregations: per facet value over
+    the FULL match set, the hit count plus min/avg/max of a numeric
+    doc_meta column — (facet, n_docs, min_x, avg_x, max_x), avg rounded
+    to 6. Same plan as facet_counts (pruned scan → distinct → doc_meta
+    join) with the stats folded into the SAME tiny facet agg — sub-aggs
+    are free once the join has happened."""
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    empty_schema = (
+        f"{facet_col} string, n_docs long, min_{stats_col} long, "
+        f"avg_{stats_col} double, max_{stats_col} long"
+    )
+    if docs is None:
+        return spark.createDataFrame([], empty_schema)
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", facet_col, stats_col
+    )
+    return (
+        docs.distinct()
+        .join(meta, "doc_id")
+        .groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(stats_col).cast("long").alias(f"min_{stats_col}"),
+            F.round(F.avg(stats_col), 6).alias(f"avg_{stats_col}"),
+            F.max(stats_col).cast("long").alias(f"max_{stats_col}"),
+        )
+        .orderBy(facet_col)
+    )
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    min_fg: int = 2,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES significant_terms aggregation: vocabulary terms OVERREPRESENTED
+    in the query's match set relative to the background corpus, ranked by
+    the foreground/background lift
+
+        score = (fg / n_fg) / (df / n_docs)
+
+    with fg = |postings(term) ∩ match set| (live docs), df = background
+    document frequency, n_fg = |match set|. Query terms themselves are
+    excluded (their lift is tautological); fg < min_fg filtered (rare-
+    noise guard, the ES shard_min_doc_count analog). Output
+    (rank, term, fg, df, score), score rounded to 6, ties broken by
+    (fg desc, term asc).
+
+    Plan shape — the honest one, same as ES over doc_values: the match
+    set is collected as a BROADCAST numpy membership array (match sets
+    are query-sized, not corpus-sized), then ONE full segments scan
+    counts each term's overlap kernel-side (sorted-array intersection per
+    blob, no per-doc rows materialized) and a vocabulary-sized agg ranks.
+    Unlike every search executor this CANNOT partition-prune — candidate
+    terms are unknown up front, which is intrinsic to the aggregation —
+    but the scan emits one (term, fg) row per slice, so the exchange is
+    vocabulary-scale, not corpus-scale."""
+    stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    n_docs = float(stats["n_docs"])
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    out_schema = "rank int, term string, fg long, df long, score double"
+    if docs is None:
+        return spark.createDataFrame([], out_schema)
+    # Arrow-collect the match set as one sorted int64 array. A match set
+    # is query-sized; at truly corpus-sized match sets the swap point is
+    # a compressed bitmap broadcast (roaring) — the kernel below only
+    # needs membership tests against a sorted structure.
+    fg_ids = np.unique(
+        docs.distinct().toPandas()["doc_id"].to_numpy(dtype=np.int64)
+    )
+    n_fg = int(fg_ids.size)
+    if n_fg == 0:
+        return spark.createDataFrame([], out_schema)
+    fg_bc = spark.sparkContext.broadcast(fg_ids)
+    # under-cap tombstones mask the background dfs kernel-side; over-cap
+    # deletes were already excluded from the fg set by _matched_docs, and
+    # their residual effect on background df only DEFLATES lift scores
+    # until the next compaction purges them (documented, conservative)
+    tomb_bc, _tomb_over_df = _tombstones(spark, index_dir)
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).select(
+        "term", "blob"
+    )
+
+    def overlap(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            terms_out, fg_out, df_out = [], [], []
+            fg = fg_bc.value
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, _tfs, _dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    doc_ids = doc_ids[live_mask(doc_ids, tomb_bc.value)]
+                if not doc_ids.size:
+                    continue
+                inter = np.searchsorted(fg, doc_ids)
+                inter = np.count_nonzero(
+                    (inter < fg.size)
+                    & (fg[np.minimum(inter, fg.size - 1)] == doc_ids)
+                )
+                terms_out.append(term)
+                fg_out.append(int(inter))
+                df_out.append(int(doc_ids.size))
+            if terms_out:
+                yield pd.DataFrame(
+                    {"term": terms_out, "fg": fg_out, "df": df_out}
+                )
+
+    per_slice = seg.mapInPandas(overlap, schema="term string, fg long, df long")
+    qset = sorted({t.lower() for t in terms})
+    w = Window.orderBy(
+        F.desc("score"), F.desc("fg"), F.asc("term")
+    )
+    return (
+        per_slice.groupBy("term")
+        .agg(F.sum("fg").alias("fg"), F.sum("df").alias("df"))
+        .filter((F.col("fg") >= int(min_fg)) & ~F.col("term").isin(qset))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("fg") / F.lit(float(n_fg)))
+                / (F.col("df") / F.lit(n_docs)),
+                6,
+            ),
+        )
+        .orderBy(F.desc("score"), F.desc("fg"), F.asc("term"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "term", "fg", "df", "score")
+    )
+
+
 def match_count(
     spark: SparkSession,
     index_dir: str,

@@ -1046,3 +1046,56 @@ def test_function_score_matches_manual(spark, idx):
         function_score_topk(spark, idx, "hash", modifier="exp")
     with pytest.raises(ValueError, match="mode"):
         function_score_topk(spark, idx, "hash", mode="max")
+
+
+# ---------------------------------------------------------------------------
+# aggregations: facet stats + significant terms
+# ---------------------------------------------------------------------------
+
+
+def test_facet_stats_matches_manual(spark, idx):
+    from contextinator_spark.operators.bm25_segments import facet_stats
+
+    rows = facet_stats(spark, idx, ["hash", "spark"], "lang", "doc_len").collect()
+    # match set: docs containing hash or spark = {0,1,2,3,4,6}
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    lang = {d: l for d, _c, l in DOCS}
+    match = {0, 1, 2, 3, 4, 6}
+    want = {}
+    for lg in sorted({lang[d] for d in match}):
+        ds = [d for d in match if lang[d] == lg]
+        ls = [dl[d] for d in ds]
+        want[lg] = (len(ds), min(ls), round(sum(ls) / len(ls), 6), max(ls))
+    got = {
+        r[0]: (r.n_docs, r.min_doc_len, r.avg_doc_len, r.max_doc_len)
+        for r in rows
+    }
+    assert got == want
+
+
+def test_significant_terms_lift_and_exclusions(spark, idx):
+    from contextinator_spark.operators.bm25_segments import significant_terms
+
+    rows = significant_terms(spark, idx, ["spark"], k=10, min_fg=1).collect()
+    # fg set = docs with spark = {1, 4}; manual lift per term
+    toks = {d: c.split() for d, c, _l in DOCS}
+    n, fg_set = len(DOCS), {1, 4}
+    want = {}
+    for t in {w for ws in toks.values() for w in ws}:
+        if t == "spark":
+            continue
+        fg = sum(1 for d in fg_set if t in toks[d])
+        df = sum(1 for d in toks if t in toks[d])
+        if fg >= 1:
+            want[t] = (fg, df, round((fg / len(fg_set)) / (df / n), 6))
+    got = {r.term: (r.fg, r.df, r.score) for r in rows}
+    assert got == want
+    # ordering: lift desc; "join" (fg 1 of 2, df 4/8) lift 1.0;
+    # "hash"/"table" in doc4 → fg 1, df 5 and 3
+    order = [r.term for r in rows]
+    assert order == sorted(want, key=lambda t: (-want[t][2], -want[t][0], t))
+    # query term excluded
+    assert "spark" not in got
+    # absent query → empty frame with schema
+    empty = significant_terms(spark, idx, ["zzz_absent"], k=5)
+    assert empty.count() == 0 and empty.columns == ["rank", "term", "fg", "df", "score"]

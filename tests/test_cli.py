@@ -687,3 +687,31 @@ def test_cli_bool_function_score(capsys, spark, tmp_path_factory):
         ).collect()
     ]
     assert [json.loads(x) for x in out] == want and want
+
+
+def test_cli_facets_stats_and_sigterms(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_agg_idx"))
+    run_cli(capsys, spark, "build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "facets", "--index", d, "--query", "table hash",
+        "--by", "lang", "--stats", "doc_len",
+    )
+    from contextinator_spark.operators.bm25_segments import (
+        facet_stats,
+        significant_terms,
+    )
+
+    want = [
+        {"lang": r[0], "n_docs": r.n_docs, "min_doc_len": r.min_doc_len,
+         "avg_doc_len": r.avg_doc_len, "max_doc_len": r.max_doc_len}
+        for r in facet_stats(spark, d, ["table", "hash"], "lang", "doc_len").collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
+    out2 = run_cli(
+        capsys, spark, "sigterms", "--index", d, "--query", "dup", "--k", "5"
+    )
+    want2 = [
+        {"rank": r.rank, "term": r.term, "fg": r.fg, "df": r.df, "score": r.score}
+        for r in significant_terms(spark, d, ["dup"], k=5).collect()
+    ]
+    assert [json.loads(x) for x in out2] == want2 and want2
