@@ -604,6 +604,43 @@ def cmd_facets(args, spark) -> None:
     )
 
 
+def cmd_tophits(args, spark) -> None:
+    """Per-group top-k hits (ES terms agg + top_hits sub-agg)."""
+    from .operators.bm25_segments import top_hits
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    out = top_hits(
+        spark, args.index, terms, group_col=args.by, k_per_group=args.k
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: (
+            f"{d[args.by] or '':<20} #{d['group_rank']}  "
+            f"{d['doc_id']:<16} {d['score']:.6f}"
+        ),
+        getattr(args, "toon_fold", False),
+    )
+
+
+def cmd_histo(args, spark) -> None:
+    """Fixed-interval histogram over the match set (ES histogram agg)."""
+    from .operators.bm25_segments import histogram_agg
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    out = histogram_agg(
+        spark, args.index, terms, field=args.field, interval=args.interval
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['bucket']:>8}  {d['n_docs']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_sigterms(args, spark) -> None:
     """Significant terms (ES significant_terms aggregation): vocabulary
     terms overrepresented in the query's match set vs the background."""
@@ -958,6 +995,24 @@ def build_parser() -> argparse.ArgumentParser:
              "doc_meta column per facet value (ES terms-agg sub-aggs)",
     )
     fc.set_defaults(fn=cmd_facets)
+
+    th = sub.add_parser(
+        "tophits", help="per-group top-k hits (terms agg + top_hits)"
+    )
+    th.add_argument("--index", required=True)
+    th.add_argument("--query", required=True)
+    th.add_argument("--by", default="lang")
+    th.add_argument("--k", type=int, default=3, help="hits per group")
+    th.set_defaults(fn=cmd_tophits)
+
+    hg = sub.add_parser(
+        "histo", help="fixed-interval histogram over the match set"
+    )
+    hg.add_argument("--index", required=True)
+    hg.add_argument("--query", required=True)
+    hg.add_argument("--field", default="doc_len")
+    hg.add_argument("--interval", type=int, default=10)
+    hg.set_defaults(fn=cmd_histo)
 
     st = sub.add_parser(
         "sigterms",

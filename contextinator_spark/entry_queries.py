@@ -966,6 +966,72 @@ SELECT CAST(rank AS INT) AS rank, term, fg, df, score FROM (
 """
 
 
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-agg + top_hits sub-agg: per-lang top-3 scoring docs of
+    the flagship disjunction — every group surfaces (the drill-down
+    shape; collapse is the k=1 re-ranked special case)."""
+    from .operators.bm25_segments import top_hits
+
+    return top_hits(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        group_col="lang", k_per_group=3,
+    )
+
+
+def sql_top_hits() -> str:
+    k1, b = BM25_K1, BM25_B
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}), q(term) AS (VALUES {values}),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post p JOIN q ON p.term = q.term JOIN dfs d ON p.term = d.term
+       JOIN meta m ON p.doc_id = m.doc_id CROSS JOIN stats s
+  GROUP BY p.doc_id)
+SELECT lang, CAST(group_rank AS INT) AS group_rank, doc_id, score FROM (
+  SELECT dd.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY dd.lang ORDER BY sc.score DESC, sc.doc_id) AS group_rank
+  FROM scored sc JOIN documents dd ON sc.doc_id = dd.doc_id
+) WHERE group_rank <= 3 ORDER BY lang, group_rank
+"""
+
+
+HISTO_INTERVAL = 10
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation: doc_len buckets of width HISTO_INTERVAL
+    over the flagship disjunction's FULL match set."""
+    from .operators.bm25_segments import histogram_agg
+
+    return histogram_agg(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        field="doc_len", interval=HISTO_INTERVAL,
+    )
+
+
+def sql_histogram() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}), q(term) AS (VALUES {values}),
+m AS (SELECT DISTINCT p.doc_id FROM post p JOIN q ON p.term = q.term),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS doc_len FROM documents)
+SELECT CAST((doc_len // {HISTO_INTERVAL}) * {HISTO_INTERVAL} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN meta ON m.doc_id = meta.doc_id
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 def q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene field-collapsing analog (CollapsingTopDocsCollector): the
     flagship query's top-10 GROUPS — one best-scoring doc per repo
@@ -2739,6 +2805,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
         "facet_stats": (q_facet_stats, sql_facet_stats()),
         "sig_terms": (q_significant_terms, sql_significant_terms()),
+        "top_hits": (q_top_hits, sql_top_hits()),
+        "histogram": (q_histogram, sql_histogram()),
         "match_count": (q_match_count, sql_match_count()),
         "bm25_sort": (q_bm25_sort, sql_bm25_sort()),
         "bm25_collapse": (q_bm25_collapse, sql_bm25_collapse()),

@@ -1949,47 +1949,28 @@ def match_count(
     return docs.agg(F.count_distinct("doc_id").alias("n_docs"))
 
 
-def collapse_topk(
+def _exact_scored_matches(
     spark: SparkSession,
     index_dir: str,
     terms: list[str],
-    collapse_col: str = "repo",
-    k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
     n_partitions: int | None = None,
-) -> DataFrame:
-    """Lucene field-collapsing analog (CollapsingTopDocsCollector): top-k
-    GROUPS — at most one hit per distinct doc_meta[collapse_col] value,
-    each group represented by its best-scoring live doc (score desc,
-    doc_id asc within the group), groups ranked by their winner.
-
-    θ/block-max/sketch pruning is deliberately OFF: every such bound is
-    derived from the global k-th best DOC, and a group winner can
-    legitimately score below it — top hits concentrating in few groups is
-    exactly the case collapsing exists for, so pruning with the doc-level
-    θ would drop the winners of diverse groups. Dictionary partition+term
-    pruning still applies (match-preserving), as do tombstone masks.
-
-    Plan shape: one pruned scan → exact BM25 partials (same kernel math
-    as topk_segments, tested rank-identical pre-collapse) → one
-    groupBy(doc_id) fold → doc_id equi-join to the store-resident
-    doc_meta for the collapse key → per-group row_number window → global
-    top-k via TakeOrderedAndProject. The window shuffles on collapse_col
-    over the MATCHING docs only (one row per matched doc), not the
-    corpus; at cluster scale this is one extra bounded exchange after the
-    fold. Group-key skew mirrors the corpus's repo-size skew — acceptable
-    because the window's per-group state is O(1) (running row_number),
-    not a buffered sort of the group."""
+) -> DataFrame | None:
+    """(doc_id, score) for EVERY live matching doc of the disjunction —
+    the unpruned exact BM25 fold (same kernel math as topk_segments,
+    rank-identical pre-cut). Shared by the group-shaped collectors
+    (collapse_topk, top_hits) where doc-level θ/block-max bounds are
+    unsound: a group winner can score below the global k-th doc. None
+    when no query term is indexed."""
     stats = load_stats(index_dir)
     if n_partitions is None:
         n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
     n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    out_schema = f"rank int, {collapse_col} string, doc_id long, score double"
     info = probe_dictionary(spark, index_dir, sorted(set(terms)), n_partitions)
     matched = sorted(info)
     if not matched:
-        return spark.createDataFrame([], out_schema)
+        return None
     tomb_bc, tomb_over = _tombstones(spark, index_dir)
     idf_b = {t: _idf(float(info[t]["df"]), n) for t in matched}
 
@@ -2030,9 +2011,123 @@ def collapse_topk(
     partials = seg.mapInPandas(score_slices, schema="doc_id long, partial double")
     if tomb_over is not None:  # over-cap tombstones: distributed anti-join
         partials = partials.join(tomb_over, "doc_id", "left_anti")
-    scored = partials.groupBy("doc_id").agg(
+    return partials.groupBy("doc_id").agg(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
+
+
+def top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    group_col: str = "lang",
+    k_per_group: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES terms-aggregation + top_hits sub-aggregation: for EVERY value
+    of a doc_meta column with ≥1 match, that group's top k_per_group
+    scoring docs — (group, group_rank, doc_id, score), rows ordered by
+    (group asc, group_rank asc). The per-group generalization of
+    collapse_topk (k=1 per group, groups re-ranked) — here every group
+    surfaces, which is the ES drill-down shape.
+
+    Same pruning stance as collapse: doc-level θ bounds are unsound for
+    group collectors, so this folds the exact match set; the window
+    shuffles matching docs once on the group key with O(1) per-group
+    state (running row_number, cut at k_per_group)."""
+    out_schema = (
+        f"{group_col} string, group_rank int, doc_id long, score double"
+    )
+    scored = _exact_scored_matches(spark, index_dir, terms, k1, b, n_partitions)
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", group_col
+    )
+    wg = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(meta, "doc_id")
+        .withColumn("group_rank", F.row_number().over(wg).cast("int"))
+        .filter(F.col("group_rank") <= int(k_per_group))
+        .orderBy(F.asc(group_col), F.asc("group_rank"))
+        .select(group_col, "group_rank", "doc_id", "score")
+    )
+
+
+def histogram_agg(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    field: str = "doc_len",
+    interval: int = 10,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES histogram aggregation over the FULL match set: fixed-interval
+    buckets of a numeric doc_meta field → hit counts, bucket key =
+    floor(field / interval) × interval, empty buckets omitted
+    (min_doc_count=1 semantics). Same plan as facet_counts with the
+    bucket expression as the group key."""
+    if interval <= 0:
+        raise ValueError("interval must be ≥ 1")
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    if docs is None:
+        return spark.createDataFrame([], "bucket long, n_docs long")
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", field
+    )
+    bucket = (
+        F.floor(F.col(field) / F.lit(int(interval))) * F.lit(int(interval))
+    ).cast("long")
+    return (
+        docs.distinct()
+        .join(meta, "doc_id")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+def collapse_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    collapse_col: str = "repo",
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Lucene field-collapsing analog (CollapsingTopDocsCollector): top-k
+    GROUPS — at most one hit per distinct doc_meta[collapse_col] value,
+    each group represented by its best-scoring live doc (score desc,
+    doc_id asc within the group), groups ranked by their winner.
+
+    θ/block-max/sketch pruning is deliberately OFF: every such bound is
+    derived from the global k-th best DOC, and a group winner can
+    legitimately score below it — top hits concentrating in few groups is
+    exactly the case collapsing exists for, so pruning with the doc-level
+    θ would drop the winners of diverse groups. Dictionary partition+term
+    pruning still applies (match-preserving), as do tombstone masks.
+
+    Plan shape: one pruned scan → exact BM25 partials (same kernel math
+    as topk_segments, tested rank-identical pre-collapse) → one
+    groupBy(doc_id) fold → doc_id equi-join to the store-resident
+    doc_meta for the collapse key → per-group row_number window → global
+    top-k via TakeOrderedAndProject. The window shuffles on collapse_col
+    over the MATCHING docs only (one row per matched doc), not the
+    corpus; at cluster scale this is one extra bounded exchange after the
+    fold. Group-key skew mirrors the corpus's repo-size skew — acceptable
+    because the window's per-group state is O(1) (running row_number),
+    not a buffered sort of the group."""
+    stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    out_schema = f"rank int, {collapse_col} string, doc_id long, score double"
+    scored = _exact_scored_matches(spark, index_dir, terms, k1, b, n_partitions)
+    if scored is None:
+        return spark.createDataFrame([], out_schema)
     meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
         "doc_id", collapse_col
     )

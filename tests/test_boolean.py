@@ -1099,3 +1099,45 @@ def test_significant_terms_lift_and_exclusions(spark, idx):
     # absent query → empty frame with schema
     empty = significant_terms(spark, idx, ["zzz_absent"], k=5)
     assert empty.count() == 0 and empty.columns == ["rank", "term", "fg", "df", "score"]
+
+
+def test_top_hits_per_group_matches_manual(spark, idx):
+    from contextinator_spark.operators.bm25_segments import top_hits, topk_segments
+
+    rows = top_hits(spark, idx, ["hash", "spark"], "lang", k_per_group=2).collect()
+    # manual: full exact ranking, then per-lang top-2
+    full = {
+        r.doc_id: r.score
+        for r in topk_segments(spark, idx, ["hash", "spark"], k=100).collect()
+    }
+    lang = {d: l for d, _c, l in DOCS}
+    want = []
+    for lg in sorted({lang[d] for d in full}):
+        ds = sorted(
+            (d for d in full if lang[d] == lg),
+            key=lambda d: (-full[d], d),
+        )[:2]
+        want.extend((lg, i + 1, d, full[d]) for i, d in enumerate(ds))
+    got = [(r[0], r.group_rank, r.doc_id, r.score) for r in rows]
+    assert got == want and got
+    # absent terms → empty with schema
+    empty = top_hits(spark, idx, ["zzz_absent"], "lang")
+    assert empty.count() == 0 and empty.columns == ["lang", "group_rank", "doc_id", "score"]
+
+
+def test_histogram_agg_buckets(spark, idx):
+    from contextinator_spark.operators.bm25_segments import histogram_agg
+
+    rows = histogram_agg(spark, idx, ["hash", "spark"], "doc_len", interval=2).collect()
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    match = {0, 1, 2, 3, 4, 6}
+    want: dict[int, int] = {}
+    for d in match:
+        bkt = (dl[d] // 2) * 2
+        want[bkt] = want.get(bkt, 0) + 1
+    assert {r.bucket: r.n_docs for r in rows} == want
+    assert [r.bucket for r in rows] == sorted(want)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        histogram_agg(spark, idx, ["hash"], interval=0)

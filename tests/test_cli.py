@@ -715,3 +715,31 @@ def test_cli_facets_stats_and_sigterms(capsys, spark, tmp_path_factory):
         for r in significant_terms(spark, d, ["dup"], k=5).collect()
     ]
     assert [json.loads(x) for x in out2] == want2 and want2
+
+
+def test_cli_tophits_and_histo(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_th_idx"))
+    run_cli(capsys, spark, "build", "--corpus", SF, "--index", d)
+    from contextinator_spark.operators.bm25_segments import (
+        histogram_agg,
+        top_hits,
+    )
+
+    out = run_cli(
+        capsys, spark, "tophits", "--index", d, "--query", "table hash",
+        "--by", "lang", "--k", "2",
+    )
+    want = [
+        {"lang": r[0], "group_rank": r.group_rank, "doc_id": r.doc_id, "score": r.score}
+        for r in top_hits(spark, d, ["table", "hash"], "lang", 2).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
+    out2 = run_cli(
+        capsys, spark, "histo", "--index", d, "--query", "table hash",
+        "--interval", "20",
+    )
+    want2 = [
+        {"bucket": r.bucket, "n_docs": r.n_docs}
+        for r in histogram_agg(spark, d, ["table", "hash"], interval=20).collect()
+    ]
+    assert [json.loads(x) for x in out2] == want2 and want2
