@@ -27,18 +27,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..config import TOKEN_PATTERN, TOKEN_SPLIT_PATTERN
+from ..config import TOKEN_PATTERN
 
 
 def tokens_expr(col: Column | str) -> Column:
     """array<string> of BM25 terms — pure columnar, codegen-friendly.
 
-    split+filter rather than a regexp_extract_all so the identical expression
-    is writable in DuckDB oracle SQL (regexp_split_to_array ... != '').
-    """
+    regexp_extract_all of TOKEN_PATTERN, which is value-identical to
+    splitting on the complement class and dropping empties (the DuckDB
+    oracles keep the regexp_split_to_array formulation — same results,
+    different engine idiom). The split+filter form this replaced was
+    measured 13× slower in whole-stage codegen (44 s vs 3.5 s tokenizing
+    1M docs on local[32]): StringSplit drives Pattern.split region
+    matching per separator run, while RegexpExtractAll walks the string
+    once — this expression sits under EVERY scan-form operator and
+    percolation, so the idiom choice is a first-order cost."""
     c = F.col(col) if isinstance(col, str) else col
-    arr = F.split(F.lower(c), TOKEN_SPLIT_PATTERN)
-    return F.filter(arr, lambda x: x != F.lit(""))
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
