@@ -556,6 +556,23 @@ def cmd_explain(args, spark) -> None:
     from .operators.bm25_segments import explain_topk
     from .oracle import tokenize
 
+    if getattr(args, "bool_query", False):
+        # full Boolean grammar: per-CLAUSE decomposition instead of
+        # per-term (operators/boolean.boolean_explain)
+        from .operators.boolean import boolean_explain
+
+        out = boolean_explain(spark, args.index, args.query, k=args.k)
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: (
+                f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:>10.6f}  "
+                f"c{d['clause_id']:<3} {d['occur']:<8} {d['kind']:<14} "
+                f"partial={d['partial']:.6f}"
+            ),
+            getattr(args, "toon_fold", False),
+        )
+        return
     terms = [t for w in args.query.split() for t in tokenize(w)]
     out = explain_topk(spark, args.index, terms, k=args.k)
     _emit(
@@ -981,6 +998,11 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--index", required=True)
     ex.add_argument("--query", required=True)
     ex.add_argument("--k", type=int, default=10)
+    ex.add_argument(
+        "--bool", action="store_true", dest="bool_query",
+        help="treat --query as the full Boolean grammar and decompose "
+             "per CLAUSE instead of per term",
+    )
     ex.set_defaults(fn=cmd_explain)
 
     fc = sub.add_parser(

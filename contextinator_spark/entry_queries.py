@@ -1723,7 +1723,12 @@ BOOLEAN_BATCH_QUERIES: dict[int, str] = {
 }
 
 
-def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
+def _sql_boolean_one(
+    query: str,
+    k: int = 10,
+    min_should_match: int = 0,
+    explain: bool = False,
+) -> str:
     """Compile ONE Boolean query string to its DuckDB oracle: the same
     clause-by-clause structure as sql_bm25_boolean, generated generically
     from the engine's own parse (the oracle reuses the parser only to
@@ -1912,6 +1917,32 @@ def _sql_boolean_one(query: str, k: int = 10, min_should_match: int = 0) -> str:
         conds.append(f"doc_id IN (SELECT doc_id FROM {_ptbl(p)} WHERE {p})")
     where = " AND ".join(conds)
     joined = ",\n".join(ctes)
+    if explain:
+        # per-clause decomposition of the surviving top-k (the engine's
+        # boolean_explain contract): const clauses fold with MAX (fixed v
+        # once per doc), BM25 clauses with SUM over their expansion rows
+        const_cids = sorted(
+            {cid for cid, _m, _t, _v in const_terms}
+            | {cid for cid, _m, _ts, _w, _v, _p in const_pos}
+            | {cid for cid, _m, _p2, _v in const_preds}
+        )
+        fold = (
+            f"CASE WHEN cid IN ({', '.join(map(str, const_cids))}) "
+            "THEN max(partial) ELSE sum(partial) END"
+            if const_cids
+            else "sum(partial)"
+        )
+        return f"""
+WITH {joined},
+ranked AS (SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM agg WHERE {where}) WHERE rank <= {k}),
+pc AS (SELECT doc_id, cid, CAST(round({fold}, {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS partial
+       FROM allp GROUP BY doc_id, cid)
+SELECT r.rank, r.doc_id, r.score, CAST(p.cid AS INT) AS clause_id, p.partial
+FROM ranked r JOIN pc p ON r.doc_id = p.doc_id
+ORDER BY rank, clause_id
+"""
     return f"""
 WITH {joined}
 SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
@@ -1990,6 +2021,22 @@ def sql_boolean_msm() -> str:
     """Oracle: the compiled Boolean query plus an `ns >= 2` SHOULD-coverage
     condition (distinct matched non-MUST clause ids per doc)."""
     return _sql_boolean_one(BOOLEAN_MSM_QUERY, min_should_match=BOOLEAN_MSM)
+
+
+def q_boolean_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clause score decomposition of BOOLEAN_QUERY's top-10 (the
+    BooleanQuery face of IndexSearcher.explain) — the parity projection
+    (rank, doc_id, score, clause_id, partial); occur/kind columns are
+    CLI-only sugar."""
+    from .operators.boolean import boolean_explain
+
+    return boolean_explain(
+        spark, _cached_phrase_index_dir(spark, sf_dir), BOOLEAN_QUERY, k=10
+    ).select("rank", "doc_id", "score", "clause_id", "partial")
+
+
+def sql_boolean_explain() -> str:
+    return _sql_boolean_one(BOOLEAN_QUERY, explain=True)
 
 
 BOOSTING_POS = "hash spark"
@@ -2832,6 +2879,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "boolean_batch": (q_boolean_batch, sql_boolean_batch()),
         "boolean_msm": (q_boolean_msm, sql_boolean_msm()),
         "boosting": (q_boosting, sql_boosting()),
+        "boolean_explain": (q_boolean_explain, sql_boolean_explain()),
         "rescore": (q_rescore, sql_rescore()),
         "percolate": (q_percolate, sql_percolate()),
         "function_score": (q_function_score, sql_function_score()),

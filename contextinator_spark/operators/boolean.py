@@ -435,6 +435,7 @@ def _boolean_scored(
     combine: str = "sum",
     tie_breaker: float = 0.0,
     min_should_match: int = 0,
+    _partials_out: list | None = None,
 ) -> DataFrame:
     """The FULL scored match stream (doc_id, score) of a Boolean query —
     everything boolean_topk does except the final rank/limit, so
@@ -687,6 +688,8 @@ def _boolean_scored(
         allp = allp.unionByName(p)
     if tomb_over is not None:  # over-cap tombstones: distributed anti-join
         allp = allp.join(tomb_over, "doc_id", "left_anti")
+    if _partials_out is not None:
+        _partials_out.append(allp)
 
     # ---- ONE shuffle: fold partials + MUST coverage per doc. For dismax
     # the per-clause fold is pivoted into one column per scoring clause
@@ -1088,6 +1091,82 @@ def function_score_topk(
         "doc_id", F.round(comb, SCORE_ROUND_DECIMALS).alias("score")
     )
     return _rank_tail(out, k)
+
+
+def boolean_explain(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[Clause],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+    combine: str = "sum",
+    tie_breaker: float = 0.0,
+    min_should_match: int = 0,
+) -> DataFrame:
+    """Score decomposition for a Boolean query's top-k (the BooleanQuery
+    face of Lucene IndexSearcher.explain): one row per (hit, matching
+    scoring clause) carrying that clause's folded partial — boosts
+    included, a ConstantScore clause folds to its fixed v once — joined
+    to the hit's rank and total score. (rank, doc_id, score, clause_id,
+    occur, kind, partial), ordered (rank, clause_id), partial rounded to
+    6. Under combine="sum" with no msm oddities, Σ partials per hit
+    re-rounds to the hit's score (tested); under dismax the clause rows
+    expose max + tie·rest directly.
+
+    Plan: ONE extra consumer of the executor's own partial stream
+    (_boolean_scored's `allp`, pre-fold) — the ranking is the standard
+    collector output; the decomposition restricts `allp` to the k
+    surviving docs with a broadcast join, then folds per (doc, clause).
+    No second scan of the store, no new exchange shapes."""
+    cl = parse_query(query) if isinstance(query, str) else list(query)
+    sink: list = []
+    scored = _boolean_scored(
+        spark, index_dir, cl, k1=k1, b=b, max_expansions=max_expansions,
+        combine=combine, tie_breaker=tie_breaker,
+        min_should_match=min_should_match, _partials_out=sink,
+    )
+    top = _rank_tail(scored, k)
+    out_schema = (
+        "rank int, doc_id long, score double, clause_id int, "
+        "occur string, kind string, partial double"
+    )
+    if not sink:
+        return spark.createDataFrame([], out_schema)
+    allp = sink[0]
+    const_ids = [
+        cid for cid, c in enumerate(cl)
+        if c.occur in (MUST, SHOULD) and c.const_score is not None
+    ]
+    meta = spark.createDataFrame(
+        [
+            (cid, c.occur, c.kind)
+            for cid, c in enumerate(cl)
+            if c.occur in (MUST, SHOULD)
+        ],
+        "clause_id int, occur string, kind string",
+    )
+    folded = (
+        allp.join(F.broadcast(top), "doc_id")
+        .groupBy("rank", "doc_id", "score", "clause_id")
+        .agg(
+            F.sum("partial").alias("_sum"), F.max("partial").alias("_max")
+        )
+        .withColumn(
+            "partial",
+            F.round(
+                F.when(F.col("clause_id").isin(const_ids), F.col("_max"))
+                .otherwise(F.col("_sum")),
+                SCORE_ROUND_DECIMALS,
+            ),
+        )
+    )
+    return (
+        folded.join(F.broadcast(meta), "clause_id")
+        .select("rank", "doc_id", "score", "clause_id", "occur", "kind", "partial")
+        .orderBy("rank", "clause_id")
+    )
 
 
 def boolean_topk_query(

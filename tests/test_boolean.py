@@ -1141,3 +1141,42 @@ def test_histogram_agg_buckets(spark, idx):
 
     with _pt.raises(ValueError):
         histogram_agg(spark, idx, ["hash"], interval=0)
+
+
+# ---------------------------------------------------------------------------
+# Boolean explain (per-clause decomposition)
+# ---------------------------------------------------------------------------
+
+
+def test_boolean_explain_partials_sum_to_score(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_explain
+
+    q = '+hash spark -join "table hash" lang:en'
+    rows = boolean_explain(spark, idx, q, k=10).collect()
+    assert rows
+    # ranking identical to the collector
+    want = {
+        (r.rank, r.doc_id, r.score)
+        for r in boolean_topk_query(spark, idx, q, k=10).collect()
+    }
+    assert {(r.rank, r.doc_id, r.score) for r in rows} == want
+    # per-hit: sum of clause partials re-rounds to the total score
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in by_doc.items():
+        assert round(sum(x.partial for x in rs), 4) == round(rs[0].score, 4), d
+        # occur/kind sugar present and sane
+        assert all(x.occur in ("MUST", "SHOULD") for x in rs)
+        assert {x.kind for x in rs} <= {"term", "phrase"}
+    # the MUST hash clause (cid 0) appears for every hit
+    assert all(any(x.clause_id == 0 for x in rs) for rs in by_doc.values())
+
+
+def test_boolean_explain_const_folds_once(spark, idx):
+    from contextinator_spark.operators.boolean import boolean_explain
+
+    # mer*^=2: const over an expansion — partial must be exactly 2 once
+    rows = boolean_explain(spark, idx, "hash mer*^=2.0", k=10).collect()
+    const_rows = [r for r in rows if r.kind == "prefix"]
+    assert const_rows and all(r.partial == 2.0 for r in const_rows)

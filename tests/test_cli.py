@@ -743,3 +743,23 @@ def test_cli_tophits_and_histo(capsys, spark, tmp_path_factory):
         for r in histogram_agg(spark, d, ["table", "hash"], interval=20).collect()
     ]
     assert [json.loads(x) for x in out2] == want2 and want2
+
+
+def test_cli_explain_bool(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_bexp_idx"))
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "explain", "--index", d,
+        "--query", '+hash spark "table hash"', "--bool", "--k", "5",
+    )
+    from contextinator_spark.operators.boolean import boolean_explain
+
+    want = [
+        {"rank": r.rank, "doc_id": r.doc_id, "score": r.score,
+         "clause_id": r.clause_id, "occur": r.occur, "kind": r.kind,
+         "partial": r.partial}
+        for r in boolean_explain(
+            spark, d, '+hash spark "table hash"', k=5
+        ).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
