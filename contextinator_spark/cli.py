@@ -534,7 +534,19 @@ def cmd_percolate(args, spark) -> None:
 def cmd_suggest(args, spark) -> None:
     """Did-you-mean suggestions (Lucene DirectSpellChecker analog):
     dictionary neighbors of a possibly-misspelled term, closest-first
-    then by collection frequency."""
+    then by collection frequency. With --complete: completion-suggester
+    mode — df-ranked dictionary terms under the prefix."""
+    if getattr(args, "complete", False):
+        from .operators.bm25_segments import complete_terms
+
+        out = complete_terms(spark, args.index, args.term, k=args.k)
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['term']:<24}  df={d['df']}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     from .operators.bm25_segments import suggest_terms
 
     out = suggest_terms(
@@ -1081,6 +1093,11 @@ def build_parser() -> argparse.ArgumentParser:
     sg.add_argument("--term", required=True)
     sg.add_argument("--max-edits", type=int, default=2, dest="max_edits")
     sg.add_argument("--k", type=int, default=5)
+    sg.add_argument(
+        "--complete", action="store_true",
+        help="completion-suggester mode: --term is a PREFIX, results are "
+             "df-ranked dictionary terms under it",
+    )
     sg.set_defaults(fn=cmd_suggest)
 
     hy = sub.add_parser("hybrid", help="BM25 + vector ANN fused by RRF")

@@ -1431,6 +1431,30 @@ def sql_phrase_batch() -> str:
     return " UNION ALL ".join(parts)
 
 
+COMPLETE_PREFIX = "s"
+
+
+def q_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester (ES completion / Lucene suggest): df-ranked
+    dictionary terms under a prefix — (rank, term, df) top-10."""
+    from .operators.bm25_segments import complete_terms
+
+    return complete_terms(
+        spark, _cached_index_dir(spark, sf_dir), COMPLETE_PREFIX, k=10
+    )
+
+
+def sql_complete() -> str:
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+        WHERE starts_with(term, '{COMPLETE_PREFIX}') GROUP BY term)
+SELECT CAST(rank AS INT) AS rank, term, df FROM (
+  SELECT row_number() OVER (ORDER BY df DESC, term) AS rank, term, df FROM dfs
+) WHERE rank <= 10
+"""
+
+
 SUGGEST_TERM = "grup"
 SUGGEST_MAX_EDITS = 2
 SUGGEST_K = 5
@@ -2873,6 +2897,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25_boolean": (q_bm25_boolean, sql_bm25_boolean()),
         "bm25_fuzzy": (q_bm25_fuzzy, sql_bm25_fuzzy()),
         "suggest": (q_suggest, sql_suggest()),
+        "complete": (q_complete, sql_complete()),
         "bm25_boosted": (q_bm25_boosted, sql_bm25_boosted()),
         "snippets": (q_snippets, sql_snippets()),
         "bm25_dismax": (q_bm25_dismax, sql_bm25_dismax()),

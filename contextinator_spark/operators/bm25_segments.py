@@ -1224,6 +1224,31 @@ def expand_fuzzy(
     return sorted(r["term"] for r in rows)
 
 
+def complete_terms(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """Completion suggester (Lucene suggest module / ES completion):
+    dictionary terms starting with `prefix`, most-frequent first —
+    (rank, term, df), ordered (df desc, term asc), top-k. The same
+    RAM-pinned dictionary pass as expand_prefix, but returning the
+    ranked frame instead of a bounded expansion list."""
+    if not prefix:
+        raise ValueError("completion prefix must be non-empty")
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        _terms_df(spark, index_dir)
+        .filter(F.col("term").startswith(prefix.lower()))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("rank", "term", "df")
+    )
+
+
 def suggest_terms(
     spark: SparkSession,
     index_dir: str,

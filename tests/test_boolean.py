@@ -1180,3 +1180,19 @@ def test_boolean_explain_const_folds_once(spark, idx):
     rows = boolean_explain(spark, idx, "hash mer*^=2.0", k=10).collect()
     const_rows = [r for r in rows if r.kind == "prefix"]
     assert const_rows and all(r.partial == 2.0 for r in const_rows)
+
+
+def test_complete_terms_ranked_by_df(spark, idx):
+    from contextinator_spark.operators.bm25_segments import complete_terms
+
+    rows = complete_terms(spark, idx, "s", k=10).collect()
+    # DOCS dfs: spark {1,4}=2, sort {5}=1
+    assert [(r.rank, r.term, r.df) for r in rows] == [
+        (1, "spark", 2), (2, "sort", 1)
+    ]
+    assert complete_terms(spark, idx, "zz", k=5).count() == 0
+    assert complete_terms(spark, idx, "spark", k=1).collect()[0].term == "spark"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        complete_terms(spark, idx, "")

@@ -763,3 +763,19 @@ def test_cli_explain_bool(capsys, spark, tmp_path_factory):
         ).collect()
     ]
     assert [json.loads(x) for x in out] == want and want
+
+
+def test_cli_suggest_complete_mode(capsys, spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_cmp_idx"))
+    run_cli(capsys, spark, "build", "--corpus", SF, "--index", d)
+    out = run_cli(
+        capsys, spark, "suggest", "--index", d, "--term", "s",
+        "--complete", "--k", "4",
+    )
+    from contextinator_spark.operators.bm25_segments import complete_terms
+
+    want = [
+        {"rank": r.rank, "term": r.term, "df": r.df}
+        for r in complete_terms(spark, d, "s", k=4).collect()
+    ]
+    assert [json.loads(x) for x in out] == want and want
