@@ -513,6 +513,39 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_multimatch(args, spark) -> None:
+    """Multi-field search over per-field segment stores (--field NAME=DIR
+    repeated): ES multi_match — best_fields (per-field BM25 + DisMax
+    combine) or cross_fields (BM25F: blend tfs before saturation)."""
+    from .operators.multifield import bm25f_topk, multi_match_topk
+
+    dirs, weights = {}, {}
+    for spec in args.field:
+        if "=" not in spec:
+            raise SystemExit(f"--field wants NAME=DIR[:WEIGHT], got {spec!r}")
+        name, rest = spec.split("=", 1)
+        if ":" in rest:
+            d, w = rest.rsplit(":", 1)
+            weights[name] = float(w)
+        else:
+            d = rest
+        dirs[name] = d
+    terms = [t for t in args.terms.split() if t]
+    if args.mode == "cross_fields":
+        out = bm25f_topk(spark, dirs, terms, k=args.k, weights=weights or None)
+    else:
+        out = multi_match_topk(
+            spark, dirs, terms, k=args.k, weights=weights or None,
+            tie_breaker=args.tie_breaker,
+        )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_percolate(args, spark) -> None:
     """Percolation (ES percolator): which registered queries does each
     corpus document match — one Catalyst scan, no index."""
@@ -1074,6 +1107,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    mm = sub.add_parser(
+        "multimatch", help="multi-field search: best_fields (DisMax) or cross_fields (BM25F)"
+    )
+    mm.add_argument(
+        "--field", action="append", required=True,
+        help="NAME=DIR[:WEIGHT], repeat per field store",
+    )
+    mm.add_argument("--terms", required=True, help="space-separated query terms")
+    mm.add_argument(
+        "--mode", choices=["best_fields", "cross_fields"], default="best_fields"
+    )
+    mm.add_argument("--tie-breaker", type=float, default=0.0, dest="tie_breaker")
+    mm.add_argument("--k", type=int, default=10)
+    mm.set_defaults(fn=cmd_multimatch)
 
     pc = sub.add_parser(
         "percolate", help="match documents against registered queries (percolator)"

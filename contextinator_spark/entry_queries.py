@@ -2786,6 +2786,183 @@ FROM q
 
 
 # ---------------------------------------------------------------------------
+# multi-field search (multi_match best_fields + BM25F cross_fields)
+# ---------------------------------------------------------------------------
+
+TITLE_TOKENS = 8  # derived second field: the document's first 8 tokens
+MULTI_FIELD_WEIGHTS = {"content": 1.0, "title": 2.0}
+MULTI_MATCH_TIE_BREAKER = 0.3
+
+
+def _cached_title_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the title-field segment store: the SAME write_index
+    machinery over a corpus whose content is each document's first
+    TITLE_TOKENS tokens — a store per field is how the engine models
+    multi-field indexes (operators/multifield.py)."""
+    import os as _os
+
+    from .config import BLOCK_SIZE, HEAVY_SALT_FANOUT, INDEX_PARTITIONS, SLICE_TARGET_POSTINGS
+
+    key = (
+        f"{sf_dir}|P={INDEX_PARTITIONS}|B={BLOCK_SIZE}|F={HEAVY_SALT_FANOUT}"
+        f"|S={SLICE_TARGET_POSTINGS}|FIELD=title{TITLE_TOKENS}"
+        f"|{_data_fingerprint(f'{sf_dir}/documents.parquet')}"
+    )
+    d = _cache_dir(key)
+    if not _os.path.exists(_os.path.join(d, "stats.json")):
+        from .functions.tokenize import tokens_expr
+        from .operators.segments import write_index
+
+        _os.makedirs(d, exist_ok=True)
+        corpus = _docs(spark, sf_dir).withColumn(
+            "content",
+            F.concat_ws(" ", F.slice(tokens_expr(F.col("content")), 1, TITLE_TOKENS)),
+        )
+        write_index(spark, corpus, d, id_col="doc_id")
+    return d
+
+
+def _field_dirs(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    return {
+        "content": _cached_index_dir(spark, sf_dir),
+        "title": _cached_title_index_dir(spark, sf_dir),
+    }
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=best_fields over (content, title) stores:
+    per-field exact BM25 × field weight, combined with the Lucene DisMax
+    rule max + tie_breaker·(sum − max). New surface — the reference
+    scores a single enriched-content field."""
+    from .operators.multifield import multi_match_topk
+
+    return multi_match_topk(
+        spark,
+        _field_dirs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        k=10,
+        weights=MULTI_FIELD_WEIGHTS,
+        tie_breaker=MULTI_MATCH_TIE_BREAKER,
+    )
+
+
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F (ES multi_match type=cross_fields): per-field tfs are
+    length-normalized and weight-summed BEFORE saturation, idf from the
+    blended df = max over fields (operators/multifield.py docstring for
+    the pinned Robertson-Zaragoza formula). New surface."""
+    from .operators.multifield import bm25f_topk
+
+    return bm25f_topk(
+        spark,
+        _field_dirs(spark, sf_dir),
+        BM25_QUERY_TERMS,
+        k=10,
+        weights=MULTI_FIELD_WEIGHTS,
+    )
+
+
+def _sql_two_field_ctes() -> str:
+    """Shared CTE prefix: per-field postings / doc_len / stats for the
+    content field and the first-TITLE_TOKENS derived title field."""
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+ttoks AS (SELECT doc_id, list_slice(toks, 1, {TITLE_TOKENS}) AS toks FROM toks),
+post_c AS (SELECT term, doc_id, CAST(count(*) AS INT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY term, doc_id),
+post_t AS (SELECT term, doc_id, CAST(count(*) AS INT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM ttoks) GROUP BY term, doc_id),
+meta_c AS (SELECT doc_id, CAST(len(toks) AS INT) AS doc_len FROM toks),
+meta_t AS (SELECT doc_id, CAST(len(toks) AS INT) AS doc_len FROM ttoks),
+stats_c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta_c),
+stats_t AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(avg(doc_len) AS DOUBLE) AS avgdl FROM meta_t)
+"""
+
+
+def sql_multi_match() -> str:
+    """Oracle: two independent per-field BM25 CTE chains (each with its
+    own df/avgdl, rounded per field exactly as the per-store executors
+    round), weighted union, DisMax combine, round once more."""
+    k1, b = BM25_K1, BM25_B
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    wc, wt = MULTI_FIELD_WEIGHTS["content"], MULTI_FIELD_WEIGHTS["title"]
+    tb = MULTI_MATCH_TIE_BREAKER
+    field_scored = lambda f: f"""
+  SELECT p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post_{f} p JOIN q ON p.term = q.term
+       JOIN (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post_{f}
+             WHERE term IN (SELECT term FROM q) GROUP BY term) d ON p.term = d.term
+       JOIN meta_{f} m ON p.doc_id = m.doc_id
+       CROSS JOIN stats_{f} s
+  GROUP BY p.doc_id"""
+    return (
+        _sql_two_field_ctes()
+        + f""",
+q(term) AS (VALUES {values}),
+scored_c AS ({field_scored('c')}),
+scored_t AS ({field_scored('t')}),
+uni AS (SELECT doc_id, {wc} * score AS ws FROM scored_c
+        UNION ALL SELECT doc_id, {wt} * score AS ws FROM scored_t),
+comb AS (SELECT doc_id,
+                CAST(round(max(ws) + {tb} * (sum(ws) - max(ws)),
+                           {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+         FROM uni GROUP BY doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM comb) WHERE rank <= 10
+"""
+    )
+
+
+def sql_bm25f() -> str:
+    """Oracle: the pinned BM25F algebra — per-field length-normalized
+    weighted tf contributions summed per (term, doc) BEFORE saturation,
+    idf from blended df = max over fields, one saturation per term."""
+    k1, b = BM25_K1, BM25_B
+    values = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY_TERMS)))
+    wc, wt = MULTI_FIELD_WEIGHTS["content"], MULTI_FIELD_WEIGHTS["title"]
+    return (
+        _sql_two_field_ctes()
+        + f""",
+q(term) AS (VALUES {values}),
+contrib AS (
+  SELECT p.term, p.doc_id,
+         {wc} * p.tf / (1.0 - {b} + {b} * m.doc_len / s.avgdl) AS contrib
+  FROM post_c p JOIN q ON p.term = q.term
+       JOIN meta_c m ON p.doc_id = m.doc_id CROSS JOIN stats_c s
+  UNION ALL
+  SELECT p.term, p.doc_id,
+         {wt} * p.tf / (1.0 - {b} + {b} * m.doc_len / s.avgdl) AS contrib
+  FROM post_t p JOIN q ON p.term = q.term
+       JOIN meta_t m ON p.doc_id = m.doc_id CROSS JOIN stats_t s),
+blend AS (
+  SELECT term, CAST(max(df) AS DOUBLE) AS df FROM (
+    SELECT term, count(*) AS df FROM post_c WHERE term IN (SELECT term FROM q) GROUP BY term
+    UNION ALL
+    SELECT term, count(*) AS df FROM post_t WHERE term IN (SELECT term FROM q) GROUP BY term)
+  GROUP BY term),
+tfw AS (SELECT term, doc_id, sum(contrib) AS tfw FROM contrib GROUP BY term, doc_id),
+scored AS (
+  SELECT w.doc_id,
+         CAST(round(sum(
+           ln(1.0 + ((SELECT n_docs FROM stats_c) - bl.df + 0.5) / (bl.df + 0.5))
+           * w.tfw / ({k1} + w.tfw)
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM tfw w JOIN blend bl ON w.term = bl.term
+  GROUP BY w.doc_id)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM scored) WHERE rank <= 10
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2872,6 +3049,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "prefix_topk": (q_prefix_topk, sql_prefix_topk()),
         "regexp_topk": (q_regexp_topk, sql_regexp_topk()),
         "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
+        "multi_match": (q_multi_match, sql_multi_match()),
+        "bm25f": (q_bm25f, sql_bm25f()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
         "facet_stats": (q_facet_stats, sql_facet_stats()),

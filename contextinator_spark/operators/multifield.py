@@ -1,0 +1,277 @@
+"""Multi-field search: ES multi_match (best_fields) and BM25F (cross_fields).
+
+The engine's segment store indexes ONE text field per directory
+(segments.write_index over any (doc_id, content) corpus), so a multi-field
+index is simply several sibling stores over the same doc_id space — e.g.
+`content` (full text) and `title` (a short derived field). This module
+combines per-field stores into the two canonical multi-field scoring
+contracts (ES `multi_match` modes; reference analog: Contextinator scores a
+single enriched-content field, `chroma_ops.py` — multi-field ranking is
+beyond-reference surface):
+
+best_fields (multi_match_topk)
+    Each field ranks independently with its OWN statistics (df_f, avgdl_f)
+    — exactly the per-store exact BM25 fold (`_exact_scored_matches`, the
+    unpruned rank-identical kernel) times the field weight — and a doc's
+    combined score is
+
+        max_f(w_f · s_f)  +  tie_breaker · (Σ_f w_f · s_f − max_f)
+
+    the Lucene DisjunctionMaxQuery combiner over per-field sub-queries
+    (ES multi_match type=best_fields). Per-field scores are rounded to
+    SCORE_ROUND_DECIMALS before the combine (they are the same numbers the
+    per-field executors return), the combined score rounded once more.
+
+cross_fields / BM25F (bm25f_topk)
+    Term-centric blending (Robertson & Zaragoza, "Simple BM25 extension to
+    multiple weighted fields", CIKM 2004): per-field term frequencies are
+    length-normalized and weight-combined BEFORE saturation,
+
+        tf̃(t, d)  =  Σ_f  w_f · tf_{t,f,d} / B_f(d)
+        B_f(d)    =  1 − b + b · dl_f(d) / avgdl_f
+        score(d)  =  Σ_t  idf(t) · tf̃ / (k1 + tf̃)
+
+    with a BLENDED document frequency df(t) = max_f df_f(t) (the ES
+    cross_fields / BlendedTermQuery convention — a term that is rare in
+    every field is rare, a term common in any field is common) and
+    n_docs shared across stores (same corpus). Saturating after the
+    cross-field sum is what makes two fields each matching once score like
+    ONE field matching twice — the property best_fields cannot express.
+
+    Single-field reduction: with one field at weight 1, tf̃ = tf/B and
+    idf·tf̃/(k1+tf̃) = idf·tf/(k1·B+tf) — standard BM25 without the
+    constant (k1+1) numerator, i.e. rank-identical to topk_segments with
+    scores scaled by exactly 1/(k1+1) (tested).
+
+Plan shape (both): per-field dictionary probe (partition+term pruned scan,
+slice-spread, tombstone-masked) → decode-once kernel emits primitive
+(doc_id, contribution) rows — no token strings — → union across fields →
+fold. best_fields folds per (field, doc) then per doc (the per-field fold
+happens inside _exact_scored_matches' single groupBy, so the union adds ONE
+more doc_id exchange); BM25F folds per (term, doc) then per doc. Fields are
+few (2–3); every exchange is match-set-sized, never corpus-sized. Group
+collectors cannot use doc-level θ/block-max bounds here for the same
+soundness reason as collapse_topk: a doc's combined score depends on rows
+from stores a single-field bound knows nothing about.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import BM25_B, BM25_K1, DEFAULT_TOP_K, SCORE_ROUND_DECIMALS
+from .bm25_segments import (
+    INDEX_PARTITIONS,
+    _exact_scored_matches,
+    _idf,
+    _spread_slices,
+    _tombstones,
+    load_stats,
+    probe_dictionary,
+)
+from .deletes import live_mask
+
+_RESULT_SCHEMA = "rank int, doc_id long, score double"
+
+
+def term_tf_stream(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, dict] | None:
+    """(doc_id, term, tf, doc_len) rows for the query terms' live postings.
+
+    The shared raw-partial stream under every term-centric multi-field
+    combiner: partition+term pruned scan, slice-spread, decode-once,
+    tombstone-masked kernel-side (over-cap tombstone sets via a
+    distributed anti-join, same as every executor). Returns
+    (stream, dictionary_info) or None when no query term is indexed.
+    """
+    stats = load_stats(index_dir)
+    if n_partitions is None:
+        n_partitions = int(stats.get("n_partitions", INDEX_PARTITIONS))
+    info = probe_dictionary(spark, index_dir, sorted(set(terms)), n_partitions)
+    matched = sorted(info)
+    if not matched:
+        return None
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    pids = sorted({info[t]["partition_id"] for t in matched})
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).filter(
+        F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+    )
+    seg = _spread_slices(seg, spark, sum(int(info[t]["df"]) for t in matched))
+
+    def emit_rows(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            out = {"doc_id": [], "term": [], "tf": [], "doc_len": []}
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, tfs, dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    m = live_mask(doc_ids, tomb_bc.value)
+                    if not m.all():
+                        doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                if doc_ids.size == 0:
+                    continue
+                out["doc_id"].append(doc_ids)
+                out["term"].append(np.full(doc_ids.size, term, dtype=object))
+                out["tf"].append(tfs.astype(np.int64))
+                out["doc_len"].append(dls.astype(np.int64))
+            if out["doc_id"]:
+                yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    stream = seg.mapInPandas(
+        emit_rows, schema="doc_id long, term string, tf long, doc_len long"
+    )
+    if tomb_over is not None:
+        stream = stream.join(tomb_over, "doc_id", "left_anti")
+    return stream, info
+
+
+def _norm_weights(
+    field_dirs: dict[str, str], weights: dict[str, float] | None
+) -> dict[str, float]:
+    if not field_dirs:
+        raise ValueError("field_dirs must name at least one field store")
+    w = dict.fromkeys(field_dirs, 1.0)
+    for f, v in (weights or {}).items():
+        if f not in w:
+            raise ValueError(f"weight for unknown field {f!r}")
+        if v < 0:
+            raise ValueError(f"field weight must be >= 0, got {f}={v}")
+        w[f] = float(v)
+    return w
+
+
+def _ranked(combined: DataFrame, k: int) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        combined.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    field_dirs: dict[str, str],
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    weights: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """ES multi_match type=best_fields over per-field segment stores.
+
+    Combined score = best field + tie_breaker × (sum of the others), each
+    field scored by its own store's exact BM25 fold × its weight. With one
+    field, weight 1 and any tie_breaker this IS topk_segments (tested).
+    tie_breaker ∈ [0, 1] (Lucene DisjunctionMaxQuery tieBreakerMultiplier).
+    """
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    w = _norm_weights(field_dirs, weights)
+    parts = []
+    for field, d in field_dirs.items():
+        scored = _exact_scored_matches(spark, d, terms, k1, b)
+        if scored is None:
+            continue
+        parts.append(scored.select("doc_id", (F.col("score") * F.lit(w[field])).alias("ws")))
+    if not parts:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    combined = allp.groupBy("doc_id").agg(
+        F.round(
+            F.max("ws") + F.lit(float(tie_breaker)) * (F.sum("ws") - F.max("ws")),
+            SCORE_ROUND_DECIMALS,
+        ).alias("score")
+    )
+    return _ranked(combined, k)
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    field_dirs: dict[str, str],
+    terms: list[str],
+    k: int = DEFAULT_TOP_K,
+    weights: dict[str, float] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25F (ES multi_match type=cross_fields) over per-field stores.
+
+    Term-centric: length-normalized per-field tfs are weight-summed BEFORE
+    saturation; idf uses the blended df = max over fields (ES
+    BlendedTermQuery) with the shared corpus n_docs. See module docstring
+    for the exact pinned formula and the single-field reduction.
+    """
+    w = _norm_weights(field_dirs, weights)
+    qterms = sorted({t.lower() for t in terms})
+
+    streams: list[tuple[str, DataFrame, dict, dict]] = []
+    n_docs = None
+    for field, d in field_dirs.items():
+        stats = load_stats(d)
+        if n_docs is None:
+            n_docs = float(stats["n_docs"])
+        elif float(stats["n_docs"]) != n_docs:
+            raise ValueError(
+                "field stores disagree on n_docs — not the same corpus: "
+                f"{n_docs} vs {stats['n_docs']} ({d})"
+            )
+        got = term_tf_stream(spark, d, qterms)
+        if got is None:
+            continue
+        streams.append((field, got[0], got[1], stats))
+    if not streams:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+
+    # blended df per term: max over the fields where the term is indexed
+    df_blend: dict[str, float] = {}
+    for _field, _s, info, _stats in streams:
+        for t, rec in info.items():
+            df_blend[t] = max(df_blend.get(t, 0.0), float(rec["df"]))
+    idf_map = F.create_map(
+        *[x for t in df_blend for x in (F.lit(t), F.lit(_idf(df_blend[t], n_docs)))]
+    )
+
+    parts = []
+    for field, stream, _info, stats in streams:
+        avgdl = float(stats["avgdl"])
+        bf = 1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl)
+        parts.append(
+            stream.select(
+                "doc_id",
+                "term",
+                (F.lit(w[field]) * F.col("tf").cast("double") / bf).alias("contrib"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+
+    per_term = allp.groupBy("doc_id", "term").agg(F.sum("contrib").alias("tfw"))
+    scored = per_term.select(
+        "doc_id",
+        (
+            idf_map[F.col("term")]
+            * F.col("tfw")
+            / (F.lit(float(k1)) + F.col("tfw"))
+        ).alias("partial"),
+    )
+    combined = scored.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
+    )
+    return _ranked(combined, k)

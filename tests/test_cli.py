@@ -779,3 +779,47 @@ def test_cli_suggest_complete_mode(capsys, spark, tmp_path_factory):
         for r in complete_terms(spark, d, "s", k=4).collect()
     ]
     assert [json.loads(x) for x in out] == want and want
+
+
+def test_cli_multimatch_single_field_equals_query(capsys, spark, index_dir):
+    """multimatch with one field at weight 1 reduces to the plain BM25
+    ranking (best_fields = DisMax over one sub-query); cross_fields runs
+    the BM25F fold (rank-identical single-field, scaled scores)."""
+    mm = run_cli(
+        capsys, spark, "multimatch", "--field", f"content={index_dir}",
+        "--terms", "spark hash", "--k", "5",
+    )
+    plain = run_cli(
+        capsys, spark, "query", "--index", index_dir, "--query", "spark hash", "--k", "5"
+    )
+    assert mm == plain and len(mm) >= 1
+    xf = run_cli(
+        capsys, spark, "multimatch", "--field", f"content={index_dir}",
+        "--terms", "spark hash", "--k", "5", "--mode", "cross_fields",
+    )
+    assert [l.split()[1] for l in xf] == [l.split()[1] for l in plain]
+
+
+def test_cli_multimatch_two_fields_weighted(capsys, spark, index_dir, tmp_path):
+    """A second field store (first-2-token titles) with NAME=DIR:WEIGHT
+    syntax runs both combiners end-to-end."""
+    from pyspark.sql import functions as F
+
+    from contextinator_spark.operators.segments import write_index
+    from contextinator_spark.sources.corpus import load_documents
+
+    d = str(tmp_path / "title_idx")
+    corpus = (
+        load_documents(spark, SF)
+        .withColumn("content", F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 2)))
+        .select("doc_id", "content")
+    )
+    write_index(spark, corpus, d)
+    for mode in ("best_fields", "cross_fields"):
+        rows = run_cli(
+            capsys, spark, "multimatch",
+            "--field", f"content={index_dir}", "--field", f"title={d}:2.0",
+            "--terms", "spark hash", "--k", "5", "--mode", mode,
+            "--tie-breaker", "0.3",
+        )
+        assert len(rows) >= 1
