@@ -513,6 +513,52 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_termvectors(args, spark) -> None:
+    """Per-document term vectors from the term-major store (Lucene
+    TermVectors / ES _termvectors); --positions needs a phrase index."""
+    from .operators.bm25_segments import term_vectors
+
+    ids = [int(d) for d in args.docs.split(",") if d.strip()]
+    out = term_vectors(spark, args.index, ids, positions=args.positions)
+    if args.positions:
+        fmt = lambda d: (
+            f"{d['doc_id']:<12} {d['term']:<24} {d['tf']:<4} "
+            + ",".join(str(p) for p in d["positions"])
+        )
+    else:
+        fmt = lambda d: f"{d['doc_id']:<12} {d['term']:<24} {d['tf']}"
+    _emit(out.collect(), args.format, fmt, getattr(args, "toon_fold", False))
+
+
+def cmd_pctl(args, spark) -> None:
+    """Percentiles aggregation over the query's full match set."""
+    from .operators.bm25_segments import percentiles_agg
+
+    pcts = tuple(float(p) for p in args.pcts.split(",") if p.strip())
+    out = percentiles_agg(
+        spark, args.index, args.query.split(), args.field, pcts
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"p{d['percentile']:<8} {d['value']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
+def cmd_xstats(args, spark) -> None:
+    """Extended stats (all seven moments) over the query's match set."""
+    from .operators.bm25_segments import extended_stats
+
+    out = extended_stats(spark, args.index, args.query.split(), args.field)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: "  ".join(f"{k}={v}" for k, v in d.items()),
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_multimatch(args, spark) -> None:
     """Multi-field search over per-field segment stores (--field NAME=DIR
     repeated): ES multi_match — best_fields (per-field BM25 + DisMax
@@ -1107,6 +1153,31 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    tv = sub.add_parser(
+        "tvec", help="per-document term vectors (ES _termvectors)"
+    )
+    tv.add_argument("--index", required=True)
+    tv.add_argument("--docs", required=True, help="comma-separated doc_ids")
+    tv.add_argument("--positions", action="store_true")
+    tv.set_defaults(fn=cmd_termvectors)
+
+    pl = sub.add_parser(
+        "pctl", help="percentiles aggregation over the match set"
+    )
+    pl.add_argument("--index", required=True)
+    pl.add_argument("--query", required=True)
+    pl.add_argument("--field", default="doc_len")
+    pl.add_argument("--pcts", default="0.25,0.5,0.75,0.99")
+    pl.set_defaults(fn=cmd_pctl)
+
+    xs = sub.add_parser(
+        "xstats", help="extended stats (7 moments) over the match set"
+    )
+    xs.add_argument("--index", required=True)
+    xs.add_argument("--query", required=True)
+    xs.add_argument("--field", default="doc_len")
+    xs.set_defaults(fn=cmd_xstats)
 
     mm = sub.add_parser(
         "multimatch", help="multi-field search: best_fields (DisMax) or cross_fields (BM25F)"

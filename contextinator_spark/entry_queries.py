@@ -2963,6 +2963,92 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# term vectors + match-set statistics aggregations
+# ---------------------------------------------------------------------------
+
+TERM_VECTOR_DOCS = [7, 42, 123]
+PERCENTILES = (0.25, 0.5, 0.75, 0.99)
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene TermVectors / ES _termvectors: per-document (term, tf)
+    reconstructed doc-major from the term-major store — one membership-
+    probed segments scan (the honest plan; doc-major sidecar is the
+    documented swap point). New surface."""
+    from .operators.bm25_segments import term_vectors
+
+    return term_vectors(spark, _cached_index_dir(spark, sf_dir), TERM_VECTOR_DOCS)
+
+
+def sql_term_vectors() -> str:
+    ids = ", ".join(str(d) for d in TERM_VECTOR_DOCS)
+    return f"""
+SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term
+      FROM documents WHERE doc_id IN ({ids}))
+GROUP BY doc_id, term
+ORDER BY doc_id, term
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation: exact interpolated doc_len quantiles
+    over the flagship query's FULL match set. New surface."""
+    from .operators.bm25_segments import percentiles_agg
+
+    return percentiles_agg(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        "doc_len", PERCENTILES,
+    )
+
+
+def sql_percentiles() -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS DOUBLE) AS percentile, "
+        f"CAST(round(quantile_cont(dl, {p}), 6) AS DOUBLE) AS value FROM vals"
+        for p in PERCENTILES
+    )
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+mset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list})),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS dl FROM documents),
+vals AS (SELECT dl FROM mset JOIN meta USING (doc_id))
+{arms}
+ORDER BY percentile
+"""
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation: all seven doc_len moments of the
+    flagship query's FULL match set in one single-pass fold. New
+    surface."""
+    from .operators.bm25_segments import extended_stats
+
+    return extended_stats(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, "doc_len"
+    )
+
+
+def sql_extended_stats() -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+mset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list})),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS dl FROM documents),
+vals AS (SELECT dl FROM mset JOIN meta USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(dl) AS BIGINT) AS min_doc_len,
+       CAST(max(dl) AS BIGINT) AS max_doc_len,
+       CAST(sum(dl) AS BIGINT) AS sum_doc_len,
+       CAST(round(avg(dl), 6) AS DOUBLE) AS avg_doc_len,
+       CAST(round(var_pop(dl), 6) AS DOUBLE) AS var_doc_len,
+       CAST(round(stddev_pop(dl), 6) AS DOUBLE) AS std_doc_len
+FROM vals
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3051,6 +3137,9 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
         "multi_match": (q_multi_match, sql_multi_match()),
         "bm25f": (q_bm25f, sql_bm25f()),
+        "term_vectors": (q_term_vectors, sql_term_vectors()),
+        "percentiles": (q_percentiles, sql_percentiles()),
+        "extended_stats": (q_extended_stats, sql_extended_stats()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),
         "bm25_facets": (q_bm25_facets, sql_bm25_facets()),
         "facet_stats": (q_facet_stats, sql_facet_stats()),

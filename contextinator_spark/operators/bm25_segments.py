@@ -2206,3 +2206,183 @@ def sort_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", sort_col)
     )
+
+
+def term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: list[int],
+    positions: bool = False,
+) -> DataFrame:
+    """Lucene TermVectors / ES _termvectors analog: reconstruct per-document
+    term vectors — (doc_id, term, tf) and, on a posting_format=2 store with
+    positions=True, the token positions array — from the term-major index.
+
+    Plan shape: doc-major retrieval from a term-major store cannot
+    partition-prune (the document's terms are unknown up front — the same
+    intrinsic full-scan significant_terms documents), so the requested
+    doc_ids broadcast as a sorted membership array and ONE segments scan
+    probes each blob kernel-side (member_mask binary search per blob, no
+    per-doc rows for non-members). The scan emits only the requested docs'
+    rows — output is vocabulary-bounded per doc, exchange-free until the
+    final orderBy. Tombstoned docs emit nothing (a deleted doc has no
+    term vector). Lucene stores term vectors doc-major at index time to
+    avoid exactly this scan; at query volumes where term vectors are hot,
+    the swap point is a doc-major parquet sidecar written by the same
+    build pass (documented, not built — the scan form is the honest
+    baseline and serves the occasional-forensics use ES mostly sees).
+    """
+    stats = load_stats(index_dir)
+    fmt = int(stats.get("posting_format", 1))
+    if positions and fmt != 2:
+        raise ValueError(
+            "positions=True needs a posting_format=2 store "
+            f"(this store is format {fmt})"
+        )
+    ids = np.unique(np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64))
+    out_schema = (
+        "doc_id long, term string, tf int, positions array<int>"
+        if positions
+        else "doc_id long, term string, tf int"
+    )
+    if ids.size == 0:
+        return spark.createDataFrame([], out_schema)
+    tomb_bc, tomb_over = _tombstones(spark, index_dir)
+    ids_bc = spark.sparkContext.broadcast(ids)
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).select("term", "blob")
+
+    def probe(pdf_iter):
+        from .compress import decode_postings
+        from .positions import decode_postings_with_positions_flat
+
+        want = ids_bc.value
+        for pdf in pdf_iter:
+            rows = {"doc_id": [], "term": [], "tf": []}
+            pos_out = [] if positions else None
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                b = bytes(blob)
+                if positions:
+                    d, tfs, _dls, flat = decode_postings_with_positions_flat(b)
+                else:
+                    d, tfs, _dls = decode_postings(b)
+                if not d.size:
+                    continue
+                m = member_mask(d, want)
+                if tomb_bc is not None:
+                    m &= live_mask(d, tomb_bc.value)
+                if not m.any():
+                    continue
+                hit = np.flatnonzero(m)
+                rows["doc_id"].append(d[hit])
+                rows["term"].append(np.full(hit.size, term, dtype=object))
+                rows["tf"].append(tfs[hit].astype(np.int32))
+                if positions:
+                    tf64 = tfs.astype(np.int64)
+                    starts = np.concatenate(([0], np.cumsum(tf64)[:-1]))
+                    pos_out.extend(
+                        flat[starts[i] : starts[i] + tf64[i]].astype(np.int32)
+                        for i in hit
+                    )
+            if rows["doc_id"]:
+                out = {k: np.concatenate(v) for k, v in rows.items()}
+                if positions:
+                    out["positions"] = pos_out
+                yield pd.DataFrame(out)
+
+    tv = seg.mapInPandas(probe, schema=out_schema)
+    if tomb_over is not None:
+        tv = tv.join(tomb_over, "doc_id", "left_anti")
+    # slicing never splits one (term, doc) posting across slices, so no
+    # re-merge is needed — each output row is final
+    return tv.orderBy("doc_id", "term")
+
+
+def percentiles_agg(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    stats_col: str = "doc_len",
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES percentiles aggregation over the FULL match set: exact
+    linear-interpolated quantiles (SQL percentile_cont / type-7) of a
+    numeric doc_meta column — (percentile, value), value rounded to 6.
+
+    Exact, not t-digest: Spark's `percentile` is the two-phase exact
+    aggregate (per-partition counts merged on one reducer for the single
+    group). The value column is index-resident metadata (one long per
+    matching doc), so even a corpus-sized match set moves 8 bytes/doc —
+    the ES t-digest swap point (approx_percentile) only matters when the
+    match-set exchange itself is the bottleneck, and trades the oracle's
+    bit-exactness for a bounded error; documented, not the default.
+    Same plan prefix as facet_stats: pruned scan → distinct → doc_meta
+    join → one global agg."""
+    for p in percentiles:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile must be in [0, 1], got {p}")
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    if docs is None:
+        return spark.createDataFrame([], "percentile double, value double")
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", stats_col
+    )
+    pcts = list(percentiles)
+    agg = (
+        docs.distinct()
+        .join(meta, "doc_id")
+        .agg(
+            F.percentile(F.col(stats_col), F.array(*[F.lit(p) for p in pcts])).alias(
+                "vals"
+            )
+        )
+    )
+    pct_df = spark.createDataFrame([(p, i) for i, p in enumerate(pcts)], "percentile double, i int")
+    return (
+        agg.crossJoin(F.broadcast(pct_df))
+        .select(
+            "percentile",
+            F.round(F.element_at(F.col("vals"), F.col("i") + 1), 6).alias("value"),
+        )
+        .orderBy("percentile")
+    )
+
+
+def extended_stats(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    stats_col: str = "doc_len",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES extended_stats aggregation over the FULL match set: one row of
+    (n_docs, min, max, sum, avg, var_pop, std_pop) for a numeric doc_meta
+    column, floats rounded to 6. All seven moments fold in the SAME
+    single-pass partial aggregate (count/sum/sum-of-squares map-side), so
+    this costs exactly one pruned scan + the distinct + one tiny agg —
+    the facet_stats plan without the group key."""
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    schema = (
+        f"n_docs long, min_{stats_col} long, max_{stats_col} long, "
+        f"sum_{stats_col} long, avg_{stats_col} double, "
+        f"var_{stats_col} double, std_{stats_col} double"
+    )
+    if docs is None:
+        return spark.createDataFrame([], schema)
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", stats_col
+    )
+    c = F.col(stats_col)
+    return (
+        docs.distinct()
+        .join(meta, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(c).cast("long").alias(f"min_{stats_col}"),
+            F.max(c).cast("long").alias(f"max_{stats_col}"),
+            F.sum(c).cast("long").alias(f"sum_{stats_col}"),
+            F.round(F.avg(c), 6).alias(f"avg_{stats_col}"),
+            F.round(F.var_pop(c), 6).alias(f"var_{stats_col}"),
+            F.round(F.stddev_pop(c), 6).alias(f"std_{stats_col}"),
+        )
+    )

@@ -1196,3 +1196,49 @@ def test_complete_terms_ranked_by_df(spark, idx):
 
     with _pt.raises(ValueError):
         complete_terms(spark, idx, "")
+
+
+def test_percentiles_agg_matches_manual(spark, idx):
+    import numpy as np
+
+    from contextinator_spark.operators.bm25_segments import percentiles_agg
+
+    pcts = (0.25, 0.5, 0.75, 0.99)
+    rows = percentiles_agg(spark, idx, ["hash", "spark"], "doc_len", pcts).collect()
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    vals = np.array(sorted(dl[d] for d in {0, 1, 2, 3, 4, 6}), dtype=float)
+    want = [
+        (p, round(float(np.quantile(vals, p, method="linear")), 6)) for p in pcts
+    ]
+    assert [(r.percentile, r.value) for r in rows] == want
+    with pytest.raises(ValueError, match="percentile"):
+        percentiles_agg(spark, idx, ["hash"], percentiles=(1.5,))
+    assert percentiles_agg(spark, idx, ["zzzz_none"]).count() == 0
+
+
+def test_extended_stats_matches_manual(spark, idx):
+    import numpy as np
+
+    from contextinator_spark.operators.bm25_segments import extended_stats
+
+    row = extended_stats(spark, idx, ["hash", "spark"], "doc_len").collect()[0]
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    vals = np.array([dl[d] for d in {0, 1, 2, 3, 4, 6}], dtype=float)
+    assert (
+        row.n_docs,
+        row.min_doc_len,
+        row.max_doc_len,
+        row.sum_doc_len,
+        row.avg_doc_len,
+        row.var_doc_len,
+        row.std_doc_len,
+    ) == (
+        len(vals),
+        int(vals.min()),
+        int(vals.max()),
+        int(vals.sum()),
+        round(float(vals.mean()), 6),
+        round(float(vals.var()), 6),
+        round(float(vals.std()), 6),
+    )
+    assert extended_stats(spark, idx, ["zzzz_none"]).count() == 0

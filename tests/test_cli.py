@@ -823,3 +823,22 @@ def test_cli_multimatch_two_fields_weighted(capsys, spark, index_dir, tmp_path):
             "--tie-breaker", "0.3",
         )
         assert len(rows) >= 1
+
+
+def test_cli_tvec_pctl_xstats(capsys, spark, index_dir):
+    """Term vectors, percentiles and extended stats verbs end-to-end."""
+    tv = run_cli(
+        capsys, spark, "--format", "text", "tvec",
+        "--index", index_dir, "--docs", "0,1",
+    )
+    assert tv and all(len(l.split()) == 3 for l in tv)
+    pc = run_cli(
+        capsys, spark, "--format", "text", "pctl", "--index", index_dir,
+        "--query", "spark hash", "--pcts", "0.5,0.9",
+    )
+    assert len(pc) == 2 and pc[0].startswith("p0.5")
+    xs = run_cli(
+        capsys, spark, "--format", "text", "xstats",
+        "--index", index_dir, "--query", "spark hash",
+    )
+    assert len(xs) == 1 and "n_docs=" in xs[0] and "std_doc_len=" in xs[0]
