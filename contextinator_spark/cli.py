@@ -615,6 +615,21 @@ def cmd_suggest(args, spark) -> None:
     dictionary neighbors of a possibly-misspelled term, closest-first
     then by collection frequency. With --complete: completion-suggester
     mode — df-ranked dictionary terms under the prefix."""
+    if getattr(args, "phrase", False):
+        from .operators.phrase import phrase_suggest
+
+        out = phrase_suggest(
+            spark, args.index, args.term.split(),
+            max_edits=max(1, args.max_edits), k=args.k,
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['suggestion']:<32}  "
+                      f"df={d['phrase_df']}  dist={d['total_dist']}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if getattr(args, "complete", False):
         from .operators.bm25_segments import complete_terms
 
@@ -1216,6 +1231,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--complete", action="store_true",
         help="completion-suggester mode: --term is a PREFIX, results are "
              "df-ranked dictionary terms under it",
+    )
+    sg.add_argument(
+        "--phrase", action="store_true",
+        help="phrase-suggester mode: --term is a whole phrase (space-"
+             "separated), candidates ranked by real indexed phrase df "
+             "(needs a positions index)",
     )
     sg.set_defaults(fn=cmd_suggest)
 

@@ -2963,6 +2963,72 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# phrase suggester (ES phrase suggest with index-collate ranking)
+# ---------------------------------------------------------------------------
+
+PHRASE_SUGGEST_SEED = ["tble", "hsh"]  # → "table hash" and friends
+PHRASE_SUGGEST_PER_SLOT = 4
+PHRASE_SUGGEST_MAX_EDITS = 1
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: per-slot Levenshtein candidates from the
+    dictionary, candidate phrases verified and ranked by their REAL
+    exact-phrase document frequency through one batch positional plan
+    (operators/phrase.py phrase_suggest docstring). New surface."""
+    from .operators.phrase import phrase_suggest
+
+    return phrase_suggest(
+        spark,
+        _cached_phrase_index_dir(spark, sf_dir),
+        PHRASE_SUGGEST_SEED,
+        max_edits=PHRASE_SUGGEST_MAX_EDITS,
+        per_slot=PHRASE_SUGGEST_PER_SLOT,
+        k=5,
+    )
+
+
+def sql_phrase_suggest() -> str:
+    """Oracle: identical candidate algebra (length band + levenshtein ≤
+    max_edits, (dist, df desc, term) slot ranking, identity excluded,
+    (total_dist, suggestion) candidate bound) with phrase df via a
+    distinct-bigram join."""
+    t0, t1 = PHRASE_SUGGEST_SEED
+    ps, me = PHRASE_SUGGEST_PER_SLOT, PHRASE_SUGGEST_MAX_EDITS
+    slot = lambda seed: f"""
+  SELECT term, dist FROM (
+    SELECT term, levenshtein(term, '{seed}') AS dist,
+           row_number() OVER (ORDER BY levenshtein(term, '{seed}'), df DESC, term) AS rn
+    FROM vocab
+    WHERE abs(length(term) - {len(seed)}) <= {me}
+      AND levenshtein(term, '{seed}') <= {me}) WHERE rn <= {ps}"""
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+post AS (SELECT term, doc_id FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         GROUP BY term, doc_id),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+s0 AS ({slot(t0)}),
+s1 AS ({slot(t1)}),
+cand AS (SELECT s0.term AS w1, s1.term AS w2, s0.dist + s1.dist AS total_dist,
+                s0.term || ' ' || s1.term AS suggestion
+         FROM s0 CROSS JOIN s1 WHERE s0.dist + s1.dist > 0),
+candb AS (SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY total_dist, suggestion) AS rn FROM cand)
+  WHERE rn <= 50),
+bi AS (SELECT DISTINCT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+       FROM toks, unnest(range(1, len(t))) AS u(i)),
+pf AS (SELECT c.suggestion, c.total_dist, CAST(count(*) AS BIGINT) AS phrase_df
+       FROM candb c JOIN bi ON bi.w1 = c.w1 AND bi.w2 = c.w2
+       GROUP BY c.suggestion, c.total_dist)
+SELECT CAST(rank AS INT) AS rank, suggestion, phrase_df,
+       CAST(total_dist AS INT) AS total_dist
+FROM (SELECT row_number() OVER (ORDER BY phrase_df DESC, total_dist, suggestion) AS rank, *
+      FROM pf)
+WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # term vectors + match-set statistics aggregations
 # ---------------------------------------------------------------------------
 
@@ -3138,6 +3204,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "multi_match": (q_multi_match, sql_multi_match()),
         "bm25f": (q_bm25f, sql_bm25f()),
         "term_vectors": (q_term_vectors, sql_term_vectors()),
+        "phrase_suggest": (q_phrase_suggest, sql_phrase_suggest()),
         "percentiles": (q_percentiles, sql_percentiles()),
         "extended_stats": (q_extended_stats, sql_extended_stats()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),

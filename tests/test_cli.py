@@ -842,3 +842,15 @@ def test_cli_tvec_pctl_xstats(capsys, spark, index_dir):
         "--index", index_dir, "--query", "spark hash",
     )
     assert len(xs) == 1 and "n_docs=" in xs[0] and "std_doc_len=" in xs[0]
+
+
+def test_cli_suggest_phrase_mode(capsys, spark, tmp_path):
+    """suggest --phrase corrects a misspelled phrase against the real
+    indexed phrase frequencies (collate built in)."""
+    d = str(tmp_path / "sugg_phrase_idx")
+    run_cli(capsys, spark, "phrase-build", "--corpus", SF, "--index", d)
+    rows = run_cli(
+        capsys, spark, "--format", "text", "suggest", "--index", d,
+        "--term", "tble hsh", "--phrase", "--k", "3",
+    )
+    assert rows and rows[0].split()[1] == "table" and "df=" in rows[0]

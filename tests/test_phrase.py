@@ -590,3 +590,51 @@ def test_spanfirst_topk_and_guards(spark, span_idx):
         PH.positional_matches(spark, span_idx, ["a", "b"], window=2, first=3)
     with pytest.raises(ValueError, match="≥ 1"):
         PH.positional_matches(spark, span_idx, ["a"], first=0)
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester (ES phrase suggest with index-collate ranking)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_suggest_corrects_misspelling(spark, phrase_idx):
+    # "tble hash" → "table hash" (phrase df 3: docs 0, 3?, 5 — doc 3 has
+    # "table hash" via punctuation split; doc 2 is reversed, no match)
+    rows = PH.phrase_suggest(spark, phrase_idx, ["tble", "hash"], k=5).collect()
+    assert rows, "expected at least one suggestion"
+    top = rows[0]
+    assert (top["rank"], top["suggestion"], top["total_dist"]) == (1, "table hash", 1)
+    # its phrase_df must equal the real phrase match count
+    matched, _ = PH.positional_matches(spark, phrase_idx, ["table", "hash"])
+    want_df = matched.filter("phrase_tf > 0").count()
+    assert top["phrase_df"] == want_df
+
+
+def test_phrase_suggest_excludes_identity_and_unverified(spark, phrase_idx):
+    # exact query phrase is never suggested, and candidates whose phrase
+    # never occurs (e.g. "hash hash") are dropped by the collate step
+    rows = PH.phrase_suggest(spark, phrase_idx, ["table", "hash"], k=10).collect()
+    sugg = [r["suggestion"] for r in rows]
+    assert "table hash" not in sugg
+    assert all(r["total_dist"] >= 1 for r in rows)
+    assert all(r["phrase_df"] >= 1 for r in rows)
+
+
+def test_phrase_suggest_ranking_is_df_then_dist(spark, phrase_idx):
+    rows = PH.phrase_suggest(
+        spark, phrase_idx, ["tble", "hsh"], max_edits=1, k=10
+    ).collect()
+    keys = [(-r["phrase_df"], r["total_dist"], r["suggestion"]) for r in rows]
+    assert keys == sorted(keys)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_phrase_suggest_guards(spark, phrase_idx):
+    with pytest.raises(ValueError, match="two terms"):
+        PH.phrase_suggest(spark, phrase_idx, ["one"])
+    with pytest.raises(ValueError, match="max_edits"):
+        PH.phrase_suggest(spark, phrase_idx, ["a", "b"], max_edits=0)
+    # hopeless slot: nothing within 1 edit → empty frame, not an error
+    assert (
+        PH.phrase_suggest(spark, phrase_idx, ["zzzzzzzzzz", "hash"]).count() == 0
+    )
