@@ -513,6 +513,26 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_rankeval(args, spark) -> None:
+    """Ranking evaluation (ES _rank_eval): precision/recall/MRR/NDCG at k
+    of the BM25 ranking against an explicit relevant-doc list."""
+    from .operators.bm25_segments import topk_segments
+    from .operators.rankeval import rank_eval
+
+    ranking = topk_segments(spark, args.index, args.query.split(), k=args.k)
+    rel = spark.createDataFrame(
+        [(int(d),) for d in args.relevant.split(",") if d.strip()],
+        "doc_id long",
+    )
+    out = rank_eval(spark, ranking, rel, k=args.k)
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: f"{d['metric']:<16} {d['value']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_termvectors(args, spark) -> None:
     """Per-document term vectors from the term-major store (Lucene
     TermVectors / ES _termvectors); --positions needs a phrase index."""
@@ -1168,6 +1188,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    re_ = sub.add_parser(
+        "rankeval", help="ranking metrics vs a relevant-doc list (ES _rank_eval)"
+    )
+    re_.add_argument("--index", required=True)
+    re_.add_argument("--query", required=True)
+    re_.add_argument("--relevant", required=True, help="comma-separated doc_ids")
+    re_.add_argument("--k", type=int, default=10)
+    re_.set_defaults(fn=cmd_rankeval)
 
     tv = sub.add_parser(
         "tvec", help="per-document term vectors (ES _termvectors)"

@@ -2963,6 +2963,77 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# ranking evaluation (ES _rank_eval)
+# ---------------------------------------------------------------------------
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ranking-evaluation API: precision@10 / recall@10 / MRR /
+    NDCG@10 of the flagship BM25 ranking, judged against the conjunctive
+    match set (docs containing ALL query terms) as the deterministic
+    relevance oracle. New surface."""
+    from .operators.bm25_segments import topk_segments
+    from .operators.rankeval import rank_eval
+
+    ranking = topk_segments(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS, k=10
+    )
+    post = _docs_postings(spark, sf_dir)
+    terms = sorted(set(BM25_QUERY_TERMS))
+    relevant = (
+        post.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+    return rank_eval(spark, ranking, relevant, k=10)
+
+
+def sql_rank_eval() -> str:
+    """Oracle: the bm25_topk ranking CTE + conjunctive judgment set +
+    the four metric formulas (binary NDCG, 1/log2(rank+1) discount)."""
+    terms = sorted(set(BM25_QUERY_TERMS))
+    values = ", ".join(f"(1, '{t}')" for t in terms)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        _bm25_sql(values)
+        + f""",
+ranking AS (
+  SELECT rank, doc_id FROM (
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id
+    FROM scored) WHERE rank <= 10),
+rel AS (SELECT doc_id FROM post WHERE term IN ({in_list})
+        GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)}),
+nrel AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rel),
+hits AS (SELECT r.rank FROM ranking r JOIN rel USING (doc_id)),
+vals AS (SELECT CAST(count(*) AS DOUBLE) AS n_hits, min(rank) AS first,
+                coalesce(sum(1.0 / log2(rank + 1.0)), 0.0) AS dcg
+         FROM hits),
+idcg AS (SELECT coalesce(sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0)), 0.0) AS v
+         FROM (SELECT unnest(range(1,
+                  CAST(least(10, (SELECT n FROM nrel)) AS BIGINT) + 1)) AS i))
+SELECT 'precision_at_k' AS metric,
+       CAST(round(n_hits / 10.0, 6) AS DOUBLE) AS value FROM vals
+UNION ALL
+SELECT 'recall_at_k',
+       CAST(CASE WHEN (SELECT n FROM nrel) > 0
+            THEN round(n_hits / (SELECT n FROM nrel), 6) ELSE 0.0 END AS DOUBLE)
+FROM vals
+UNION ALL
+SELECT 'mrr',
+       CAST(CASE WHEN first IS NULL THEN 0.0
+            ELSE round(1.0 / first, 6) END AS DOUBLE) FROM vals
+UNION ALL
+SELECT 'ndcg_at_k',
+       CAST(CASE WHEN (SELECT v FROM idcg) > 0
+            THEN round(dcg / (SELECT v FROM idcg), 6) ELSE 0.0 END AS DOUBLE)
+FROM vals
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # phrase suggester (ES phrase suggest with index-collate ranking)
 # ---------------------------------------------------------------------------
 
@@ -3205,6 +3276,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "bm25f": (q_bm25f, sql_bm25f()),
         "term_vectors": (q_term_vectors, sql_term_vectors()),
         "phrase_suggest": (q_phrase_suggest, sql_phrase_suggest()),
+        "rank_eval": (q_rank_eval, sql_rank_eval()),
         "percentiles": (q_percentiles, sql_percentiles()),
         "extended_stats": (q_extended_stats, sql_extended_stats()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),

@@ -854,3 +854,13 @@ def test_cli_suggest_phrase_mode(capsys, spark, tmp_path):
         "--term", "tble hsh", "--phrase", "--k", "3",
     )
     assert rows and rows[0].split()[1] == "table" and "df=" in rows[0]
+
+
+def test_cli_rankeval_verb(capsys, spark, index_dir):
+    rows = run_cli(
+        capsys, spark, "--format", "text", "rankeval", "--index", index_dir,
+        "--query", "spark hash", "--relevant", "0,1,2", "--k", "5",
+    )
+    got = dict(l.split() for l in rows)
+    assert set(got) == {"precision_at_k", "recall_at_k", "mrr", "ndcg_at_k"}
+    assert all(0.0 <= float(v) <= 1.0 for v in got.values())
