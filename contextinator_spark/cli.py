@@ -513,6 +513,25 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_datehisto(args, spark) -> None:
+    """Time-bucketed aggregation over an events-shaped parquet table
+    (ES date_histogram): counts per date_trunc bucket, optional group
+    column and value sub-metrics."""
+    from .operators.timeseries import date_histogram
+
+    ev = spark.read.parquet(args.events)
+    out = date_histogram(
+        ev, args.ts_col, args.interval,
+        value_col=args.value_col, group_col=args.group_col,
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: "  ".join(f"{k}={v}" for k, v in d.items()),
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_rankeval(args, spark) -> None:
     """Ranking evaluation (ES _rank_eval): precision/recall/MRR/NDCG at k
     of the BM25 ranking against an explicit relevant-doc list."""
@@ -812,7 +831,11 @@ def cmd_count(args, spark) -> None:
     from .oracle import tokenize
 
     terms = [t for w in args.query.split() for t in tokenize(w)]
-    out = match_count(spark, args.index, terms)
+    out = match_count(
+        spark, args.index, terms,
+        approximate=getattr(args, "approx", False),
+        rsd=getattr(args, "rsd", 0.05),
+    )
     _emit(
         out.collect(),
         args.format,
@@ -1177,6 +1200,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cn.add_argument("--index", required=True)
     cn.add_argument("--query", required=True)
+    cn.add_argument(
+        "--approx", action="store_true",
+        help="HLL++ cardinality sketch (ES cardinality agg) instead of exact",
+    )
+    cn.add_argument("--rsd", type=float, default=0.05)
     cn.set_defaults(fn=cmd_count)
 
     sn = sub.add_parser(
@@ -1188,6 +1216,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    dh = sub.add_parser(
+        "datehisto", help="date_histogram over an events parquet table"
+    )
+    dh.add_argument("--events", required=True, help="parquet path with a timestamp column")
+    dh.add_argument("--ts-col", default="ts", dest="ts_col")
+    dh.add_argument("--interval", default="day")
+    dh.add_argument("--group-col", default=None, dest="group_col")
+    dh.add_argument("--value-col", default=None, dest="value_col")
+    dh.set_defaults(fn=cmd_datehisto)
 
     re_ = sub.add_parser(
         "rankeval", help="ranking metrics vs a relevant-doc list (ES _rank_eval)"

@@ -2963,6 +2963,34 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# date histogram (ES date_histogram over the events table)
+# ---------------------------------------------------------------------------
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram: daily event counts per event_type with sum/avg
+    value sub-metrics — pure-Catalyst scan-form aggregation (one codegen
+    scan, one bucket-sized exchange with map-side combine). New surface;
+    first use of the driver's events table."""
+    from .operators.timeseries import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram(ev, "ts", "day", value_col="value", group_col="event_type")
+
+
+def sql_date_histogram() -> str:
+    return """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value,
+       CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # ranking evaluation (ES _rank_eval)
 # ---------------------------------------------------------------------------
 
@@ -3277,6 +3305,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "term_vectors": (q_term_vectors, sql_term_vectors()),
         "phrase_suggest": (q_phrase_suggest, sql_phrase_suggest()),
         "rank_eval": (q_rank_eval, sql_rank_eval()),
+        "date_histogram": (q_date_histogram, sql_date_histogram()),
         "percentiles": (q_percentiles, sql_percentiles()),
         "extended_stats": (q_extended_stats, sql_extended_stats()),
         "bm25_explain": (q_bm25_explain, sql_bm25_explain()),

@@ -1242,3 +1242,15 @@ def test_extended_stats_matches_manual(spark, idx):
         round(float(vals.std()), 6),
     )
     assert extended_stats(spark, idx, ["zzzz_none"]).count() == 0
+
+
+def test_match_count_approximate_within_rsd(spark, idx):
+    from contextinator_spark.operators.bm25_segments import match_count
+
+    exact = match_count(spark, idx, ["hash", "spark"]).collect()[0]["n_docs"]
+    approx = match_count(
+        spark, idx, ["hash", "spark"], approximate=True, rsd=0.05
+    ).collect()[0]["n_docs"]
+    # tiny set: HLL++ is exact-ish far below the register capacity, but
+    # assert only the contract: within 3*rsd of the true cardinality
+    assert abs(approx - exact) <= max(1, 3 * 0.05 * exact)

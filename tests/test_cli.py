@@ -864,3 +864,21 @@ def test_cli_rankeval_verb(capsys, spark, index_dir):
     got = dict(l.split() for l in rows)
     assert set(got) == {"precision_at_k", "recall_at_k", "mrr", "ndcg_at_k"}
     assert all(0.0 <= float(v) <= 1.0 for v in got.values())
+
+
+def test_cli_count_approx_and_datehisto(capsys, spark, index_dir):
+    exact = int(run_cli(
+        capsys, spark, "--format", "text", "count",
+        "--index", index_dir, "--query", "spark hash",
+    )[0])
+    approx = int(run_cli(
+        capsys, spark, "--format", "text", "count",
+        "--index", index_dir, "--query", "spark hash", "--approx",
+    )[0])
+    assert abs(approx - exact) <= max(1, int(0.2 * exact))
+    rows = run_cli(
+        capsys, spark, "--format", "text", "datehisto",
+        "--events", SF + "/events.parquet", "--interval", "month",
+        "--group-col", "event_type", "--value-col", "value",
+    )
+    assert rows and "bucket=" in rows[0] and "sum_value=" in rows[0]
