@@ -513,6 +513,22 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_alias(args, spark) -> None:
+    """Index alias management (ES alias API analog): atomic pointer to a
+    store dir — the blue/green reindex cutover primitive. Every other
+    verb's --index accepts an alias transparently."""
+    from .operators.alias import create_alias, read_alias, swap_alias
+
+    if args.target and args.swap:
+        old = swap_alias(args.alias, args.target)
+        print(json.dumps({"alias": args.alias, "target": args.target, "was": old}))
+    elif args.target:
+        create_alias(args.alias, args.target)
+        print(json.dumps({"alias": args.alias, "target": args.target}))
+    else:
+        print(json.dumps({"alias": args.alias, "target": read_alias(args.alias)}))
+
+
 def cmd_datehisto(args, spark) -> None:
     """Time-bucketed aggregation over an events-shaped parquet table
     (ES date_histogram): counts per date_trunc bucket, optional group
@@ -1217,6 +1233,17 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
 
+    al = sub.add_parser(
+        "alias", help="atomic index alias: create, swap (blue/green), or show"
+    )
+    al.add_argument("--alias", required=True, help="alias directory")
+    al.add_argument("--target", default=None, help="store dir to point at")
+    al.add_argument(
+        "--swap", action="store_true",
+        help="repoint an EXISTING alias (prints the old target)",
+    )
+    al.set_defaults(fn=cmd_alias)
+
     dh = sub.add_parser(
         "datehisto", help="date_histogram over an events parquet table"
     )
@@ -1353,6 +1380,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> None:
     args = build_parser().parse_args(argv)
+    # alias pointers resolve once, at the CLI boundary (operators/alias.py):
+    # executors always see a concrete store path
+    if getattr(args, "index", None) and getattr(args, "fn", None) is not cmd_alias:
+        from .operators.alias import resolve_index
+
+        args.index = resolve_index(args.index)
     own_session = spark is None
     if own_session:
         from .session import get_spark
