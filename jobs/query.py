@@ -23,6 +23,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    from contextinator_spark.operators.alias import resolve_index
+
+    args.index = resolve_index(args.index)  # --index accepts an alias
+
     from contextinator_spark.session import get_spark
     from contextinator_spark.operators.bm25_segments import (
         expand_wildcard,
