@@ -3061,6 +3061,77 @@ FROM vals
     )
 
 
+MULTI_BATCH_QUERIES = {
+    1: ["hash", "join", "spark"],
+    2: ["merge", "sort"],
+    3: ["window"],
+    4: ["zzz_absent_term"],
+}
+
+
+def q_multi_match_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch best_fields: four multi-field queries in ONE plan — each
+    field's store probed and decoded once over the term union, per-query
+    attribution via a broadcast fan-out join (multifield.py
+    multi_match_topk_multi; batch ≡ single is pytest-pinned)."""
+    from .operators.multifield import multi_match_topk_multi
+
+    return multi_match_topk_multi(
+        spark,
+        _field_dirs(spark, sf_dir),
+        MULTI_BATCH_QUERIES,
+        k=10,
+        weights=MULTI_FIELD_WEIGHTS,
+        tie_breaker=MULTI_MATCH_TIE_BREAKER,
+    )
+
+
+def sql_multi_match_batch() -> str:
+    """Oracle: the sql_multi_match algebra with a (qid, term) query
+    relation and per-qid windows."""
+    k1, b = BM25_K1, BM25_B
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid in sorted(MULTI_BATCH_QUERIES)
+        for t in sorted(set(MULTI_BATCH_QUERIES[qid]))
+    )
+    wc, wt = MULTI_FIELD_WEIGHTS["content"], MULTI_FIELD_WEIGHTS["title"]
+    tb = MULTI_MATCH_TIE_BREAKER
+    field_scored = lambda f: f"""
+  SELECT q.qid, p.doc_id,
+         CAST(round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * ({k1} + 1.0))
+           / (p.tf + {k1} * (1.0 - {b} + {b} * m.doc_len / s.avgdl))
+         ), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+  FROM post_{f} p JOIN q ON p.term = q.term
+       JOIN (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post_{f}
+             WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term) d
+            ON p.term = d.term
+       JOIN meta_{f} m ON p.doc_id = m.doc_id
+       CROSS JOIN stats_{f} s
+  GROUP BY q.qid, p.doc_id"""
+    return (
+        _sql_two_field_ctes()
+        + f""",
+q(qid, term) AS (VALUES {values}),
+scored_c AS ({field_scored('c')}),
+scored_t AS ({field_scored('t')}),
+uni AS (SELECT qid, doc_id, {wc} * score AS ws FROM scored_c
+        UNION ALL SELECT qid, doc_id, {wt} * score AS ws FROM scored_t),
+comb AS (SELECT qid, doc_id,
+                CAST(round(max(ws) + {tb} * (sum(ws) - max(ws)),
+                           {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+         FROM uni GROUP BY qid, doc_id)
+SELECT CAST(qid AS INT) AS query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM comb)
+WHERE rank <= 10
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # phrase suggester (ES phrase suggest with index-collate ranking)
 # ---------------------------------------------------------------------------
@@ -3302,6 +3373,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "synonym_topk": (q_synonym_topk, sql_synonym_topk()),
         "multi_match": (q_multi_match, sql_multi_match()),
         "bm25f": (q_bm25f, sql_bm25f()),
+        "multi_match_batch": (q_multi_match_batch, sql_multi_match_batch()),
         "term_vectors": (q_term_vectors, sql_term_vectors()),
         "phrase_suggest": (q_phrase_suggest, sql_phrase_suggest()),
         "rank_eval": (q_rank_eval, sql_rank_eval()),

@@ -275,3 +275,185 @@ def bm25f_topk(
         F.round(F.sum("partial"), SCORE_ROUND_DECIMALS).alias("score")
     )
     return _ranked(combined, k)
+
+
+def _fanout_df(spark: SparkSession, queries: dict[int, list[str]]) -> DataFrame:
+    """(term, query_id) rows — the broadcast-sized term→query map every
+    batch executor fans partial streams out with."""
+    rows = [
+        (t, int(qid))
+        for qid, terms in queries.items()
+        for t in sorted({x.lower() for x in terms})
+    ]
+    return F.broadcast(
+        spark.createDataFrame(rows, "term string, query_id int")
+    )
+
+
+def _batch_ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def multi_match_topk_multi(
+    spark: SparkSession,
+    field_dirs: dict[str, str],
+    queries: dict[int, list[str]],
+    k: int = DEFAULT_TOP_K,
+    weights: dict[str, float] | None = None,
+    tie_breaker: float = 0.0,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch best_fields: many multi_match queries in ONE plan →
+    (query_id, rank, doc_id, score), batch ≡ single per query (tested).
+
+    The saving is structural: per-field term partials idf_f(t)·tfnorm_f
+    are QUERY-INDEPENDENT, so each field's store is probed and decoded
+    once over the union of every query's terms (term_tf_stream — decode
+    each term once no matter how many queries share it) and the per-query
+    attribution happens at the end through a broadcast (term, query_id)
+    fan-out join. Exchanges: (query, field, doc) fold → (query, doc)
+    DisMax combine → per-query top-k window; all match-set-scale."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    w = _norm_weights(field_dirs, weights)
+    union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    if not queries or not union_terms:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    fan = _fanout_df(spark, queries)
+
+    parts = []
+    for field, d in field_dirs.items():
+        stats = load_stats(d)
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+        got = term_tf_stream(spark, d, union_terms)
+        if got is None:
+            continue
+        stream, info = got
+        idf_map = F.create_map(
+            *[x for t in info for x in (F.lit(t), F.lit(_idf(float(info[t]["df"]), n)))]
+        )
+        tfn = (
+            F.col("tf").cast("double") * (k1 + 1.0)
+        ) / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl))
+        )
+        parts.append(
+            stream.select(
+                F.lit(field).alias("field"),
+                "term",
+                "doc_id",
+                (idf_map[F.col("term")] * tfn).alias("part"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+
+    wmap = F.create_map(*[x for f_ in w for x in (F.lit(f_), F.lit(w[f_]))])
+    per_field = (
+        allp.join(fan, "term")
+        .groupBy("query_id", "field", "doc_id")
+        .agg(F.round(F.sum("part"), SCORE_ROUND_DECIMALS).alias("s"))
+        .select(
+            "query_id", "doc_id", (F.col("s") * wmap[F.col("field")]).alias("ws")
+        )
+    )
+    combined = per_field.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.max("ws") + F.lit(float(tie_breaker)) * (F.sum("ws") - F.max("ws")),
+            SCORE_ROUND_DECIMALS,
+        ).alias("score")
+    )
+    return _batch_ranked(combined, k)
+
+
+def bm25f_topk_multi(
+    spark: SparkSession,
+    field_dirs: dict[str, str],
+    queries: dict[int, list[str]],
+    k: int = DEFAULT_TOP_K,
+    weights: dict[str, float] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Batch BM25F: many cross_fields queries in ONE plan, batch ≡ single
+    per query (tested). Even more shares than best_fields: the whole
+    term-level chain — per-field contributions, the (term, doc) tfw fold
+    AND the saturated partial idf·tfw/(k1+tfw) — is query-independent, so
+    it is computed once over the term union and only the final
+    (query, doc) sum is per-query (broadcast fan-out join). Exchanges:
+    (term, doc) blend fold → (query, doc) fold → per-query window."""
+    w = _norm_weights(field_dirs, weights)
+    union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    if not queries or not union_terms:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    fan = _fanout_df(spark, queries)
+
+    streams = []
+    n_docs = None
+    for field, d in field_dirs.items():
+        stats = load_stats(d)
+        if n_docs is None:
+            n_docs = float(stats["n_docs"])
+        elif float(stats["n_docs"]) != n_docs:
+            raise ValueError(
+                "field stores disagree on n_docs — not the same corpus: "
+                f"{n_docs} vs {stats['n_docs']} ({d})"
+            )
+        got = term_tf_stream(spark, d, union_terms)
+        if got is None:
+            continue
+        streams.append((field, got[0], got[1], stats))
+    if not streams:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+
+    df_blend: dict[str, float] = {}
+    for _field, _s, info, _stats in streams:
+        for t, rec in info.items():
+            df_blend[t] = max(df_blend.get(t, 0.0), float(rec["df"]))
+    idf_map = F.create_map(
+        *[x for t in df_blend for x in (F.lit(t), F.lit(_idf(df_blend[t], n_docs)))]
+    )
+
+    parts = []
+    for field, stream, _info, stats in streams:
+        avgdl = float(stats["avgdl"])
+        bf = 1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl)
+        parts.append(
+            stream.select(
+                "term",
+                "doc_id",
+                (F.lit(w[field]) * F.col("tf").cast("double") / bf).alias("contrib"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+
+    partials = (
+        allp.groupBy("term", "doc_id")
+        .agg(F.sum("contrib").alias("tfw"))
+        .select(
+            "term",
+            "doc_id",
+            (
+                idf_map[F.col("term")] * F.col("tfw") / (F.lit(float(k1)) + F.col("tfw"))
+            ).alias("part"),
+        )
+    )
+    scored = (
+        partials.join(fan, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), SCORE_ROUND_DECIMALS).alias("score"))
+    )
+    return _batch_ranked(scored, k)

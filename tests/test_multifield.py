@@ -209,3 +209,69 @@ def test_bm25f_mismatched_corpus_raises(spark, stores, tmp_path_factory):
     write_index(spark, other, d)
     with pytest.raises(ValueError, match="n_docs"):
         bm25f_topk(spark, {"content": stores["content"], "title": d}, ["hash"])
+
+
+# ---------------------------------------------------------------------------
+# batch executors: many multi-field queries in one plan
+# ---------------------------------------------------------------------------
+
+BATCH_QUERIES = {
+    1: ["hash", "spark"],
+    2: ["merge"],
+    3: ["hash", "spark", "table", "merge"],
+    4: ["zzzz_absent"],
+    5: ["join", "nested"],
+}
+
+
+def _batch_rows(df):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in df.collect()
+    ]
+
+
+def test_multi_match_batch_matches_single(spark, stores):
+    from contextinator_spark.operators.multifield import multi_match_topk_multi
+
+    weights = {"content": 1.0, "title": 2.0}
+    got = _batch_rows(
+        multi_match_topk_multi(
+            spark, stores, BATCH_QUERIES, k=8, weights=weights, tie_breaker=0.3
+        )
+    )
+    want = []
+    for qid in sorted(BATCH_QUERIES):
+        for r, d, s in _rows(
+            multi_match_topk(
+                spark, stores, BATCH_QUERIES[qid], k=8,
+                weights=weights, tie_breaker=0.3,
+            )
+        ):
+            want.append((qid, r, d, s))
+    assert got == want
+
+
+def test_bm25f_batch_matches_single(spark, stores):
+    from contextinator_spark.operators.multifield import bm25f_topk_multi
+
+    weights = {"content": 1.0, "title": 3.0}
+    got = _batch_rows(
+        bm25f_topk_multi(spark, stores, BATCH_QUERIES, k=8, weights=weights)
+    )
+    want = []
+    for qid in sorted(BATCH_QUERIES):
+        for r, d, s in _rows(
+            bm25f_topk(spark, stores, BATCH_QUERIES[qid], k=8, weights=weights)
+        ):
+            want.append((qid, r, d, s))
+    assert got == want
+
+
+def test_batch_empty_and_all_absent(spark, stores):
+    from contextinator_spark.operators.multifield import (
+        bm25f_topk_multi,
+        multi_match_topk_multi,
+    )
+
+    assert multi_match_topk_multi(spark, stores, {}).count() == 0
+    assert bm25f_topk_multi(spark, stores, {1: ["zzzz_nope"]}).count() == 0
