@@ -191,7 +191,89 @@ def posquery() -> None:
     spark.stop()
 
 
+def mfbuild() -> None:
+    """Amplified multi-field store pair (content at IDX, derived title
+    field at IDX_title) for multi-field batch scaling pairs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from contextinator_spark.entry_queries import _docs
+    from contextinator_spark.functions.tokenize import tokens_expr
+    from contextinator_spark.operators import segments as S
+
+    spark = get_spark("profile-mfbuild")
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    base = _docs(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    out = {}
+    for dst, src in (
+        (IDX, base),
+        (IDX + "_title", base.withColumn(
+            "content",
+            F.concat_ws(" ", F.slice(tokens_expr(F.col("content")), 1, 8)),
+        )),
+    ):
+        shutil.rmtree(dst, ignore_errors=True)
+        corpus = (
+            src.repartition(4 * cpus)
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))))
+            .withColumn("doc_id", F.col("doc_id") * AMPLIFY + F.col("rep"))
+            .drop("rep")
+        )
+        n = corpus.count()
+        hints = S.sampled_heavy_fanout(
+            src.repartition(cpus), "doc_id", n_docs=n, df_multiplier=AMPLIFY
+        )
+        t0 = time.perf_counter()
+        S.write_index(spark, corpus, dst, id_col="doc_id", heavy_fanout=hints)
+        out[dst] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"builds": out}))
+    spark.stop()
+
+
+def mfquery() -> None:
+    """Batch BM25F (the most multi-field-specific executor) at
+    SPARK_GRAFT_NQUERIES (default 200) seeded random queries over the
+    shared content+title store pair — the multi-field twin of `query`
+    for the pair protocol."""
+    import random
+
+    from contextinator_spark.operators.multifield import (
+        bm25f_topk_multi,
+        multi_match_topk,
+    )
+
+    vocab = [
+        "hash", "join", "spark", "merge", "sort", "table", "scan", "window",
+        "stream", "batch", "key", "order", "filter", "group", "query", "data",
+        "row", "column", "value", "vector", "small", "big", "fast", "slow",
+    ]
+    nq = int(os.environ.get("SPARK_GRAFT_NQUERIES", "200"))
+    rng = random.Random(7)
+    queries = {
+        i: rng.sample(vocab, rng.choice([1, 2, 2, 3, 3, 4])) for i in range(nq)
+    }
+    fields = {"content": IDX, "title": IDX + "_title"}
+    weights = {"content": 1.0, "title": 2.0}
+    spark = get_spark("profile-mfquery")
+    spark.sparkContext.setLogLevel("ERROR")
+    multi_match_topk(spark, fields, ["warmup"], k=10).collect()
+    for rep in range(int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))):
+        t0 = time.perf_counter()
+        rows = bm25f_topk_multi(
+            spark, fields, queries, k=10, weights=weights
+        ).collect()
+        print(json.dumps({
+            "rep": rep,
+            "total_sec": round(time.perf_counter() - t0, 3),
+            "rows": len(rows),
+        }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    {"build": build, "query": query, "posbuild": posbuild, "posquery": posquery}[
+    {"build": build, "query": query, "posbuild": posbuild,
+     "posquery": posquery, "mfbuild": mfbuild, "mfquery": mfquery}[
         sys.argv[1]
     ]()

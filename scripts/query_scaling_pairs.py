@@ -120,7 +120,7 @@ def main() -> None:
     if not os.path.exists(os.path.join(idx, "stats.json")):
         raise SystemExit(
             "build the shared index first: profile_query.py "
-            + ("posbuild" if MODE == "posquery" else "build")
+            + {"posquery": "posbuild", "mfquery": "mfbuild"}.get(MODE, "build")
         )
     pairs = []
     for i in range(PAIRS):
@@ -151,14 +151,13 @@ def main() -> None:
     med, best = statistics.median(effs), max(effs)
     calm_med = statistics.median(calm_effs) if calm_effs else None
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        label = (
-            "positional batch scaling"
-            if MODE == "posquery"
-            else "query scaling"
-        )
+        label = {
+            "posquery": "positional batch scaling",
+            "mfquery": "multi-field (BM25F) batch scaling",
+        }.get(MODE, "query scaling")
         extra = (
-            f", {os.environ.get('SPARK_GRAFT_NQUERIES', '100')} queries"
-            if MODE == "posquery"
+            f", {os.environ.get('SPARK_GRAFT_NQUERIES', '100' if MODE == 'posquery' else '200')} queries"
+            if MODE in ("posquery", "mfquery")
             else ""
         )
         f.write(
