@@ -290,11 +290,78 @@ def _fanout_df(spark: SparkSession, queries: dict[int, list[str]]) -> DataFrame:
     )
 
 
+def _estimate_rows(
+    spark: SparkSession, field_dirs: dict[str, str], queries: dict[int, list[str]]
+) -> dict[int, int]:
+    """Per-query partial-stream row estimate: Σ over fields and query
+    terms of the dictionary df — zero posting reads (the same
+    metadata-only discipline as boolean_topk_multi's stream bound)."""
+    union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
+    dfs: dict[str, int] = {}
+    for d in field_dirs.values():
+        stats = load_stats(d)
+        info = probe_dictionary(
+            spark, d, union_terms, int(stats.get("n_partitions", INDEX_PARTITIONS))
+        )
+        for t, rec in info.items():
+            dfs[t] = dfs.get(t, 0) + int(rec["df"])
+    return {
+        qid: sum(dfs.get(t.lower(), 0) for t in set(ts))
+        for qid, ts in queries.items()
+    }
+
+
+def _pack_subbatches(
+    queries: dict[int, list[str]], est: dict[int, int], bound: int
+) -> list[dict[int, list[str]]]:
+    """Greedy qid-ordered packing under the row bound (a single query over
+    the bound still runs alone — the bound is a batching knob, not a
+    refusal)."""
+    batches: list[dict[int, list[str]]] = []
+    cur: dict[int, list[str]] = {}
+    rows = 0
+    for qid in sorted(queries):
+        e = est[qid]
+        if cur and rows + e > bound:
+            batches.append(cur)
+            cur, rows = {}, 0
+        cur[qid] = queries[qid]
+        rows += e
+    if cur:
+        batches.append(cur)
+    return batches
+
+
 def _batch_ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (query_id, doc_id, score) stream.
+
+    NOT a bare rank window: partitionBy(query_id) would funnel every
+    matching doc of a query through ONE task (match sets here are
+    corpus-scale — the 8M-doc probe measured the window tail at >90% of
+    the batch wall). Instead each input partition is cut to its local
+    per-query top-k map-side (exact: the global top-k is a subset of the
+    union of local top-ks), so the window's exchange carries at most
+    n_partitions × n_queries × k rows — the same two-phase TakeOrdered
+    shape the single-query collectors get from Catalyst for free."""
+    kk = int(k)
+
+    def local_topk(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "score", "doc_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(kk)
+                )
+
+    pruned = scored.mapInPandas(local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= int(k))
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= kk)
         .select("query_id", "rank", "doc_id", "score")
         .orderBy("query_id", "rank")
     )
@@ -309,6 +376,7 @@ def multi_match_topk_multi(
     tie_breaker: float = 0.0,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_partial_rows: int | None = None,
 ) -> DataFrame:
     """Batch best_fields: many multi_match queries in ONE plan →
     (query_id, rank, doc_id, score), batch ≡ single per query (tested).
@@ -326,6 +394,19 @@ def multi_match_topk_multi(
     union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
     if not queries or not union_terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    if max_partial_rows is not None and len(queries) > 1:
+        est = _estimate_rows(spark, field_dirs, queries)
+        if sum(est.values()) > max_partial_rows:
+            parts_out = [
+                multi_match_topk_multi(
+                    spark, field_dirs, sub, k, weights, tie_breaker, k1, b
+                )
+                for sub in _pack_subbatches(queries, est, max_partial_rows)
+            ]
+            out = parts_out[0]
+            for p in parts_out[1:]:
+                out = out.unionByName(p)
+            return out
     fan = _fanout_df(spark, queries)
 
     parts = []
@@ -359,20 +440,40 @@ def multi_match_topk_multi(
     for p in parts[1:]:
         allp = allp.unionByName(p)
 
-    wmap = F.create_map(*[x for f_ in w for x in (F.lit(f_), F.lit(w[f_]))])
-    per_field = (
-        allp.join(fan, "term")
-        .groupBy("query_id", "field", "doc_id")
-        .agg(F.round(F.sum("part"), SCORE_ROUND_DECIMALS).alias("s"))
-        .select(
-            "query_id", "doc_id", (F.col("s") * wmap[F.col("field")]).alias("ws")
-        )
-    )
-    combined = per_field.groupBy("query_id", "doc_id").agg(
+    # ONE (query, doc) exchange: the per-field sums fold as conditional
+    # aggregates (fields are statically known), then the per-field round,
+    # weighting and DisMax combine all happen inside the agg projection —
+    # the earlier (query, field, doc) pre-fold was a second corpus-scale
+    # shuffle for nothing. Absent-field ws coalesces to 0, which is inert
+    # in both max and sum because BM25 partials are strictly positive.
+    field_names = [f_ for f_ in w]
+    sums = [
         F.round(
-            F.max("ws") + F.lit(float(tie_breaker)) * (F.sum("ws") - F.max("ws")),
+            F.sum(F.when(F.col("field") == f_, F.col("part"))),
             SCORE_ROUND_DECIMALS,
-        ).alias("score")
+        ).alias(f"s_{i}")
+        for i, f_ in enumerate(field_names)
+    ]
+    ws = [
+        F.coalesce(F.col(f"s_{i}") * F.lit(w[f_]), F.lit(0.0))
+        for i, f_ in enumerate(field_names)
+    ]
+    best = ws[0] if len(ws) == 1 else F.greatest(*ws)
+    total = ws[0]
+    for x in ws[1:]:
+        total = total + x
+    combined = (
+        allp.join(fan, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(*sums)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                best + F.lit(float(tie_breaker)) * (total - best),
+                SCORE_ROUND_DECIMALS,
+            ).alias("score"),
+        )
     )
     return _batch_ranked(combined, k)
 
@@ -385,6 +486,7 @@ def bm25f_topk_multi(
     weights: dict[str, float] | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_partial_rows: int | None = None,
 ) -> DataFrame:
     """Batch BM25F: many cross_fields queries in ONE plan, batch ≡ single
     per query (tested). Even more shares than best_fields: the whole
@@ -397,6 +499,17 @@ def bm25f_topk_multi(
     union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
     if not queries or not union_terms:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    if max_partial_rows is not None and len(queries) > 1:
+        est = _estimate_rows(spark, field_dirs, queries)
+        if sum(est.values()) > max_partial_rows:
+            parts_out = [
+                bm25f_topk_multi(spark, field_dirs, sub, k, weights, k1, b)
+                for sub in _pack_subbatches(queries, est, max_partial_rows)
+            ]
+            out = parts_out[0]
+            for p in parts_out[1:]:
+                out = out.unionByName(p)
+            return out
     fan = _fanout_df(spark, queries)
 
     streams = []

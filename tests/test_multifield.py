@@ -275,3 +275,25 @@ def test_batch_empty_and_all_absent(spark, stores):
 
     assert multi_match_topk_multi(spark, stores, {}).count() == 0
     assert bm25f_topk_multi(spark, stores, {1: ["zzzz_nope"]}).count() == 0
+
+
+def test_batch_subbatching_is_exact(spark, stores):
+    from contextinator_spark.operators.multifield import (
+        bm25f_topk_multi,
+        multi_match_topk_multi,
+    )
+
+    weights = {"content": 1.0, "title": 2.0}
+    for fn in (
+        lambda **kw: multi_match_topk_multi(
+            spark, stores, BATCH_QUERIES, k=8, weights=weights,
+            tie_breaker=0.3, **kw,
+        ),
+        lambda **kw: bm25f_topk_multi(
+            spark, stores, BATCH_QUERIES, k=8, weights=weights, **kw
+        ),
+    ):
+        free = _batch_rows(fn())
+        # bound of 1 row forces one sub-batch per query; union must be exact
+        bounded = _batch_rows(fn(max_partial_rows=1).orderBy("query_id", "rank"))
+        assert bounded == free
