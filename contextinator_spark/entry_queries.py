@@ -2742,6 +2742,32 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn-with-filter (exact PRE-filter): top-10 by cosine among
+    vectors with label = 1 only — the true top-k OF THE FILTERED SET,
+    never a post-filtered remnant. New surface."""
+    from .operators.similarity import knn_filtered
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_filtered(emb, [float(x) for x in qv], "label = 1", k=10)
+
+
+def sql_knn_filtered() -> str:
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id, cos
+FROM (SELECT e.vec_id, CAST(round({cos}, 6) AS DOUBLE) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.label = 1)
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
 def sql_lang_id() -> str:
     from .functions.text_stats import STOPWORDS
 
@@ -3323,6 +3349,7 @@ SELECT doc_id, content_sha256, n_duplicates FROM (
         "cosine_pairs_lsh": (q_cosine_pairs_lsh, sql_cosine_pairs_lsh()),
         "knn_brute": (q_knn_brute, sql_knn_brute()),
         "knn_lsh": (q_knn_lsh, sql_knn_lsh()),
+        "knn_filtered": (q_knn_filtered, sql_knn_filtered()),
         "lang_id": (q_lang_id, sql_lang_id()),
         "lang_of_ext": (q_lang_of_ext, sql_lang_of_ext()),
         "quality": (q_quality, sql_quality()),

@@ -243,3 +243,48 @@ def knn_lsh_indexed(spark: SparkSession, sig_path: str, query_vec: list[float],
         .agg(F.first("embedding").alias("embedding"))
     )
     return knn_brute(pool, query_vec, k)
+
+
+def knn_filtered(emb: DataFrame, query_vec: list[float], predicate: str,
+                 k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """ES knn-with-filter, exact PRE-filter semantics: the predicate (a
+    SQL expression over the embedding frame's metadata columns) restricts
+    the search set BEFORE ranking, so the result is the true top-k OF THE
+    FILTERED SET — k hits whenever ≥ k rows satisfy the filter, never the
+    post-filtered remnant of an unfiltered top-k. Brute = the exact
+    baseline; the predicate reaches the parquet scan (PushedFilters) since
+    it is a plain Catalyst filter ahead of the cosine projection."""
+    return knn_brute(emb.filter(predicate), query_vec, k, id_col, vec_col)
+
+
+def knn_lsh_indexed_filtered(spark: SparkSession, sig_path: str,
+                             query_vec: list[float], meta: DataFrame,
+                             predicate: str, k: int = 10,
+                             dim: int | None = None, n_bits: int = 8,
+                             n_tables: int = 4) -> DataFrame:
+    """Filtered ANN over the persisted signature table: the query's
+    n_tables bucket partitions are probed (partition-pruned, same as
+    knn_lsh_indexed), candidates PRE-filtered by a semi-join against
+    meta.filter(predicate) (meta = (vec_id, attributes…); broadcast by
+    AQE when small), then exactly re-scored. Because an RHP signature
+    depends only on the vector itself, this is bit-identical to running
+    inline knn_lsh over the pre-filtered embedding frame (tested) —
+    the filter commutes with bucketing. Like ES's filtered HNSW, a very
+    selective filter can leave < k candidates in the probed buckets; the
+    exact-recall fallback is knn_filtered (documented trade)."""
+    dim = dim or len(query_vec)
+    cells = query_buckets(query_vec, dim, n_bits, n_tables)
+    sig = spark.read.parquet(sig_path)
+    cond = None
+    for t, b in cells:
+        c = (F.col("table_id") == t) & (F.col("bucket") == b)
+        cond = c if cond is None else (cond | c)
+    keep = meta.filter(predicate).select("vec_id")
+    pool = (
+        sig.filter(cond)
+        .join(keep, "vec_id", "left_semi")
+        .groupBy("vec_id")
+        .agg(F.first("embedding").alias("embedding"))
+    )
+    return knn_brute(pool, query_vec, k)

@@ -287,3 +287,57 @@ def test_grep_prefilter_skipped_for_line_crossing_assertions(spark):
     # line-level semantics: the exploded line "foo" has no following \nbar,
     # so BOTH docs match — doc 1 must not be dropped by a content prefilter
     assert got == {(1, 1), (2, 1)}
+
+
+def test_knn_filtered_is_topk_of_filtered_set(spark):
+    import numpy as np
+
+    from contextinator_spark.operators.similarity import knn_brute, knn_filtered
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)], i % 3) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    qv = rows[0][1]
+    got = knn_filtered(emb, qv, "label = 1", k=5).collect()
+    want = knn_brute(emb.filter("label = 1"), qv, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    labels = {r[2] for r in rows if r[0] in {x["vec_id"] for x in got}}
+    assert labels == {1}
+
+
+def test_knn_lsh_indexed_filtered_matches_inline(spark, tmp_path):
+    import numpy as np
+
+    from contextinator_spark.operators.similarity import (
+        knn_lsh_indexed,
+        knn_lsh_indexed_filtered,
+        write_signature_table,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)], i % 2) for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    p = str(tmp_path / "sigs")
+    write_signature_table(emb, p, dim=8, n_bits=4, n_tables=2)
+    qv = rows[3][1]
+    meta = emb.select("vec_id", "label")
+    got = knn_lsh_indexed_filtered(
+        spark, p, qv, meta, "label = 0", k=5, dim=8, n_bits=4, n_tables=2
+    ).collect()
+    # an RHP signature depends only on the vector itself, so filtering
+    # commutes with bucketing: probing the FULL table then filtering
+    # candidates equals a signature table built from the pre-filtered
+    # frame (same md5-±1 hyperplane family)
+    p2 = str(tmp_path / "sigs_filtered")
+    write_signature_table(emb.filter("label = 0"), p2, dim=8, n_bits=4, n_tables=2)
+    want = knn_lsh_indexed(spark, p2, qv, k=5, dim=8, n_bits=4, n_tables=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got, "filtered probe returned no candidates"
