@@ -286,6 +286,7 @@ def _kernel_batch_topk(
     per_query,
     k: int,
     key_cols: list[str],
+    prepare=None,
 ) -> DataFrame:
     """Shared batch collector: partials (key_cols…, doc_id, part) — ONE
     row per (key, doc) — are co-located by doc_id (one exchange of the
@@ -303,9 +304,11 @@ def _kernel_batch_topk(
     the standard argument: a global top-k doc has < k docs above it
     globally, hence < k above it in its own partition.
 
-    `per_query(groups, inv, parts, udocs, qid)` → (scores ndarray over
-    udocs, matched mask) — the combine contract each executor supplies.
-    `groups` maps the tuple of key_cols values to row indices."""
+    `prepare(groups, inv, parts, udocs)` runs ONCE per partition and
+    returns a context (e.g. dense per-term partial vectors — terms are
+    shared across queries, so per-term work must not repeat per query);
+    each `per_query[qid](ctx)` → (raw scores ndarray over udocs, matched
+    mask). `groups` maps the "|"-joined key_cols values to row indices."""
     kk = int(k)
     n_out = spark.sparkContext.defaultParallelism * 2
     rep = partials.repartition(n_out, "doc_id")
@@ -353,9 +356,14 @@ def _kernel_batch_topk(
                 ]
             )
 
+        ctx = (
+            prepare(groups, inv, parts, udocs)
+            if prepare is not None
+            else (groups, inv, parts, udocs)
+        )
         out_q, out_d, out_s = [], [], []
         for qid in sorted(per_query):
-            raw, matched = per_query[qid](groups, inv, parts, udocs)
+            raw, matched = per_query[qid](ctx)
             nz = np.flatnonzero(matched)
             if nz.size == 0:
                 continue
@@ -516,22 +524,36 @@ def multi_match_topk_multi(
     tbf = float(tie_breaker)
     fws = [(f_, w[f_]) for f_ in field_names]
 
+    def prepare(groups, inv, partv, udocs):
+        # dense per-(field, term) partial vectors, built once — terms are
+        # shared across queries, so this work must not repeat per query
+        vecs = {}
+        for f_, _fw in fws:
+            for t in union_terms:
+                rows = groups.get(f_ + "|" + t)
+                if rows is not None:
+                    acc = np.zeros(udocs.size)
+                    acc[inv[rows]] = partv[rows]
+                    vecs[(f_, t)] = acc
+        return vecs, udocs.size
+
     def make_fn(terms):
         ts = sorted({t.lower() for t in terms})
 
-        def fn(groups, inv, partv, udocs):
+        def fn(ctx):
+            vecs, n = ctx
             ws_list = []
-            matched = np.zeros(udocs.size, dtype=bool)
+            matched = np.zeros(n, dtype=bool)
             for f_, fw in fws:
-                acc = np.zeros(udocs.size)
-                hit = False
+                acc = None
                 for t in ts:
-                    rows = groups.get(f_ + "|" + t)
-                    if rows is not None:
-                        acc[inv[rows]] += partv[rows]
-                        hit = True
-                if hit:
-                    matched |= acc > 0
+                    v = vecs.get((f_, t))
+                    if v is not None:
+                        acc = v.copy() if acc is None else acc + v
+                if acc is None:
+                    ws_list.append(np.zeros(n))
+                    continue
+                matched |= acc > 0
                 ws_list.append(np.round(acc, SCORE_ROUND_DECIMALS) * fw)
             stack = np.vstack(ws_list)
             best = stack.max(axis=0)
@@ -540,7 +562,9 @@ def multi_match_topk_multi(
         return fn
 
     per_query = {int(qid): make_fn(ts) for qid, ts in queries.items()}
-    return _kernel_batch_topk(spark, allp, per_query, k, ["field", "term"])
+    return _kernel_batch_topk(
+        spark, allp, per_query, k, ["field", "term"], prepare=prepare
+    )
 
 
 def bm25f_topk_multi(
@@ -597,49 +621,66 @@ def bm25f_topk_multi(
     for _field, _s, info, _stats in streams:
         for t, rec in info.items():
             df_blend[t] = max(df_blend.get(t, 0.0), float(rec["df"]))
-    idf_map = F.create_map(
-        *[x for t in df_blend for x in (F.lit(t), F.lit(_idf(df_blend[t], n_docs)))]
-    )
 
     parts = []
+    field_names = []
     for field, stream, _info, stats in streams:
         avgdl = float(stats["avgdl"])
         bf = 1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl)
+        field_names.append(field)
         parts.append(
             stream.select(
+                F.lit(field).alias("field"),
                 "term",
                 "doc_id",
-                (F.lit(w[field]) * F.col("tf").cast("double") / bf).alias("contrib"),
+                (F.lit(w[field]) * F.col("tf").cast("double") / bf).alias("part"),
             )
         )
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
 
-    partials = (
-        allp.groupBy("term", "doc_id")
-        .agg(F.sum("contrib").alias("tfw"))
-        .select(
-            "term",
-            "doc_id",
-            (
-                idf_map[F.col("term")] * F.col("tfw") / (F.lit(float(k1)) + F.col("tfw"))
-            ).alias("part"),
-        )
-    )
+    # no (term, doc) pre-fold exchange: the cross-field tfw blend and the
+    # saturation fold INSIDE the kernel (each field's rows for a term are
+    # a unique-doc posting set — one direct indexed add per field), so
+    # the only exchange left is the doc co-location of the raw term-level
+    # stream. The 4→16 pair attributed the residual batch cost to the
+    # 25M-group hash aggregate this removes.
+    idf_py = {t: _idf(df_blend[t], n_docs) for t in df_blend}
+    k1f = float(k1)
+
+    def prepare(groups, inv, partv, udocs):
+        vecs = {}
+        for t in union_terms:
+            tfw = None
+            for f_ in field_names:
+                rows = groups.get(f_ + "|" + t)
+                if rows is not None:
+                    if tfw is None:
+                        tfw = np.zeros(udocs.size)
+                    tfw[inv[rows]] += partv[rows]
+            if tfw is not None:
+                vecs[t] = idf_py[t] * tfw / (k1f + tfw)
+        return vecs, udocs.size
 
     def make_fn(terms):
         ts = sorted({t.lower() for t in terms})
 
-        def fn(groups, inv, partv, udocs):
-            acc = np.zeros(udocs.size)
+        def fn(ctx):
+            vecs, n = ctx
+            acc = None
             for t in ts:
-                rows = groups.get(t)
-                if rows is not None:
-                    acc[inv[rows]] += partv[rows]
+                v = vecs.get(t)
+                if v is not None:
+                    acc = v.copy() if acc is None else acc + v
+            if acc is None:
+                z = np.zeros(n)
+                return z, np.zeros(n, dtype=bool)
             return acc, acc > 0
 
         return fn
 
     per_query = {int(qid): make_fn(ts) for qid, ts in queries.items()}
-    return _kernel_batch_topk(spark, partials, per_query, k, ["term"])
+    return _kernel_batch_topk(
+        spark, allp, per_query, k, ["field", "term"], prepare=prepare
+    )
