@@ -280,75 +280,170 @@ def bm25f_topk(
     return _ranked(combined, k)
 
 
+def _bucketed_term_arrays(
+    spark: SparkSession,
+    field_dirs: dict[str, str],
+    union_terms: list[str],
+    n_buckets: int,
+):
+    """Per-field pruned scans packed as ARRAY rows for the batch kernel:
+    (field, term, bucket, docs, tfs, dls) with one row per
+    (field, term, doc-range bucket, slice) and docs RELATIVE to the
+    bucket start (int32). The doc-range bucketing is the same layout the
+    positional batch executor uses (phrase._bucketed_matches): the
+    exchange then moves ~10³ primitive-array rows instead of one row per
+    posting — the 4→16 pair measured the per-posting row stream (27M
+    rows through decode → Arrow → shuffle) as the non-scaling residual
+    after the fan-out fix.
+
+    Returns (stream_df | None, width, fields_meta, dels_df | None) where
+    fields_meta = {field: (stats, info)} and dels_df carries over-cap
+    tombstones re-packed as per-bucket relative-id arrays (under-cap
+    tombstones are masked kernel-side during decode, as everywhere)."""
+    metas = {}
+    max_id = -1
+    for field, d in field_dirs.items():
+        stats = load_stats(d)
+        info = probe_dictionary(
+            spark, d, union_terms, int(stats.get("n_partitions", INDEX_PARTITIONS))
+        )
+        metas[field] = (stats, info)
+        max_id = max(max_id, int(stats.get("max_doc_id", 0)))
+    if all(not info for _st, info in metas.values()):
+        return None, 0, metas, None
+    width = max_id // int(n_buckets) + 1
+
+    parts = []
+    dels_parts = []
+    for field, d in field_dirs.items():
+        stats, info = metas[field]
+        matched = sorted(info)
+        if not matched:
+            continue
+        tomb_bc, tomb_over = _tombstones(spark, d)
+        pids = sorted({info[t]["partition_id"] for t in matched})
+        seg = spark.read.parquet(os.path.join(d, "segments")).filter(
+            F.col("partition_id").isin(pids) & F.col("term").isin(matched)
+        )
+        seg = _spread_slices(
+            seg, spark, sum(int(info[t]["df"]) for t in matched)
+        )
+
+        def make_pack(tomb_bc=tomb_bc, field=field):
+            def pack(pdf_iter):
+                from .compress import decode_postings
+
+                for pdf in pdf_iter:
+                    out = {
+                        "field": [], "term": [], "bucket": [],
+                        "docs": [], "tfs": [], "dls": [],
+                    }
+                    for term, blob in zip(pdf["term"], pdf["blob"]):
+                        doc_ids, tfs, dls = decode_postings(bytes(blob))
+                        if tomb_bc is not None and doc_ids.size:
+                            m = live_mask(doc_ids, tomb_bc.value)
+                            if not m.all():
+                                doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                        if doc_ids.size == 0:
+                            continue
+                        # slices are doc-sorted: one searchsorted splits
+                        # the whole posting run into its buckets
+                        bks = doc_ids // width
+                        cuts = np.flatnonzero(
+                            np.concatenate(([True], bks[1:] != bks[:-1]))
+                        )
+                        ends = np.concatenate((cuts[1:], [doc_ids.size]))
+                        for s0, e0 in zip(cuts, ends):
+                            bk = int(bks[s0])
+                            out["field"].append(field)
+                            out["term"].append(term)
+                            out["bucket"].append(bk)
+                            out["docs"].append(
+                                (doc_ids[s0:e0] - bk * width).astype(np.int32)
+                            )
+                            out["tfs"].append(tfs[s0:e0].astype(np.int32))
+                            out["dls"].append(dls[s0:e0].astype(np.int32))
+                    if out["field"]:
+                        yield pd.DataFrame(out)
+
+            return pack
+
+        parts.append(
+            seg.mapInPandas(
+                make_pack(),
+                schema=(
+                    "field string, term string, bucket int, docs array<int>, "
+                    "tfs array<int>, dls array<int>"
+                ),
+            )
+        )
+        if tomb_over is not None:
+            dels_parts.append(tomb_over.select("doc_id"))
+    if not parts:
+        return None, width, metas, None
+    stream = parts[0]
+    for p in parts[1:]:
+        stream = stream.unionByName(p)
+    dels = None
+    if dels_parts:
+        alld = dels_parts[0]
+        for p in dels_parts[1:]:
+            alld = alld.unionByName(p)
+        dels = (
+            alld.distinct()
+            .withColumn("bucket", (F.col("doc_id") / F.lit(width)).cast("int"))
+            .withColumn(
+                "rel", (F.col("doc_id") - F.col("bucket") * F.lit(width)).cast("int")
+            )
+            .groupBy("bucket")
+            .agg(F.sort_array(F.collect_list("rel")).alias("dels"))
+        )
+    return stream, width, metas, dels
+
+
 def _kernel_batch_topk(
     spark: SparkSession,
-    partials: DataFrame,
+    stream: DataFrame,
+    width: int,
     per_query,
     k: int,
-    key_cols: list[str],
-    prepare=None,
+    prepare,
+    dels: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared batch collector: partials (key_cols…, doc_id, part) — ONE
-    row per (key, doc) — are co-located by doc_id (one exchange of the
-    TERM-LEVEL stream, which is query-count-independent), then a numpy
-    kernel computes EVERY query's per-doc score inside the partition and
-    emits only each (partition, query)'s local top-k. The global window
-    then ranks ≤ n_partitions × n_queries × k rows.
+    """Shared batch collector over bucket-packed array rows: ONE exchange
+    co-locates each doc-range bucket's (field, term) posting arrays
+    (query-count-independent, ~10³ rows), a numpy kernel builds dense
+    per-term partial vectors of the bucket width once (prepare — terms
+    are shared across queries) and scores EVERY query as dense vector
+    adds, emitting only local per-query top-k per bucket. The global
+    window then ranks ≤ n_buckets × n_queries × k rows.
 
-    This replaces the earlier broadcast fan-out join + (query, doc)
-    fold, which materialized Σ_q Σ_t df rows through a shuffle — at 200
-    queries × 1M saturated docs that was a 540M-row exchange, and the
-    4→16-core pair measured its variable cost scaling at 0.575 (shuffle
-    write bandwidth, not CPU). The kernel performs the same Σ adds as
-    vectorized in-memory accumulations instead; local-cut exactness is
-    the standard argument: a global top-k doc has < k docs above it
-    globally, hence < k above it in its own partition.
+    Local-cut exactness is the standard argument: a global top-k doc has
+    < k docs above it globally, hence < k above it in its own bucket.
+    Final scores go through the one-quantum margin + exact HALF_UP
+    correction (np.round is banker's; tie_breaker × 6-decimal per-field
+    scores manufacture exact half-quantum values — measured 3/30 graded
+    rows off by 1e-6 before this).
 
-    `prepare(groups, inv, parts, udocs)` runs ONCE per partition and
-    returns a context (e.g. dense per-term partial vectors — terms are
-    shared across queries, so per-term work must not repeat per query);
-    each `per_query[qid](ctx)` → (raw scores ndarray over udocs, matched
-    mask). `groups` maps the "|"-joined key_cols values to row indices."""
+    `prepare(groups, width)` → context; groups maps "field|term" →
+    (docs_rel, tfs, dls) concatenated int arrays, docs unique per key
+    within a bucket. `per_query[qid](ctx)` → (raw scores over the bucket
+    range, matched mask)."""
     kk = int(k)
-    n_out = spark.sparkContext.defaultParallelism * 2
-    rep = partials.repartition(n_out, "doc_id")
+    rep = stream.repartition(
+        min(64, 2 * spark.sparkContext.defaultParallelism), "bucket"
+    )
+    if dels is not None:
+        rep = rep.join(F.broadcast(dels), "bucket", "left")
+    has_dels = dels is not None
     out_schema = "query_id int, doc_id long, score double"
 
     def kernel(pdf_iter):
-        frames = [f for f in pdf_iter if len(f)]
-        if not frames:
-            return
-        pdf = pd.concat(frames, ignore_index=True)
-        if len(key_cols) == 1:
-            keys = pdf[key_cols[0]].to_numpy()
-        else:
-            # "|" separator: terms are [a-z0-9_]+ by the tokenizer and
-            # field names are validated in _norm_weights; NUL is NOT safe
-            # here — the Arrow->pandas string path strips it (measured:
-            # "content" + NUL + "hash" came back "contenthash")
-            keys = (pdf[key_cols[0]] + "|" + pdf[key_cols[1]]).to_numpy()
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        parts = pdf["part"].to_numpy(np.float64)
-        udocs, inv = np.unique(docs, return_inverse=True)
-        order = np.argsort(keys, kind="stable")
-        skeys = keys[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], skeys[1:] != skeys[:-1]))
-        )
-        groups = {}
-        for i, s0 in enumerate(starts):
-            e = starts[i + 1] if i + 1 < starts.size else skeys.size
-            groups[skeys[s0]] = order[s0:e]
         from decimal import ROUND_HALF_UP, Decimal
 
         quant = Decimal("0.000001")
 
         def halfup6(vals):
-            # Spark round() = BigDecimal.valueOf(double) HALF_UP — i.e.
-            # HALF_UP on the SHORTEST decimal repr; np.round is banker's
-            # and visibly diverges here because tie_breaker × (6-decimal
-            # per-field scores) manufactures exact half-quantum values
-            # (measured: 3/30 graded rows off by 1e-6 before this)
             return np.array(
                 [
                     float(Decimal(repr(float(v))).quantize(quant, ROUND_HALF_UP))
@@ -356,32 +451,53 @@ def _kernel_batch_topk(
                 ]
             )
 
-        ctx = (
-            prepare(groups, inv, parts, udocs)
-            if prepare is not None
-            else (groups, inv, parts, udocs)
-        )
+        frames = [f for f in pdf_iter if len(f)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
         out_q, out_d, out_s = [], [], []
-        for qid in sorted(per_query):
-            raw, matched = per_query[qid](ctx)
-            nz = np.flatnonzero(matched)
-            if nz.size == 0:
-                continue
-            prelim = np.round(raw[nz], SCORE_ROUND_DECIMALS)
-            # one-quantum margin before the exact-rounding correction:
-            # a doc whose banker's-rounded score sits 1e-6 below the kth
-            # could round HALF_UP to a tie — keep it for the re-rank
-            if nz.size > kk:
-                kth_val = -np.partition(-prelim, kk - 1)[kk - 1]
-                keep = np.flatnonzero(prelim >= kth_val - 1.5e-6)
-            else:
-                keep = np.arange(nz.size)
-            cand = nz[keep]
-            sc = halfup6(raw[cand])
-            order = np.lexsort((udocs[cand], -sc))[:kk]
-            out_q.append(np.full(order.size, qid, dtype=np.int32))
-            out_d.append(udocs[cand][order])
-            out_s.append(sc[order])
+        for bk, grp in pdf.groupby("bucket", sort=False):
+            groups = {}
+            for key, sub in grp.groupby(
+                grp["field"] + "|" + grp["term"], sort=False
+            ):
+                docs = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in sub["docs"]]
+                )
+                tfs = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in sub["tfs"]]
+                )
+                dls = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in sub["dls"]]
+                )
+                groups[key] = (docs, tfs, dls)
+            ctx = prepare(groups, width)
+            del_rel = None
+            if has_dels:
+                first = grp["dels"].iloc[0]
+                if first is not None and len(first):
+                    del_rel = np.asarray(first, dtype=np.int64)
+            base = int(bk) * width
+            for qid in sorted(per_query):
+                raw, matched = per_query[qid](ctx)
+                if del_rel is not None:
+                    matched = matched.copy()
+                    matched[del_rel[del_rel < matched.size]] = False
+                nz = np.flatnonzero(matched)
+                if nz.size == 0:
+                    continue
+                prelim = np.round(raw[nz], SCORE_ROUND_DECIMALS)
+                if nz.size > kk:
+                    kth_val = -np.partition(-prelim, kk - 1)[kk - 1]
+                    keep = np.flatnonzero(prelim >= kth_val - 1.5e-6)
+                else:
+                    keep = np.arange(nz.size)
+                cand = nz[keep]
+                sc = halfup6(raw[cand])
+                order = np.lexsort((cand, -sc))[:kk]
+                out_q.append(np.full(order.size, qid, dtype=np.int32))
+                out_d.append(base + cand[order])
+                out_s.append(sc[order])
         if out_q:
             yield pd.DataFrame(
                 {
@@ -483,75 +599,64 @@ def multi_match_topk_multi(
             for p in parts_out[1:]:
                 out = out.unionByName(p)
             return out
-    parts = []
-    field_names = []
-    for field, d in field_dirs.items():
-        stats = load_stats(d)
-        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-        got = term_tf_stream(spark, d, union_terms)
-        if got is None:
-            continue
-        stream, info = got
-        idf_map = F.create_map(
-            *[x for t in info for x in (F.lit(t), F.lit(_idf(float(info[t]["df"]), n)))]
-        )
-        tfn = (
-            F.col("tf").cast("double") * (k1 + 1.0)
-        ) / (
-            F.col("tf").cast("double")
-            + k1 * (1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl))
-        )
-        field_names.append(field)
-        parts.append(
-            stream.select(
-                F.lit(field).alias("field"),
-                "term",
-                "doc_id",
-                (idf_map[F.col("term")] * tfn).alias("part"),
-            )
-        )
-    if not parts:
+    n_buckets = min(64, 2 * spark.sparkContext.defaultParallelism)
+    stream, width, metas, dels = _bucketed_term_arrays(
+        spark, field_dirs, union_terms, n_buckets
+    )
+    if stream is None:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
 
-    # per-query combine inside the doc-co-located kernel: per-field sums
-    # (one (field, term) group is a unique-doc posting set, so direct
-    # indexed adds — no scatter conflicts), per-field round, weight,
-    # DisMax. Absent field contributes ws = 0, inert in max and sum
-    # because BM25 partials are strictly positive.
+    from .bm25_segments import _tf_norm
+
+    params = {}
+    field_names = []
+    for field, (stats, info) in metas.items():
+        if not info:
+            continue
+        n, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+        field_names.append(field)
+        params[field] = (
+            {t: _idf(float(info[t]["df"]), n) for t in info},
+            avgdl,
+            w[field],
+        )
     tbf = float(tie_breaker)
-    fws = [(f_, w[f_]) for f_ in field_names]
+    k1f, bf_ = float(k1), float(b)
 
-    def prepare(groups, inv, partv, udocs):
-        # dense per-(field, term) partial vectors, built once — terms are
-        # shared across queries, so this work must not repeat per query
+    def prepare(groups, width_):
+        # dense per-(field, term) partial vectors idf·tfnorm, built once —
+        # terms are shared across queries
         vecs = {}
-        for f_, _fw in fws:
+        for f_, (idf_f, avgdl_f, _fw) in params.items():
             for t in union_terms:
-                rows = groups.get(f_ + "|" + t)
-                if rows is not None:
-                    acc = np.zeros(udocs.size)
-                    acc[inv[rows]] = partv[rows]
-                    vecs[(f_, t)] = acc
-        return vecs, udocs.size
+                g = groups.get(f_ + "|" + t)
+                if g is None or t not in idf_f:
+                    continue
+                docs, tfs, dls = g
+                vec = np.zeros(width_)
+                vec[docs] = idf_f[t] * _tf_norm(
+                    tfs.astype(np.float64), dls.astype(np.float64),
+                    avgdl_f, k1f, bf_,
+                )
+                vecs[(f_, t)] = vec
+        return vecs, width_
 
     def make_fn(terms):
         ts = sorted({t.lower() for t in terms})
 
         def fn(ctx):
-            vecs, n = ctx
+            vecs, n_ = ctx
             ws_list = []
-            matched = np.zeros(n, dtype=bool)
-            for f_, fw in fws:
+            matched = np.zeros(n_, dtype=bool)
+            for f_ in field_names:
+                fw = params[f_][2]
                 acc = None
                 for t in ts:
                     v = vecs.get((f_, t))
                     if v is not None:
                         acc = v.copy() if acc is None else acc + v
                 if acc is None:
-                    ws_list.append(np.zeros(n))
+                    ws_list.append(np.zeros(n_))
                     continue
                 matched |= acc > 0
                 ws_list.append(np.round(acc, SCORE_ROUND_DECIMALS) * fw)
@@ -562,9 +667,7 @@ def multi_match_topk_multi(
         return fn
 
     per_query = {int(qid): make_fn(ts) for qid, ts in queries.items()}
-    return _kernel_batch_topk(
-        spark, allp, per_query, k, ["field", "term"], prepare=prepare
-    )
+    return _kernel_batch_topk(spark, stream, width, per_query, k, prepare, dels)
 
 
 def bm25f_topk_multi(
@@ -599,88 +702,74 @@ def bm25f_topk_multi(
             for p in parts_out[1:]:
                 out = out.unionByName(p)
             return out
-    streams = []
+    # stats consistency + blended df from the dictionaries (metadata only)
     n_docs = None
-    for field, d in field_dirs.items():
-        stats = load_stats(d)
+    n_buckets = min(64, 2 * spark.sparkContext.defaultParallelism)
+    stream, width, metas, dels = _bucketed_term_arrays(
+        spark, field_dirs, union_terms, n_buckets
+    )
+    for field, (stats, _info) in metas.items():
         if n_docs is None:
             n_docs = float(stats["n_docs"])
         elif float(stats["n_docs"]) != n_docs:
             raise ValueError(
                 "field stores disagree on n_docs — not the same corpus: "
-                f"{n_docs} vs {stats['n_docs']} ({d})"
+                f"{n_docs} vs {stats['n_docs']} ({field_dirs[field]})"
             )
-        got = term_tf_stream(spark, d, union_terms)
-        if got is None:
-            continue
-        streams.append((field, got[0], got[1], stats))
-    if not streams:
+    if stream is None:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
 
     df_blend: dict[str, float] = {}
-    for _field, _s, info, _stats in streams:
+    field_params = {}
+    for field, (stats, info) in metas.items():
+        if not info:
+            continue
+        field_params[field] = (float(stats["avgdl"]), w[field])
         for t, rec in info.items():
             df_blend[t] = max(df_blend.get(t, 0.0), float(rec["df"]))
-
-    parts = []
-    field_names = []
-    for field, stream, _info, stats in streams:
-        avgdl = float(stats["avgdl"])
-        bf = 1.0 - b + b * F.col("doc_len").cast("double") / F.lit(avgdl)
-        field_names.append(field)
-        parts.append(
-            stream.select(
-                F.lit(field).alias("field"),
-                "term",
-                "doc_id",
-                (F.lit(w[field]) * F.col("tf").cast("double") / bf).alias("part"),
-            )
-        )
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-
-    # no (term, doc) pre-fold exchange: the cross-field tfw blend and the
-    # saturation fold INSIDE the kernel (each field's rows for a term are
-    # a unique-doc posting set — one direct indexed add per field), so
-    # the only exchange left is the doc co-location of the raw term-level
-    # stream. The 4→16 pair attributed the residual batch cost to the
-    # 25M-group hash aggregate this removes.
     idf_py = {t: _idf(df_blend[t], n_docs) for t in df_blend}
-    k1f = float(k1)
+    k1f, bf_ = float(k1), float(b)
 
-    def prepare(groups, inv, partv, udocs):
+    # no (term, doc) pre-fold exchange and no per-posting rows at all:
+    # the cross-field tfw blend and the saturation fold INSIDE the kernel
+    # (each field's arrays for a term are a unique-doc posting set — one
+    # direct indexed add per field); the 4→16 pair attributed the
+    # residual batch cost first to the fan-out shuffle, then to the
+    # per-posting row stream both of which this layout removes
+    def prepare(groups, width_):
         vecs = {}
         for t in union_terms:
             tfw = None
-            for f_ in field_names:
-                rows = groups.get(f_ + "|" + t)
-                if rows is not None:
-                    if tfw is None:
-                        tfw = np.zeros(udocs.size)
-                    tfw[inv[rows]] += partv[rows]
+            for f_, (avgdl_f, fw) in field_params.items():
+                g = groups.get(f_ + "|" + t)
+                if g is None:
+                    continue
+                docs, tfs, dls = g
+                if tfw is None:
+                    tfw = np.zeros(width_)
+                tfw[docs] += fw * tfs.astype(np.float64) / (
+                    1.0 - bf_ + bf_ * dls.astype(np.float64) / avgdl_f
+                )
             if tfw is not None:
                 vecs[t] = idf_py[t] * tfw / (k1f + tfw)
-        return vecs, udocs.size
+        return vecs, width_
 
     def make_fn(terms):
         ts = sorted({t.lower() for t in terms})
 
         def fn(ctx):
-            vecs, n = ctx
+            vecs, n_ = ctx
             acc = None
             for t in ts:
                 v = vecs.get(t)
                 if v is not None:
                     acc = v.copy() if acc is None else acc + v
             if acc is None:
-                z = np.zeros(n)
-                return z, np.zeros(n, dtype=bool)
+                z = np.zeros(n_)
+                return z, np.zeros(n_, dtype=bool)
             return acc, acc > 0
 
         return fn
 
     per_query = {int(qid): make_fn(ts) for qid, ts in queries.items()}
-    return _kernel_batch_topk(
-        spark, allp, per_query, k, ["field", "term"], prepare=prepare
-    )
+    return _kernel_batch_topk(spark, stream, width, per_query, k, prepare, dels)
