@@ -475,7 +475,9 @@ def _kernel_batch_topk(
             del_rel = None
             if has_dels:
                 first = grp["dels"].iloc[0]
-                if first is not None and len(first):
+                # buckets with no deletes carry null from the left join —
+                # surfaced as None or NaN depending on the Arrow path
+                if isinstance(first, (list, np.ndarray)) and len(first):
                     del_rel = np.asarray(first, dtype=np.int64)
             base = int(bk) * width
             for qid in sorted(per_query):
