@@ -72,6 +72,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "32m")
         # parquet scan sizing for ~100TB inputs: bigger splits, fewer tasks
         .config("spark.sql.files.maxPartitionBytes", "256m")
+        # segment-store rows carry posting blobs up to ~2MB; at the default
+        # 4096-row vectorized batch, 32 concurrent scan tasks over a
+        # blob-dense partition each try to reserve ~90MB+ contiguous
+        # column buffers and abort the read under the 8g heap (observed
+        # once at the 64M-doc store build post-phase). 1024 bounds the
+        # typical buffer at ~22MB/task with scan amortization intact
+        # (256 measured a ~10% query-p95 cost; 1024 none).
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem))
         .config("spark.ui.enabled", "false")
