@@ -513,6 +513,22 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_analyze(args, spark) -> None:
+    """ES _analyze: show how the engine tokenizes a text — (position,
+    token) rows from the same tokens_expr every operator uses."""
+    from .functions.tokenize import tokens_expr
+
+    df = spark.createDataFrame([(args.text,)], "text string").select(
+        F.posexplode(tokens_expr(F.col("text"))).alias("position", "token")
+    )
+    _emit(
+        df.collect(),
+        args.format,
+        lambda d: f"{d['position']:>4}  {d['token']}",
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_alias(args, spark) -> None:
     """Index alias management (ES alias API analog): atomic pointer to a
     store dir — the blue/green reindex cutover primitive. Every other
@@ -1232,6 +1248,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    an = sub.add_parser("analyze", help="tokenizer debug (ES _analyze)")
+    an.add_argument("--text", required=True)
+    an.set_defaults(fn=cmd_analyze)
 
     al = sub.add_parser(
         "alias", help="atomic index alias: create, swap (blue/green), or show"

@@ -882,3 +882,12 @@ def test_cli_count_approx_and_datehisto(capsys, spark, index_dir):
         "--group-col", "event_type", "--value-col", "value",
     )
     assert rows and "bucket=" in rows[0] and "sum_value=" in rows[0]
+
+
+def test_cli_analyze_verb(capsys, spark):
+    rows = run_cli(
+        capsys, spark, "--format", "text", "analyze",
+        "--text", "Hash-Table JOIN, x2!",
+    )
+    assert [l.split()[1] for l in rows] == ["hash", "table", "join", "x2"]
+    assert [int(l.split()[0]) for l in rows] == [0, 1, 2, 3]
