@@ -173,6 +173,7 @@ def multi_match_topk(
     tie_breaker: float = 0.0,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    impl: str = "kernel",
 ) -> DataFrame:
     """ES multi_match type=best_fields over per-field segment stores.
 
@@ -180,10 +181,23 @@ def multi_match_topk(
     field scored by its own store's exact BM25 fold × its weight. With one
     field, weight 1 and any tie_breaker this IS topk_segments (tested).
     tie_breaker ∈ [0, 1] (Lucene DisjunctionMaxQuery tieBreakerMultiplier).
+
+    impl="kernel" (default) routes through the bucketed batch executor as
+    a batch of one — measured 1.4× faster warm at 8M docs (3.80 → 2.79 s)
+    because the per-field fold + union + combine exchanges collapse into
+    the single doc-co-location shuffle. impl="fold" keeps the independent
+    Catalyst-fold reference implementation the equivalence tests pin the
+    kernel against.
     """
     if not 0.0 <= tie_breaker <= 1.0:
         raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     w = _norm_weights(field_dirs, weights)
+    if impl == "kernel":
+        return multi_match_topk_multi(
+            spark, field_dirs, {0: list(terms)}, k, weights, tie_breaker, k1, b
+        ).select("rank", "doc_id", "score")
+    if impl != "fold":
+        raise ValueError(f"impl must be 'kernel' or 'fold', got {impl!r}")
     parts = []
     for field, d in field_dirs.items():
         scored = _exact_scored_matches(spark, d, terms, k1, b)
@@ -212,6 +226,7 @@ def bm25f_topk(
     weights: dict[str, float] | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    impl: str = "kernel",
 ) -> DataFrame:
     """BM25F (ES multi_match type=cross_fields) over per-field stores.
 
@@ -219,8 +234,19 @@ def bm25f_topk(
     saturation; idf uses the blended df = max over fields (ES
     BlendedTermQuery) with the shared corpus n_docs. See module docstring
     for the exact pinned formula and the single-field reduction.
+
+    impl="kernel" (default) = bucketed batch executor as a batch of one —
+    2.2× faster warm at 8M docs (6.30 → 2.84 s; the (doc,term) tfw fold
+    and (doc) combine exchanges move into the kernel). impl="fold" keeps
+    the Catalyst-fold reference the equivalence tests pin against.
     """
     w = _norm_weights(field_dirs, weights)
+    if impl == "kernel":
+        return bm25f_topk_multi(
+            spark, field_dirs, {0: list(terms)}, k, weights, k1, b
+        ).select("rank", "doc_id", "score")
+    if impl != "fold":
+        raise ValueError(f"impl must be 'kernel' or 'fold', got {impl!r}")
     qterms = sorted({t.lower() for t in terms})
 
     streams: list[tuple[str, DataFrame, dict, dict]] = []
@@ -527,9 +553,13 @@ def _kernel_batch_topk(
 def _estimate_rows(
     spark: SparkSession, field_dirs: dict[str, str], queries: dict[int, list[str]]
 ) -> dict[int, int]:
-    """Per-query partial-stream row estimate: Σ over fields and query
-    terms of the dictionary df — zero posting reads (the same
-    metadata-only discipline as boolean_topk_multi's stream bound)."""
+    """Per-query posting-row estimate: Σ over fields and query terms of
+    the dictionary df — zero posting reads (the same metadata-only
+    discipline as boolean_topk_multi's stream bound). Under the bucketed
+    kernel this bounds per-sub-batch decode volume and the number of
+    live per-term dense vectors each bucket holds, not a shuffled row
+    count — the knob's meaning is "how much term-level data one batch
+    may touch"."""
     union_terms = sorted({t.lower() for ts in queries.values() for t in ts})
     dfs: dict[str, int] = {}
     for d in field_dirs.values():

@@ -244,7 +244,7 @@ def test_multi_match_batch_matches_single(spark, stores):
         for r, d, s in _rows(
             multi_match_topk(
                 spark, stores, BATCH_QUERIES[qid], k=8,
-                weights=weights, tie_breaker=0.3,
+                weights=weights, tie_breaker=0.3, impl="fold",
             )
         ):
             want.append((qid, r, d, s))
@@ -261,7 +261,10 @@ def test_bm25f_batch_matches_single(spark, stores):
     want = []
     for qid in sorted(BATCH_QUERIES):
         for r, d, s in _rows(
-            bm25f_topk(spark, stores, BATCH_QUERIES[qid], k=8, weights=weights)
+            bm25f_topk(
+                spark, stores, BATCH_QUERIES[qid], k=8, weights=weights,
+                impl="fold",
+            )
         ):
             want.append((qid, r, d, s))
     assert got == want
@@ -297,3 +300,20 @@ def test_batch_subbatching_is_exact(spark, stores):
         # bound of 1 row forces one sub-batch per query; union must be exact
         bounded = _batch_rows(fn(max_partial_rows=1).orderBy("query_id", "rank"))
         assert bounded == free
+
+
+def test_single_kernel_equals_fold_impl(spark, stores):
+    """The default kernel routing of the single-query executors is
+    result-identical to the independent Catalyst-fold reference."""
+    weights = {"content": 1.0, "title": 2.0}
+    for fn in (multi_match_topk, bm25f_topk):
+        kw = {"weights": weights}
+        if fn is multi_match_topk:
+            kw["tie_breaker"] = 0.3
+        kern = _rows(fn(spark, stores, ["hash", "spark", "merge"], k=8, **kw))
+        fold = _rows(
+            fn(spark, stores, ["hash", "spark", "merge"], k=8, impl="fold", **kw)
+        )
+        assert kern == fold and len(kern) >= 1
+    with pytest.raises(ValueError, match="impl"):
+        bm25f_topk(spark, stores, ["hash"], impl="nope")
