@@ -317,3 +317,21 @@ def test_single_kernel_equals_fold_impl(spark, stores):
         assert kern == fold and len(kern) >= 1
     with pytest.raises(ValueError, match="impl"):
         bm25f_topk(spark, stores, ["hash"], impl="nope")
+
+
+def test_batch_kernel_plan_has_bounded_exchanges(spark, stores):
+    """The bucketed batch plan carries exactly the intended shuffles: the
+    doc-range bucket co-location and the (tiny) per-query rank window —
+    no per-field pre-folds, no fan-out join exchange."""
+    from contextinator_spark.operators.multifield import bm25f_topk_multi
+
+    df = bm25f_topk_multi(
+        spark, stores, {0: ["hash", "spark"], 1: ["merge"]}, k=5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    # repartition(bucket) + window partitionBy(query_id) + the final
+    # orderBy range-sort of the ≤ n_buckets×nq×k output rows; more than
+    # 3 means a per-field pre-fold or the fan-out join crept back
+    assert 1 <= n_exchanges <= 3, plan
+    assert "hashpartitioning(bucket" in plan
