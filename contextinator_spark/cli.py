@@ -432,10 +432,32 @@ def cmd_bool(args, spark) -> None:
     negative = getattr(args, "negative", None)
     rescore = getattr(args, "rescore", None)
     fvf = getattr(args, "fvf_modifier", None)
-    if sum(bool(x) for x in (negative, rescore, fvf)) > 1:
+    decay = getattr(args, "decay_shape", None)
+    if sum(bool(x) for x in (negative, rescore, fvf, decay)) > 1:
         raise SystemExit(
-            "--negative / --rescore / --fvf-modifier are mutually exclusive"
+            "--negative / --rescore / --fvf-modifier / --decay-shape are "
+            "mutually exclusive"
         )
+    if decay:
+        from .operators.boolean import decay_score_topk
+
+        out = decay_score_topk(
+            spark, args.index, args.query,
+            field=getattr(args, "decay_field", "doc_len"),
+            origin=getattr(args, "decay_origin", 0.0),
+            scale=getattr(args, "decay_scale", 10.0),
+            offset=getattr(args, "decay_offset", 0.0),
+            decay=getattr(args, "decay_value", 0.5),
+            shape=decay,
+            k=args.k,
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if fvf:
         from .operators.boolean import function_score_topk
 
@@ -1161,6 +1183,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--fvf-mode", choices=("multiply", "sum"), default="multiply",
         dest="fvf_mode",
     )
+    bq.add_argument(
+        "--decay-shape", choices=("gauss", "exp", "linear"),
+        dest="decay_shape",
+        help="function_score decay: re-weight by distance of "
+             "--decay-field from --decay-origin (multiplier = "
+             "--decay-value at distance --decay-scale)",
+    )
+    bq.add_argument("--decay-field", default="doc_len", dest="decay_field")
+    bq.add_argument("--decay-origin", type=float, default=0.0, dest="decay_origin")
+    bq.add_argument("--decay-scale", type=float, default=10.0, dest="decay_scale")
+    bq.add_argument("--decay-offset", type=float, default=0.0, dest="decay_offset")
+    bq.add_argument("--decay-value", type=float, default=0.5, dest="decay_value")
     bq.set_defaults(fn=cmd_bool)
 
     ml = sub.add_parser("mlt", help="more-like-this: docs similar to a doc_id")

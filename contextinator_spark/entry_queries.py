@@ -2241,6 +2241,43 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+DECAY_ORIGIN, DECAY_SCALE, DECAY_DECAY = 40.0, 20.0, 0.5
+
+
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gauss decay: BM25 score × exp(−dist²/2σ²) with
+    dist = |doc_len − origin| and σ² = −scale²/(2 ln decay) — the
+    canonical recency/length-target boost, composed over the FULL scored
+    stream (operators/boolean.py decay_score_topk). New surface."""
+    from .operators.boolean import decay_score_topk
+
+    return decay_score_topk(
+        spark, _cached_phrase_index_dir(spark, sf_dir), FSCORE_QUERY,
+        field="doc_len", origin=DECAY_ORIGIN, scale=DECAY_SCALE,
+        decay=DECAY_DECAY, shape="gauss", k=10,
+    )
+
+
+def sql_decay_score() -> str:
+    """Oracle: identical gauss parameterization over the compiled
+    algebra + doc_len meta CTE."""
+    import math as _m
+
+    sigma2 = -(DECAY_SCALE ** 2) / (2.0 * _m.log(DECAY_DECAY))
+    p = _sql_boolean_one(FSCORE_QUERY, k=10**9)
+    return f"""
+WITH p AS ({p}),
+m2 AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS DOUBLE) AS dl FROM documents)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM (SELECT p.doc_id,
+               CAST(round(p.score * exp(-(pow(greatest(0.0, abs(m2.dl - {DECAY_ORIGIN})), 2))
+                                        / {2.0 * sigma2}), {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+        FROM p JOIN m2 ON p.doc_id = m2.doc_id)
+) WHERE rank <= 10
+"""
+
+
 RESCORE_POS = "hash table"
 RESCORE_QUERY = '"table hash"'
 RESCORE_WINDOW = 20
@@ -3443,6 +3480,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "rescore": (q_rescore, sql_rescore()),
         "percolate": (q_percolate, sql_percolate()),
         "function_score": (q_function_score, sql_function_score()),
+        "decay_score": (q_decay_score, sql_decay_score()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

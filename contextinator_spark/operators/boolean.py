@@ -1093,6 +1093,71 @@ def function_score_topk(
     return _rank_tail(out, k)
 
 
+def decay_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[Clause],
+    field: str = "doc_len",
+    origin: float = 0.0,
+    scale: float = 10.0,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    shape: str = "gauss",
+    mode: str = "multiply",
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES function_score decay functions (gauss / exp / linear): the
+    Boolean score re-weighted by distance of a numeric doc_meta field
+    from an origin — the canonical recency / proximity / length-target
+    boost. With dist = max(0, |field − origin| − offset), the multiplier
+    is exactly ES's parameterization (decay reached at distance scale):
+
+        gauss   exp(−dist² / (2σ²)),        σ² = −scale² / (2 ln decay)
+        exp     exp(λ·dist),                λ  = ln(decay) / scale
+        linear  max(0, (l − dist) / l),     l  = scale / (1 − decay)
+
+    mode ∈ {multiply, sum}. Same pruning contract as field_value_factor:
+    re-weighting reorders past any top-k cut, so this composes over the
+    FULL _boolean_scored stream + one doc_meta equi-join."""
+    if shape not in ("gauss", "exp", "linear"):
+        raise ValueError(f"shape must be gauss|exp|linear: {shape!r}")
+    if mode not in ("multiply", "sum"):
+        raise ValueError(f"mode must be multiply|sum: {mode!r}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1): {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0: {scale}")
+    import math as _math
+
+    q_cl = parse_query(query) if isinstance(query, str) else query
+    scored = _boolean_scored(
+        spark, index_dir, q_cl, k1=k1, b=b, max_expansions=max_expansions
+    )
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", F.col(field).cast("double").alias("_fv")
+    )
+    dist = F.greatest(
+        F.lit(0.0), F.abs(F.col("_fv") - F.lit(float(origin))) - F.lit(float(offset))
+    )
+    if shape == "gauss":
+        sigma2 = -(float(scale) ** 2) / (2.0 * _math.log(float(decay)))
+        mult = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif shape == "exp":
+        lam = _math.log(float(decay)) / float(scale)
+        mult = F.exp(F.lit(lam) * dist)
+    else:
+        l = float(scale) / (1.0 - float(decay))
+        mult = F.greatest(F.lit(0.0), (F.lit(l) - dist) / F.lit(l))
+    comb = F.col("score") * mult if mode == "multiply" else F.col("score") + mult
+    out = scored.join(meta, "doc_id").select(
+        "doc_id", F.round(comb, SCORE_ROUND_DECIMALS).alias("score")
+    )
+    return _rank_tail(out, k)
+
+
 def boolean_explain(
     spark: SparkSession,
     index_dir: str,

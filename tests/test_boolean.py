@@ -1254,3 +1254,73 @@ def test_match_count_approximate_within_rsd(spark, idx):
     # tiny set: HLL++ is exact-ish far below the register capacity, but
     # assert only the contract: within 3*rsd of the true cardinality
     assert abs(approx - exact) <= max(1, 3 * 0.05 * exact)
+
+
+def test_decay_score_matches_manual(spark, idx):
+    import math as m
+
+    from contextinator_spark.operators.boolean import (
+        boolean_topk,
+        decay_score_topk,
+        parse_query,
+    )
+
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    base = {
+        r.doc_id: r.score
+        for r in boolean_topk(spark, idx, parse_query("hash spark"), k=50).collect()
+    }
+    origin, scale, offset, decay = 4.0, 2.0, 0.0, 0.5
+    for shape in ("gauss", "exp", "linear"):
+        got = [
+            (r.rank, r.doc_id, r.score)
+            for r in decay_score_topk(
+                spark, idx, "hash spark", "doc_len",
+                origin=origin, scale=scale, offset=offset, decay=decay,
+                shape=shape, k=50,
+            ).collect()
+        ]
+        manual = []
+        for d, s in base.items():
+            dist = max(0.0, abs(dl[d] - origin) - offset)
+            if shape == "gauss":
+                mult = m.exp(-(dist ** 2) / (2 * (-(scale ** 2) / (2 * m.log(decay)))))
+            elif shape == "exp":
+                mult = m.exp(m.log(decay) / scale * dist)
+            else:
+                l = scale / (1 - decay)
+                mult = max(0.0, (l - dist) / l)
+            from decimal import ROUND_HALF_UP, Decimal
+
+            manual.append(
+                (d, float(Decimal(repr(s * mult)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP)))
+            )
+        manual.sort(key=lambda x: (-x[1], x[0]))
+        want = [(i + 1, d, s) for i, (d, s) in enumerate(manual)]
+        assert got == want, shape
+    # at distance == scale the multiplier is exactly `decay` (ES contract)
+    for shape in ("gauss", "exp", "linear"):
+        one = decay_score_topk(
+            spark, idx, "hash", "doc_len", origin=0.0, scale=4.0,
+            decay=0.5, shape=shape, k=50,
+        )
+        row = {r.doc_id: r.score for r in one.collect()}
+        base1 = {
+            r.doc_id: r.score
+            for r in boolean_topk(spark, idx, parse_query("hash"), k=50).collect()
+        }
+        d4 = [d for d in row if dl[d] == 4]
+        for d in d4:
+            assert row[d] == pytest.approx(base1[d] * 0.5, abs=2e-6), shape
+
+
+def test_decay_score_guards(spark, idx):
+    from contextinator_spark.operators.boolean import decay_score_topk
+
+    with pytest.raises(ValueError, match="shape"):
+        decay_score_topk(spark, idx, "hash", shape="step")
+    with pytest.raises(ValueError, match="decay"):
+        decay_score_topk(spark, idx, "hash", decay=1.0)
+    with pytest.raises(ValueError, match="scale"):
+        decay_score_topk(spark, idx, "hash", scale=0.0)

@@ -891,3 +891,19 @@ def test_cli_analyze_verb(capsys, spark):
     )
     assert [l.split()[1] for l in rows] == ["hash", "table", "join", "x2"]
     assert [int(l.split()[0]) for l in rows] == [0, 1, 2, 3]
+
+
+def test_cli_bool_decay(capsys, spark, index_dir):
+    rows = run_cli(
+        capsys, spark, "--format", "text", "bool", "--index", index_dir,
+        "--query", "spark hash", "--decay-shape", "gauss",
+        "--decay-origin", "40", "--decay-scale", "20", "--k", "5",
+    )
+    assert rows and rows[0].split()[0] == "1"
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["bool", "--index", index_dir, "--query", "x",
+             "--decay-shape", "gauss", "--fvf-modifier", "log1p"],
+            spark=spark,
+        )
+    capsys.readouterr()
