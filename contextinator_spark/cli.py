@@ -535,6 +535,29 @@ def cmd_synonym(args, spark) -> None:
     )
 
 
+def cmd_composite(args, spark) -> None:
+    """ES composite aggregation: pageable (group, value-bucket) buckets
+    of the full match set; --after GROUP:BUCKET resumes the next page."""
+    from .operators.bm25_segments import composite_agg
+    from .oracle import tokenize
+
+    terms = [t for w in args.query.split() for t in tokenize(w)]
+    after = None
+    if args.after:
+        g, bk = args.after.rsplit(":", 1)
+        after = (g, int(bk))
+    out = composite_agg(
+        spark, args.index, terms, args.group_col, args.stats_col,
+        interval=args.interval, size=args.size, after=after,
+    )
+    _emit(
+        out.collect(),
+        args.format,
+        lambda d: "  ".join(f"{k}={v}" for k, v in d.items()),
+        getattr(args, "toon_fold", False),
+    )
+
+
 def cmd_analyze(args, spark) -> None:
     """ES _analyze: show how the engine tokenizes a text — (position,
     token) rows from the same tokens_expr every operator uses."""
@@ -1282,6 +1305,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sn.add_argument("--k", type=int, default=10)
     sn.set_defaults(fn=cmd_synonym)
+
+    cg = sub.add_parser(
+        "composite", help="pageable composite buckets over the match set"
+    )
+    cg.add_argument("--index", required=True)
+    cg.add_argument("--query", required=True)
+    cg.add_argument("--group-col", default="lang", dest="group_col")
+    cg.add_argument("--stats-col", default="doc_len", dest="stats_col")
+    cg.add_argument("--interval", type=int, default=10)
+    cg.add_argument("--size", type=int, default=5)
+    cg.add_argument("--after", default=None, help="GROUP:BUCKET cursor")
+    cg.set_defaults(fn=cmd_composite)
 
     an = sub.add_parser("analyze", help="tokenizer debug (ES _analyze)")
     an.add_argument("--text", required=True)

@@ -2278,6 +2278,39 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+COMPOSITE_AFTER = ("de", 20)
+
+
+def q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation, page 2: (lang, doc_len-decade) buckets
+    of the flagship match set strictly after the COMPOSITE_AFTER cursor —
+    deterministic cursor pagination over the full bucket space. New
+    surface."""
+    from .operators.bm25_segments import composite_agg
+
+    return composite_agg(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        "lang", "doc_len", interval=10, size=5, after=COMPOSITE_AFTER,
+    )
+
+
+def sql_composite() -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    g, bk = COMPOSITE_AFTER
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+mset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list})),
+meta AS (SELECT d.doc_id, d.lang,
+                CAST(floor(len({SQL_TOKENS}) / 10) * 10 AS BIGINT) AS bucket
+         FROM documents d),
+b AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM mset JOIN meta USING (doc_id) GROUP BY lang, bucket)
+SELECT lang, bucket, n_docs FROM b
+WHERE lang > '{g}' OR (lang = '{g}' AND bucket > {bk})
+ORDER BY lang, bucket LIMIT 5
+"""
+
+
 RESCORE_POS = "hash table"
 RESCORE_QUERY = '"table hash"'
 RESCORE_WINDOW = 20
@@ -3481,6 +3514,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "percolate": (q_percolate, sql_percolate()),
         "function_score": (q_function_score, sql_function_score()),
         "decay_score": (q_decay_score, sql_decay_score()),
+        "composite": (q_composite, sql_composite()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

@@ -2400,3 +2400,55 @@ def extended_stats(
             F.round(F.stddev_pop(c), 6).alias(f"std_{stats_col}"),
         )
     )
+
+
+def composite_agg(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    group_col: str = "lang",
+    stats_col: str = "doc_len",
+    interval: int = 10,
+    size: int = 5,
+    after: tuple | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES composite aggregation: PAGEABLE buckets of the FULL match set
+    keyed by (group_col, floor(stats_col / interval) × interval), ordered
+    by the composite key, `size` buckets per page; `after=(group, bucket)`
+    resumes STRICTLY after that key — deterministic cursor pagination
+    over an unbounded bucket space (the terms-agg top-N cut cannot
+    enumerate all buckets; composite can, page by page, which is why ES
+    recommends it for exports).
+
+    Plan: the facet_counts prefix (pruned scan → distinct → doc_meta
+    join) → two-key group → after-key filter pushed BEFORE the order+limit
+    (a resumed page aggregates only rows past the cursor — with a
+    doc_meta layout partitioned on the leading key this prunes files; on
+    this store it prunes post-scan, documented) → TakeOrderedAndProject.
+    Output (group, bucket, n_docs)."""
+    if interval < 1 or size < 1:
+        raise ValueError("interval and size must be >= 1")
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    schema = f"{group_col} string, bucket long, n_docs long"
+    if docs is None:
+        return spark.createDataFrame([], schema)
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", group_col, stats_col
+    )
+    bucket = (F.floor(F.col(stats_col) / F.lit(int(interval))) * int(interval)).cast(
+        "long"
+    )
+    grouped = (
+        docs.distinct()
+        .join(meta, "doc_id")
+        .groupBy(F.col(group_col), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    if after is not None:
+        g, bk = after
+        grouped = grouped.filter(
+            (F.col(group_col) > F.lit(g))
+            | ((F.col(group_col) == F.lit(g)) & (F.col("bucket") > F.lit(int(bk))))
+        )
+    return grouped.orderBy(group_col, "bucket").limit(int(size))

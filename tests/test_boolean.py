@@ -1324,3 +1324,41 @@ def test_decay_score_guards(spark, idx):
         decay_score_topk(spark, idx, "hash", decay=1.0)
     with pytest.raises(ValueError, match="scale"):
         decay_score_topk(spark, idx, "hash", scale=0.0)
+
+
+def test_composite_agg_pages_cover_all_buckets(spark, idx):
+    from contextinator_spark.operators.bm25_segments import composite_agg
+
+    # full bucket space via one big page
+    full = [
+        (r[0], r["bucket"], r["n_docs"])
+        for r in composite_agg(
+            spark, idx, ["hash", "spark"], "lang", "doc_len",
+            interval=2, size=100,
+        ).collect()
+    ]
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    lang = {d: l for d, _c, l in DOCS}
+    match = {0, 1, 2, 3, 4, 6}
+    want: dict = {}
+    for d in match:
+        key = (lang[d], (dl[d] // 2) * 2)
+        want[key] = want.get(key, 0) + 1
+    assert full == sorted((g, b, n) for (g, b), n in want.items())
+    # page through with size=2: concatenation == full, no dup, no gap
+    pages, after = [], None
+    while True:
+        page = [
+            (r[0], r["bucket"], r["n_docs"])
+            for r in composite_agg(
+                spark, idx, ["hash", "spark"], "lang", "doc_len",
+                interval=2, size=2, after=after,
+            ).collect()
+        ]
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1][0], page[-1][1])
+    assert pages == full
+    with pytest.raises(ValueError, match="interval"):
+        composite_agg(spark, idx, ["hash"], interval=0)

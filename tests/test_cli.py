@@ -907,3 +907,18 @@ def test_cli_bool_decay(capsys, spark, index_dir):
             spark=spark,
         )
     capsys.readouterr()
+
+
+def test_cli_composite_verb(capsys, spark, index_dir):
+    p1 = run_cli(
+        capsys, spark, "--format", "text", "composite", "--index", index_dir,
+        "--query", "spark hash", "--interval", "5", "--size", "3",
+    )
+    assert 0 < len(p1) <= 3 and "bucket=" in p1[0]
+    last = dict(kv.split("=") for kv in p1[-1].split())
+    p2 = run_cli(
+        capsys, spark, "--format", "text", "composite", "--index", index_dir,
+        "--query", "spark hash", "--interval", "5", "--size", "3",
+        "--after", f"{last['lang']}:{last['bucket']}",
+    )
+    assert p1[-1] not in p2
