@@ -2278,6 +2278,59 @@ SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
 """
 
 
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation agg: exact two-pass MAD of doc_len
+    over the flagship match set. New surface."""
+    from .operators.bm25_segments import mad_agg
+
+    return mad_agg(spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS)
+
+
+def sql_mad() -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+mset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list})),
+meta AS (SELECT doc_id, CAST(len({SQL_TOKENS}) AS DOUBLE) AS dl FROM documents),
+vals AS (SELECT dl FROM mset JOIN meta USING (doc_id)),
+med AS (SELECT quantile_cont(dl, 0.5) AS m FROM vals)
+SELECT CAST(round((SELECT m FROM med), 6) AS DOUBLE) AS median,
+       CAST(round(quantile_cont(abs(dl - (SELECT m FROM med)), 0.5), 6) AS DOUBLE) AS mad
+FROM vals
+"""
+
+
+RARE_MAX_DOC_COUNT = 100  # word-salad corpus: min fg is 24 at sf0.01 — 100 keeps a real long tail in-frame
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms agg: the long-tail vocabulary of the flagship match
+    set (terms in ≤ RARE_MAX_DOC_COUNT matching docs), rarest-first.
+    New surface."""
+    from .operators.bm25_segments import rare_terms
+
+    return rare_terms(
+        spark, _cached_index_dir(spark, sf_dir), BM25_QUERY_TERMS,
+        max_doc_count=RARE_MAX_DOC_COUNT, k=10,
+    )
+
+
+def sql_rare_terms() -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    return f"""
+WITH post AS ({SQL_POSTINGS}),
+mset AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list})),
+fg AS (SELECT p.term, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS fg
+       FROM post p JOIN mset USING (doc_id)
+       WHERE p.term NOT IN ({in_list})
+       GROUP BY p.term)
+SELECT CAST(rank AS INT) AS rank, term, fg FROM (
+  SELECT row_number() OVER (ORDER BY fg, term) AS rank, term, fg
+  FROM fg WHERE fg <= {RARE_MAX_DOC_COUNT})
+WHERE rank <= 10
+"""
+
+
 COMPOSITE_AFTER = ("de", 20)
 
 
@@ -3515,6 +3568,8 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "function_score": (q_function_score, sql_function_score()),
         "decay_score": (q_decay_score, sql_decay_score()),
         "composite": (q_composite, sql_composite()),
+        "mad": (q_mad, sql_mad()),
+        "rare_terms": (q_rare_terms, sql_rare_terms()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

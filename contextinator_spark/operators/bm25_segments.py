@@ -2452,3 +2452,106 @@ def composite_agg(
             | ((F.col(group_col) == F.lit(g)) & (F.col("bucket") > F.lit(int(bk))))
         )
     return grouped.orderBy(group_col, "bucket").limit(int(size))
+
+
+def mad_agg(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    stats_col: str = "doc_len",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES median_absolute_deviation aggregation over the FULL match set:
+    exact MAD = median(|x − median(x)|) of a numeric doc_meta column,
+    one row (median, mad), rounded to 6. Exact two-pass percentile (the
+    ES version is TDigest-approximate; exact keeps the oracle — the
+    sketch swap point is the same note as percentiles_agg). Pass one
+    computes the median, pass two the deviation median; both passes are
+    the 8-byte/doc meta join, so even corpus-sized match sets move
+    doc_ids + one long."""
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    if docs is None:
+        return spark.createDataFrame([], "median double, mad double")
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta")).select(
+        "doc_id", stats_col
+    )
+    vals = docs.distinct().join(meta, "doc_id")
+    med = vals.agg(F.percentile(F.col(stats_col), F.lit(0.5)).alias("m")).collect()[0][
+        "m"
+    ]
+    if med is None:
+        return spark.createDataFrame([], "median double, mad double")
+    return vals.agg(
+        F.round(F.lit(float(med)), 6).alias("median"),
+        F.round(
+            F.percentile(F.abs(F.col(stats_col) - F.lit(float(med))), F.lit(0.5)), 6
+        ).alias("mad"),
+    )
+
+
+def rare_terms(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    max_doc_count: int = 1,
+    k: int = 10,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """ES rare_terms aggregation: the LONG-TAIL terms of the match set —
+    vocabulary terms appearing in ≥1 and ≤ max_doc_count of the matching
+    documents, ordered rarest-first (fg asc, term asc), top-k rows
+    (rank, term, fg). Query terms themselves excluded (they match every
+    doc by construction of the match set's definition of relevance).
+
+    Same intrinsic plan as significant_terms (which shares the honest
+    full-scan shape of ES over doc_values): broadcast sorted match-set
+    ids, ONE segments scan counting per-blob sorted-intersection overlap,
+    vocabulary-scale agg — candidate terms are unknown up front, so no
+    partition pruning is possible by construction."""
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    docs = _matched_docs(spark, index_dir, terms, n_partitions)
+    out_schema = "rank int, term string, fg long"
+    if docs is None:
+        return spark.createDataFrame([], out_schema)
+    fg_ids = np.unique(docs.distinct().toPandas()["doc_id"].to_numpy(dtype=np.int64))
+    if fg_ids.size == 0:
+        return spark.createDataFrame([], out_schema)
+    fg_bc = spark.sparkContext.broadcast(fg_ids)
+    tomb_bc, _tomb_over = _tombstones(spark, index_dir)
+    seg = spark.read.parquet(os.path.join(index_dir, "segments")).select("term", "blob")
+
+    def overlap(pdf_iter):
+        from .compress import decode_postings
+
+        for pdf in pdf_iter:
+            terms_out, fg_out = [], []
+            fg = fg_bc.value
+            for term, blob in zip(pdf["term"], pdf["blob"]):
+                doc_ids, _tfs, _dls = decode_postings(bytes(blob))
+                if tomb_bc is not None and doc_ids.size:
+                    doc_ids = doc_ids[live_mask(doc_ids, tomb_bc.value)]
+                if not doc_ids.size:
+                    continue
+                pos = np.searchsorted(fg, doc_ids)
+                inter = np.count_nonzero(
+                    (pos < fg.size) & (fg[np.minimum(pos, fg.size - 1)] == doc_ids)
+                )
+                if inter:
+                    terms_out.append(term)
+                    fg_out.append(int(inter))
+            if terms_out:
+                yield pd.DataFrame({"term": terms_out, "fg": fg_out})
+
+    per_slice = seg.mapInPandas(overlap, schema="term string, fg long")
+    qset = sorted({t.lower() for t in terms})
+    w = Window.orderBy(F.asc("fg"), F.asc("term"))
+    return (
+        per_slice.groupBy("term")
+        .agg(F.sum("fg").alias("fg"))
+        .filter((F.col("fg") <= int(max_doc_count)) & ~F.col("term").isin(qset))
+        .orderBy(F.asc("fg"), F.asc("term"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "term", "fg")
+    )

@@ -1362,3 +1362,38 @@ def test_composite_agg_pages_cover_all_buckets(spark, idx):
     assert pages == full
     with pytest.raises(ValueError, match="interval"):
         composite_agg(spark, idx, ["hash"], interval=0)
+
+
+def test_mad_agg_matches_manual(spark, idx):
+    import numpy as np
+
+    from contextinator_spark.operators.bm25_segments import mad_agg
+
+    row = mad_agg(spark, idx, ["hash", "spark"], "doc_len").collect()[0]
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    vals = np.array(sorted(dl[d] for d in {0, 1, 2, 3, 4, 6}), dtype=float)
+    med = float(np.quantile(vals, 0.5, method="linear"))
+    mad = float(np.quantile(np.abs(vals - med), 0.5, method="linear"))
+    assert (row["median"], row["mad"]) == (round(med, 6), round(mad, 6))
+    assert mad_agg(spark, idx, ["zzzz_none"]).count() == 0
+
+
+def test_rare_terms_long_tail(spark, idx):
+    from contextinator_spark.operators.bm25_segments import rare_terms
+
+    rows = [
+        (r["rank"], r["term"], r["fg"])
+        for r in rare_terms(spark, idx, ["hash", "spark"], max_doc_count=1, k=50).collect()
+    ]
+    toks = {d: c.split() for d, c, _l in DOCS}
+    match = {0, 1, 2, 3, 4, 6}
+    counts: dict = {}
+    for d in match:
+        for t in set(toks[d]):
+            counts[t] = counts.get(t, 0) + 1
+    want = sorted(
+        (t, n) for t, n in counts.items() if n <= 1 and t not in {"hash", "spark"}
+    )
+    assert rows == [(i + 1, t, n) for i, (t, n) in enumerate(want)]
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms(spark, idx, ["hash"], max_doc_count=0)
