@@ -353,6 +353,30 @@ def cmd_phrase(args, spark) -> None:
     first = getattr(args, "first", None)
     if ordered and not args.index:
         raise SystemExit("--ordered (span-near) needs --index (positions store)")
+    not_phrase = getattr(args, "not_phrase", None)
+    if not_phrase:
+        # SpanNotQuery: scan form over --corpus
+        if args.index:
+            raise SystemExit("--not-phrase is the scan form: use --corpus")
+        if w or ordered or prefix or first is not None:
+            raise SystemExit(
+                "--not-phrase does not compose with --window/--ordered/"
+                "--prefix/--first"
+            )
+        from .operators.phrase import span_not_topk
+
+        out = span_not_topk(
+            _corpus(spark, args.corpus), terms, tokenize(not_phrase),
+            pre=getattr(args, "not_pre", 0), post=getattr(args, "not_post", 0),
+            k=args.k,
+        )
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if first is not None:
         # SpanFirst wraps an ordered span: exact phrase, or --ordered NEAR
         if not args.index:
@@ -1151,6 +1175,13 @@ def build_parser() -> argparse.ArgumentParser:
              "positions; needs --index (combine with --ordered --window "
              "for a span-near inside)",
     )
+    ph.add_argument(
+        "--not-phrase", default=None, dest="not_phrase",
+        help="SpanNotQuery: exclude include-spans overlapping this phrase "
+             "(scan form, needs --corpus; with --not-pre/--not-post windows)",
+    )
+    ph.add_argument("--not-pre", type=int, default=0, dest="not_pre")
+    ph.add_argument("--not-post", type=int, default=0, dest="not_post")
     ph.set_defaults(fn=cmd_phrase)
 
     bq = sub.add_parser(

@@ -2364,6 +2364,51 @@ ORDER BY lang, bucket LIMIT 5
 """
 
 
+SPAN_NOT_INCLUDE = ["table", "hash"]
+SPAN_NOT_EXCLUDE = ["spark"]
+SPAN_NOT_PRE, SPAN_NOT_POST = 1, 1
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNotQuery: 'table hash' occurrences whose span does not
+    overlap a 'spark' occurrence widened by (pre=1, post=1) — the last
+    span family (scan form; same HOF discipline as phrase_match). New
+    surface."""
+    from .operators.phrase import span_not_match
+
+    return span_not_match(
+        _docs(spark, sf_dir), SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE,
+        pre=SPAN_NOT_PRE, post=SPAN_NOT_POST,
+    )
+
+
+def sql_span_not() -> str:
+    nA, nB = len(SPAN_NOT_INCLUDE), len(SPAN_NOT_EXCLUDE)
+    pre, post = SPAN_NOT_PRE, SPAN_NOT_POST
+    a_cond = " AND ".join(
+        f"t[i+{j}] = '{term}'" if j else f"t[i] = '{term}'"
+        for j, term in enumerate(SPAN_NOT_INCLUDE)
+    )
+    b_cond = " AND ".join(
+        f"t[j+{j2}] = '{term}'" if j2 else f"t[j] = '{term}'"
+        for j2, term in enumerate(SPAN_NOT_EXCLUDE)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(list_filter(
+               list_filter(range(1, len(t) - {nA} + 2), i -> {a_cond}),
+               i -> len(list_filter(
+                      list_filter(range(1, len(t) - {nB} + 2), j -> {b_cond}),
+                      j -> j <= i + {nA - 1 + post} AND j + {nB - 1} >= i - {pre}
+                    )) = 0
+             )) AS INT) AS phrase_tf,
+             CAST(len(t) AS INT) AS doc_len
+      FROM toks)
+SELECT doc_id, phrase_tf, doc_len FROM m WHERE phrase_tf > 0
+"""
+
+
 RESCORE_POS = "hash table"
 RESCORE_QUERY = '"table hash"'
 RESCORE_WINDOW = 20
@@ -3570,6 +3615,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "composite": (q_composite, sql_composite()),
         "mad": (q_mad, sql_mad()),
         "rare_terms": (q_rare_terms, sql_rare_terms()),
+        "span_not": (q_span_not, sql_span_not()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

@@ -1301,3 +1301,94 @@ def phrase_suggest(
     return spark.createDataFrame(
         [(j + 1, s, pf, d) for j, (pf, d, s) in enumerate(ranked)], out_schema
     )
+
+
+def span_not_tf_expr(
+    toks: Column,
+    include: list[str],
+    exclude: list[str],
+    pre: int = 0,
+    post: int = 0,
+) -> Column:
+    """Lucene SpanNotQuery: occurrences of the `include` phrase whose
+    span does NOT overlap any `exclude` phrase span widened by `pre`
+    slots before and `post` after (SpanNotQuery(include, exclude, pre,
+    post)). An include anchor at i (span [i, i+nA−1]) is killed by an
+    exclude anchor at j (span [j, j+nB−1]) iff
+
+        j ≤ i + nA − 1 + post   AND   j + nB − 1 ≥ i − pre
+
+    Pure Catalyst HOFs over the token array — same scan form and overlap
+    semantics family as phrase_tf_expr; count = surviving anchors."""
+    if not include or not exclude:
+        raise ValueError("span_not needs non-empty include and exclude phrases")
+    if pre < 0 or post < 0:
+        raise ValueError("pre and post must be >= 0")
+    nA, nB = len(include), len(exclude)
+
+    def _is_start(terms):
+        def f(i: Column) -> Column:
+            return reduce(
+                operator.and_,
+                [F.get(toks, i + F.lit(j)) == F.lit(t) for j, t in enumerate(terms)],
+            )
+
+        return f
+
+    idxs = F.transform(toks, lambda _x, i: i)
+    a = F.filter(idxs, lambda _x, i: _is_start(include)(i))
+    b = F.filter(idxs, lambda _x, i: _is_start(exclude)(i))
+
+    def killed(i: Column) -> Column:
+        return F.exists(
+            b,
+            lambda j: (j <= i + F.lit(nA - 1 + int(post)))
+            & (j + F.lit(nB - 1) >= i - F.lit(int(pre))),
+        )
+
+    return F.size(F.filter(a, lambda i: ~killed(i)))
+
+
+def span_not_match(
+    df: DataFrame,
+    include: list[str],
+    exclude: list[str],
+    pre: int = 0,
+    post: int = 0,
+    content_col: str = "content",
+) -> DataFrame:
+    """(doc_id, phrase_tf, doc_len) for docs with ≥1 surviving include
+    span (SpanNotQuery semantics — see span_not_tf_expr)."""
+    toks = tokens_expr(content_col)
+    return df.select(
+        "doc_id",
+        span_not_tf_expr(toks, include, exclude, pre, post).alias("phrase_tf"),
+        F.size(toks).alias("doc_len"),
+    ).filter(F.col("phrase_tf") > 0)
+
+
+def span_not_topk(
+    df: DataFrame,
+    include: list[str],
+    exclude: list[str],
+    pre: int = 0,
+    post: int = 0,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    content_col: str = "content",
+) -> DataFrame:
+    """SpanNotQuery top-k: surviving-span count scored as one synthetic
+    term through the shared BM25 rank tail (same contract as
+    phrase_topk)."""
+    toks = tokens_expr(content_col)
+    meta = df.select(
+        "doc_id",
+        span_not_tf_expr(toks, include, exclude, pre, post).alias("phrase_tf"),
+        F.size(toks).alias("doc_len"),
+    )
+    stats = meta.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    return _rank_matches(meta.filter(F.col("phrase_tf") > 0), stats, k, k1, b)

@@ -922,3 +922,19 @@ def test_cli_composite_verb(capsys, spark, index_dir):
         "--after", f"{last['lang']}:{last['bucket']}",
     )
     assert p1[-1] not in p2
+
+
+def test_cli_phrase_span_not(capsys, spark):
+    rows = run_cli(
+        capsys, spark, "--format", "text", "phrase", "--corpus", SF,
+        "--query", "table hash", "--not-phrase", "spark",
+        "--not-pre", "1", "--not-post", "1", "--k", "5",
+    )
+    assert rows and rows[0].split()[0] == "1"
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["phrase", "--index", "/tmp/nope", "--query", "a b",
+             "--not-phrase", "c"],
+            spark=spark,
+        )
+    capsys.readouterr()

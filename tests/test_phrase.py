@@ -638,3 +638,85 @@ def test_phrase_suggest_guards(spark, phrase_idx):
     assert (
         PH.phrase_suggest(spark, phrase_idx, ["zzzzzzzzzz", "hash"]).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# SpanNotQuery (include phrase minus overlapping exclude spans)
+# ---------------------------------------------------------------------------
+
+SPANNOT_DOCS = [
+    (0, "table hash join"),            # A at 0; B(join) at 2, post window matters
+    (1, "table hash"),                 # clean A
+    (2, "join table hash"),            # B before A, pre window matters
+    (3, "table hash table hash join"), # two A; second killed at post>=1
+    (4, "table join hash"),            # no A
+    (5, "a table hash b table hash"),  # two clean A
+]
+
+
+def _spannot_brute(include, exclude, pre, post):
+    out = {}
+    nA, nB = len(include), len(exclude)
+    for d, text in SPANNOT_DOCS:
+        toks = text.split()
+        a = [i for i in range(len(toks)) if toks[i:i + nA] == include]
+        bpos = [j for j in range(len(toks)) if toks[j:j + nB] == exclude]
+        surv = [
+            i for i in a
+            if not any(j <= i + nA - 1 + post and j + nB - 1 >= i - pre for j in bpos)
+        ]
+        if surv:
+            out[d] = (len(surv), len(toks))
+    return out
+
+
+@pytest.fixture(scope="module")
+def spannot_docs(spark):
+    return spark.createDataFrame(SPANNOT_DOCS, "doc_id long, content string")
+
+
+def test_span_not_matches_brute_reference(spannot_docs):
+    for include, exclude, pre, post in [
+        (["table", "hash"], ["join"], 0, 0),
+        (["table", "hash"], ["join"], 0, 1),
+        (["table", "hash"], ["join"], 1, 0),
+        (["table", "hash"], ["join"], 2, 2),
+        (["hash"], ["table", "hash"], 0, 0),   # exclude CONTAINS include
+        (["table", "hash"], ["zzz"], 0, 3),    # exclude absent → pure phrase
+    ]:
+        got = {
+            r["doc_id"]: (r["phrase_tf"], r["doc_len"])
+            for r in PH.span_not_match(
+                spannot_docs, include, exclude, pre, post
+            ).collect()
+        }
+        assert got == _spannot_brute(include, exclude, pre, post), (
+            include, exclude, pre, post,
+        )
+
+
+def test_span_not_absent_exclude_equals_phrase(spannot_docs):
+    plain = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in PH.phrase_match(spannot_docs, ["table", "hash"]).collect()
+    }
+    sn = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in PH.span_not_match(
+            spannot_docs, ["table", "hash"], ["never_here"]
+        ).collect()
+    }
+    assert sn == plain
+
+
+def test_span_not_topk_and_guards(spark, spannot_docs):
+    rows = PH.span_not_topk(
+        spannot_docs, ["table", "hash"], ["join"], post=1, k=10
+    ).collect()
+    assert rows and all(r["score"] > 0 for r in rows)
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    with pytest.raises(ValueError, match="non-empty"):
+        PH.span_not_match(spannot_docs, [], ["x"])
+    with pytest.raises(ValueError, match=">= 0"):
+        PH.span_not_match(spannot_docs, ["a"], ["b"], pre=-1)
