@@ -457,11 +457,23 @@ def cmd_bool(args, spark) -> None:
     rescore = getattr(args, "rescore", None)
     fvf = getattr(args, "fvf_modifier", None)
     decay = getattr(args, "decay_shape", None)
-    if sum(bool(x) for x in (negative, rescore, fvf, decay)) > 1:
+    script = getattr(args, "script", None)
+    if sum(bool(x) for x in (negative, rescore, fvf, decay, script)) > 1:
         raise SystemExit(
-            "--negative / --rescore / --fvf-modifier / --decay-shape are "
-            "mutually exclusive"
+            "--negative / --rescore / --fvf-modifier / --decay-shape / "
+            "--script are mutually exclusive"
         )
+    if script:
+        from .operators.boolean import script_score_topk
+
+        out = script_score_topk(spark, args.index, args.query, script, k=args.k)
+        _emit(
+            out.collect(),
+            args.format,
+            lambda d: f"{d['rank']:>3}  {d['doc_id']:<20}  {d['score']:.6f}",
+            getattr(args, "toon_fold", False),
+        )
+        return
     if decay:
         from .operators.boolean import decay_score_topk
 
@@ -1236,6 +1248,11 @@ def build_parser() -> argparse.ArgumentParser:
     bq.add_argument(
         "--fvf-mode", choices=("multiply", "sum"), default="multiply",
         dest="fvf_mode",
+    )
+    bq.add_argument(
+        "--script", default=None, dest="script",
+        help="script_score: replace the score with a SQL expression over "
+             "`score` + doc_meta columns (generic re-scoring)",
     )
     bq.add_argument(
         "--decay-shape", choices=("gauss", "exp", "linear"),

@@ -2364,6 +2364,39 @@ ORDER BY lang, bucket LIMIT 5
 """
 
 
+SCRIPT_EXPR = "case when lang = 'en' then score * 2 else score + sqrt(doc_len) end"
+
+
+def q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score: the Boolean score re-shaped by an arbitrary
+    Catalyst SQL expression over score + doc_meta columns — the generic
+    re-scoring form (fvf and decay are special cases); whole-stage
+    codegen, never a Python UDF. New surface."""
+    from .operators.boolean import script_score_topk
+
+    return script_score_topk(
+        spark, _cached_phrase_index_dir(spark, sf_dir), FSCORE_QUERY,
+        SCRIPT_EXPR, k=10,
+    )
+
+
+def sql_script_score() -> str:
+    p = _sql_boolean_one(FSCORE_QUERY, k=10**9)
+    return f"""
+WITH p AS ({p}),
+m2 AS (SELECT d.doc_id, d.lang, CAST(len({SQL_TOKENS}) AS DOUBLE) AS dl
+       FROM documents d)
+SELECT CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, doc_id, score
+  FROM (SELECT p.doc_id,
+               CAST(round(CASE WHEN m2.lang = 'en' THEN p.score * 2
+                               ELSE p.score + sqrt(m2.dl) END,
+                          {SCORE_ROUND_DECIMALS}) AS DOUBLE) AS score
+        FROM p JOIN m2 ON p.doc_id = m2.doc_id)
+) WHERE rank <= 10
+"""
+
+
 SPAN_NOT_INCLUDE = ["table", "hash"]
 SPAN_NOT_EXCLUDE = ["spark"]
 SPAN_NOT_PRE, SPAN_NOT_POST = 1, 1
@@ -3616,6 +3649,7 @@ FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)
         "mad": (q_mad, sql_mad()),
         "rare_terms": (q_rare_terms, sql_rare_terms()),
         "span_not": (q_span_not, sql_span_not()),
+        "script_score": (q_script_score, sql_script_score()),
         "boolean_range": (q_boolean_range, sql_boolean_range()),
         "boolean_const": (q_boolean_const, sql_boolean_const()),
         "mlt": (q_mlt, sql_mlt()),

@@ -1158,6 +1158,45 @@ def decay_score_topk(
     return _rank_tail(out, k)
 
 
+def script_score_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[Clause],
+    expr: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """ES script_score: the Boolean query's score replaced by an
+    ARBITRARY Catalyst SQL expression over `score` (the BM25 value) and
+    the store's doc_meta columns — the generic re-scoring form that
+    field_value_factor and the decay functions are special cases of,
+    e.g.
+
+        expr="score * ln(1 + doc_len)"          (≡ fvf log1p)
+        expr="score * 0.5 + sqrt(doc_len)"      (additive shaping)
+        expr="case when lang = 'en' then score * 2 else score end"
+
+    The expression stays JVM-side whole-stage codegen (F.expr — never a
+    Python UDF); the composition rides the FULL _boolean_scored stream
+    (re-scoring reorders past any cut — same soundness argument as
+    boosting/fvf/decay) joined to the store-resident doc_meta. The
+    expression must be deterministic per row for reproducible rankings —
+    nondeterministic functions are the caller's own foot-gun, as in ES."""
+    q_cl = parse_query(query) if isinstance(query, str) else query
+    scored = _boolean_scored(
+        spark, index_dir, q_cl, k1=k1, b=b, max_expansions=max_expansions
+    )
+    meta = spark.read.parquet(os.path.join(index_dir, "doc_meta"))
+    out = (
+        scored.join(meta, "doc_id")
+        .withColumn("score", F.expr(expr).cast("double"))
+        .select("doc_id", F.round("score", SCORE_ROUND_DECIMALS).alias("score"))
+    )
+    return _rank_tail(out, k)
+
+
 def boolean_explain(
     spark: SparkSession,
     index_dir: str,

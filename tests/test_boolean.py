@@ -1397,3 +1397,43 @@ def test_rare_terms_long_tail(spark, idx):
     assert rows == [(i + 1, t, n) for i, (t, n) in enumerate(want)]
     with pytest.raises(ValueError, match="max_doc_count"):
         rare_terms(spark, idx, ["hash"], max_doc_count=0)
+
+
+def test_script_score_matches_manual(spark, idx):
+    import math as m
+
+    from contextinator_spark.operators.boolean import (
+        boolean_topk,
+        parse_query,
+        script_score_topk,
+    )
+
+    dl = {d: len(c.split()) for d, c, _l in DOCS}
+    lang = {d: l for d, _c, l in DOCS}
+    base = {
+        r.doc_id: r.score
+        for r in boolean_topk(spark, idx, parse_query("hash spark"), k=50).collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    cases = [
+        ("score * ln(1 + doc_len)", lambda d, s: s * m.log(1 + dl[d])),
+        ("score * 0.5 + sqrt(doc_len)", lambda d, s: s * 0.5 + m.sqrt(dl[d])),
+        (
+            "case when lang = 'en' then score * 2 else score end",
+            lambda d, s: s * 2 if lang[d] == "en" else s,
+        ),
+    ]
+    for expr, fn in cases:
+        got = [
+            (r.rank, r.doc_id, r.score)
+            for r in script_score_topk(spark, idx, "hash spark", expr, k=50).collect()
+        ]
+        manual = sorted(
+            ((d, r6(fn(d, s))) for d, s in base.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == [(i + 1, d, s) for i, (d, s) in enumerate(manual)], expr

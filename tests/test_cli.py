@@ -938,3 +938,12 @@ def test_cli_phrase_span_not(capsys, spark):
             spark=spark,
         )
     capsys.readouterr()
+
+
+def test_cli_bool_script_score(capsys, spark, index_dir):
+    rows = run_cli(
+        capsys, spark, "--format", "text", "bool", "--index", index_dir,
+        "--query", "spark hash", "--script", "score * ln(1 + doc_len)",
+        "--k", "5",
+    )
+    assert rows and rows[0].split()[0] == "1"
