@@ -43,16 +43,20 @@ cross_fields / BM25F (bm25f_topk)
     constant (k1+1) numerator, i.e. rank-identical to topk_segments with
     scores scaled by exactly 1/(k1+1) (tested).
 
-Plan shape (both): per-field dictionary probe (partition+term pruned scan,
-slice-spread, tombstone-masked) → decode-once kernel emits primitive
-(doc_id, contribution) rows — no token strings — → union across fields →
-fold. best_fields folds per (field, doc) then per doc (the per-field fold
-happens inside _exact_scored_matches' single groupBy, so the union adds ONE
-more doc_id exchange); BM25F folds per (term, doc) then per doc. Fields are
-few (2–3); every exchange is match-set-sized, never corpus-sized. Group
-collectors cannot use doc-level θ/block-max bounds here for the same
-soundness reason as collapse_topk: a doc's combined score depends on rows
-from stores a single-field bound knows nothing about.
+Plan shape: the DEFAULT path for both single queries (impl="kernel" =
+batch of one) and batches is the bucket-packed kernel — per-field
+dictionary probe (partition+term pruned, slice-spread, tombstone-masked)
+→ decode kernel packs postings as (field, term, doc-range bucket)
+primitive-array rows → ONE bucket co-location exchange (query-count-
+independent) → a numpy kernel builds dense per-term partial vectors once
+per bucket (BM25F's cross-field tfw blend + saturation fold in-kernel)
+and scores every query as dense vector adds, emitting local per-query
+top-k with a one-quantum margin + exact HALF_UP correction → a tiny rank
+window. impl="fold" keeps the independent Catalyst-fold reference
+(per-field folds → union → combine) the equivalence tests pin the kernel
+against. Group collectors cannot use doc-level θ/block-max bounds here
+for the same soundness reason as collapse_topk: a doc's combined score
+depends on rows from stores a single-field bound knows nothing about.
 """
 
 from __future__ import annotations
